@@ -1,0 +1,182 @@
+"""LSN-ordered change-event log over partitioned Parquet segments.
+
+The Ray-native analogue of the reference's Kafka surface: the producer
+writing one keyed message per row with a monotone offset
+(src/kafka.rs:17-90), the consumer group with committed offsets
+(src/kafka.rs:93-141), and the bounded offset-range replay
+(examples/kafka_jdd_to_mongo.rs:18-66).  Offset ≙ ``lsn``; topic
+partition ≙ ``part=<k>`` directory (k = hash64(repo, path) % P so a
+key's history is colocated); the consumer's committed offset ≙ the lake
+manifest's high-watermark LSN.
+
+Layout::
+
+    log_dir/part=<k>/seg-<lsn_min>-<lsn_max>.parquet
+
+Bounded replay ``lsn ∈ (lsn_from, lsn_to]`` prunes at the read: segment
+files outside the range are skipped by filename, and row-group stats +
+a pyarrow dataset filter prune inside files.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+EVENT_SCHEMA = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("op", pa.string()),  # I | U | D  (crud_fns.rs:18,191,222)
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+KEY_COLS = ("repo", "path", "commit")
+_SEG_RE = re.compile(r"seg-(\d+)-(\d+)\.parquet$")
+
+
+def fast_hash_bucket(repo: pa.Array, path: pa.Array, num_buckets: int) -> pa.Array:
+    """Vectorized key-hash partitioner.
+
+    Uses polars' seeded string hash: value-pure (the hash of a value never
+    depends on its neighbors) and stable across processes — both required
+    for a shuffle key. (pandas.util.hash_array is NOT value-pure through
+    its categorize path and must not be used here.)
+    """
+    import numpy as np
+    import polars as pl
+
+    joined = pc.binary_join_element_wise(repo, path, "\x00")
+    arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+    h = pl.from_arrow(arr).hash(seed=42).to_numpy()
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+
+@dataclass
+class SegmentInfo:
+    path: str
+    partition: int
+    lsn_min: int
+    lsn_max: int
+
+
+def list_segments(log_dir: str) -> list[SegmentInfo]:
+    segs: list[SegmentInfo] = []
+    for part in sorted(os.listdir(log_dir)):
+        if not part.startswith("part="):
+            continue
+        k = int(part.split("=", 1)[1])
+        pdir = os.path.join(log_dir, part)
+        for fn in sorted(os.listdir(pdir)):
+            m = _SEG_RE.search(fn)
+            if m:
+                segs.append(SegmentInfo(os.path.join(pdir, fn), k, int(m.group(1)), int(m.group(2))))
+    return segs
+
+
+def select_segments(log_dir: str, lsn_from: int | None, lsn_to: int | None) -> list[SegmentInfo]:
+    """Segments intersecting the half-open replay window (lsn_from, lsn_to]."""
+    segs = list_segments(log_dir)
+    out = []
+    for s in segs:
+        if lsn_from is not None and s.lsn_max <= lsn_from:
+            continue
+        if lsn_to is not None and s.lsn_min > lsn_to:
+            continue
+        out.append(s)
+    return out
+
+
+def replay_filter(lsn_from: int | None, lsn_to: int | None):
+    expr = None
+    if lsn_from is not None:
+        expr = pads.field("lsn") > lsn_from
+    if lsn_to is not None:
+        e2 = pads.field("lsn") <= lsn_to
+        expr = e2 if expr is None else expr & e2
+    return expr
+
+
+def read_event_log(
+    log_dir: str,
+    lsn_from: int | None = None,
+    lsn_to: int | None = None,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+):
+    """Bounded replay as a streaming Ray Dataset (file + row-group pruning)."""
+    import ray.data
+
+    segs = select_segments(log_dir, lsn_from, lsn_to)
+    if not segs:
+        return ray.data.from_arrow(EVENT_SCHEMA.empty_table())
+    # partitioning=None: don't infer a hive 'part' column from the dir layout
+    kwargs = {"partitioning": None}
+    flt = replay_filter(lsn_from, lsn_to)
+    if flt is not None:
+        kwargs["filter"] = flt
+    if columns is not None:
+        kwargs["columns"] = columns
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet([s.path for s in segs], **kwargs)
+
+
+def read_event_log_table(log_dir: str, lsn_from=None, lsn_to=None) -> pa.Table:
+    """Driver-side bounded replay (tests / tiny fixtures)."""
+    segs = select_segments(log_dir, lsn_from, lsn_to)
+    if not segs:
+        return EVENT_SCHEMA.empty_table()
+    tables = [pq.read_table(s.path) for s in segs]
+    t = pa.concat_tables(tables, promote_options="permissive")
+    flt = replay_filter(lsn_from, lsn_to)
+    if flt is not None:
+        t = pads.dataset(t).to_table(filter=flt)
+    return t
+
+
+class EventLogWriter:
+    """Partitioned segment writer (the ``push_json_to_kafka`` analogue,
+    src/kafka.rs:24-41: key -> partition, offset order within partition).
+
+    Not an appender per-row: callers hand whole Arrow tables (micro-batches
+    or bulk datagen output); each flush writes one segment file per
+    partition, named by its LSN range so replay can prune by filename.
+    """
+
+    def __init__(self, log_dir: str, num_partitions: int = 8):
+        self.log_dir = log_dir
+        self.num_partitions = num_partitions
+        os.makedirs(log_dir, exist_ok=True)
+
+    def write(self, events: pa.Table) -> list[SegmentInfo]:
+        if events.num_rows == 0:
+            return []
+        bucket = fast_hash_bucket(events.column("repo"), events.column("path"), self.num_partitions)
+        events = events.append_column("_part", bucket)
+        infos = []
+        for k in range(self.num_partitions):
+            part = events.filter(pc.equal(events.column("_part"), k)).drop_columns(["_part"])
+            if part.num_rows == 0:
+                continue
+            part = part.sort_by("lsn")
+            lsn_min = part.column("lsn")[0].as_py()
+            lsn_max = part.column("lsn")[-1].as_py()
+            pdir = os.path.join(self.log_dir, f"part={k}")
+            os.makedirs(pdir, exist_ok=True)
+            fpath = os.path.join(pdir, f"seg-{lsn_min}-{lsn_max}.parquet")
+            tmp = fpath + ".tmp"
+            pq.write_table(part, tmp, row_group_size=64 * 1024)
+            os.replace(tmp, fpath)  # atomic publish
+            infos.append(SegmentInfo(fpath, k, lsn_min, lsn_max))
+        return infos
