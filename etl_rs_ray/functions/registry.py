@@ -101,6 +101,9 @@ col_civilite = _scalar(T.transform_civilite)
 col_email = _scalar(T.transform_email)
 col_telephone = _scalar(T.transform_telephone)
 col_raison_sociale = _scalar(T.transform_raison_sociale)
+col_nom_expr = _scalar(T.transform_nom_expr)
+col_prenom_expr = _scalar(T.transform_prenom_expr)
+col_email_expr = _scalar(T.transform_email_expr)
 
 TRANSFORMS: dict[str, ColumnFn] = {
     "nom": col_nom,
@@ -109,6 +112,9 @@ TRANSFORMS: dict[str, ColumnFn] = {
     "email": col_email,
     "telephone": col_telephone,
     "raison_sociale": col_raison_sociale,
+    "nom_expr": col_nom_expr,
+    "prenom_expr": col_prenom_expr,
+    "email_expr": col_email_expr,
     "siren": col_siren,
     "siret": col_siret,
     "ape": col_ape,

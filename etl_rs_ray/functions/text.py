@@ -144,6 +144,86 @@ def transform_prenom(text: str | None) -> str | None:
     return "-".join(parts)
 
 
+# --- expression-variant normalizers -----------------------------------------
+# The reference keeps TWO implementations of several transforms: a row UDF
+# and a Polars expression chain; the example pipelines use the EXPRESSION
+# variant for nom/prenom/email/raison_sociale (transform_jdd_normalisation.rs:40-52,
+# transform_hdd_deduplication.rs:370-381). The expr variants differ from the
+# UDFs in edge cases: polars str.replace is FIRST-occurrence-only, there is
+# no final trim (golden keeps "SEBASTIEN ET PASCAL " with trailing space),
+# no empty->null coercion, and no single-char verbatim rules in prenom.
+
+_TRIM_RE = re.compile(r"^\s+|\s+$")
+_NOM_DELIM_STR_RE = re.compile(r"//|_|/|&")
+
+
+def transform_nom_expr(text: str | None) -> str | None:
+    """nom.rs:83-114 (col_nom_with_polars_expr)."""
+    if text is None:
+        return None
+    text = _TRIM_RE.sub("", text)
+    text = strip_accent(text).upper()
+    text = _NOM_EDGE_RE.sub("", text)
+    text = _NOM_DELIM_STR_RE.sub(" ET ", text, count=1)  # polars str.replace: first only
+    text = _NOM_INVALID_RE.sub("", text)
+    text = _HYPHENS_RE.sub(" ", text)
+    text = _WS_RE.sub(" ", text)
+    return text
+
+
+def transform_prenom_expr(text: str | None) -> str | None:
+    """prenom.rs:88-144 — no single-byte special cases, every sub-part gets
+    first-char uppercase + accent-strip."""
+    if text is None:
+        return None
+    text = _TRIM_RE.sub("", text)
+    t = _PRENOM_SPECIAL_RE.sub("", text)
+    t = _AMP_RE.sub(" ", t)
+    t = _WS_RE.sub(" ", t)
+    parts = []
+    for part in t.split("-"):
+        subs = []
+        for sp in part.split():
+            first = strip_accent(sp[0].upper())
+            subs.append(first + sp[1:].lower())
+        parts.append(" ".join(subs))
+    return "-".join(parts)
+
+
+_EMAIL_STRIP_RE = re.compile(r"['’&\s]+")
+_EMAIL_AT_DOT_RE = re.compile(r"@\.")
+
+
+def _email_tail(email: str) -> str | None:
+    """Shared validation + domain-hyphen strip (email.rs:26-58 == :84-117)."""
+    if not _EMAIL_RE.match(email):
+        return None
+    parts = email.split("@")
+    if len(parts) != 2:
+        return None
+    domain = parts[1]
+    domain_parts = domain.split(".")
+    if len(domain_parts) < 2:
+        return None
+    if len(domain_parts[-2]) < 2:
+        return None
+    if not (2 <= len(domain_parts[-1]) <= 4):
+        return None
+    return f"{parts[0]}@{domain.replace('-', '')}"
+
+
+def transform_email_expr(text: str | None) -> str | None:
+    """email.rs:65-125 — uppercase, FIRST-run-only strip of ['’&\\s]+,
+    FIRST "@." fix, then accent-strip + shared validation."""
+    if text is None:
+        return None
+    email = text.upper()
+    email = _EMAIL_STRIP_RE.sub("", email, count=1)
+    email = _EMAIL_AT_DOT_RE.sub("@", email, count=1)
+    email = strip_accent(email)
+    return _email_tail(email)
+
+
 # --- civilite (civilite.rs:7-50, config.rs:67-97) ---------------------------
 
 SPECIAL_CIVILITIES = frozenset(

@@ -158,19 +158,14 @@ def replay(
     # Hash-shuffle co-locates every row of a bucket in ONE partition. The
     # default range-sort shuffle can split a group across blocks when key
     # cardinality is low (Ray map_groups applies the UDF per block), which
-    # would silently drop events — so pin the strategy here.
-    from ray.data.context import DataContext, ShuffleStrategy
+    # would silently drop events — pin the strategy on this dataset's context.
+    from ray.data.context import ShuffleStrategy
 
-    ctx = DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        entries_ds = ds.groupby("bucket", num_partitions=lake.num_buckets).map_groups(
-            merger, batch_format="pyarrow"
-        )
-        entries = entries_ds.take_all()  # tiny: one row per touched bucket
-    finally:
-        ctx.shuffle_strategy = prev_strategy
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    entries_ds = ds.groupby("bucket", num_partitions=lake.num_buckets).map_groups(
+        merger, batch_format="pyarrow"
+    )
+    entries = entries_ds.take_all()  # tiny: one row per touched bucket
 
     if not entries:
         return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
