@@ -1,0 +1,143 @@
+"""Stateful actor-pool merge-apply — the streaming-tail variant.
+
+The batch replay (pipelines/cdc.py) re-reads + rewrites touched buckets per
+epoch; for a live binlog tail with frequent small micro-batches that would
+rewrite files constantly. This variant holds per-partition last-writer-wins
+state IN actors (the north-star "stateful actor-pool merge-apply stage"):
+
+- P ``PartitionMerger`` actors, each owning a disjoint set of buckets
+  (bucket = hash(repo, path) % P, same partitioner as the log/lake);
+- the driver tails the event log in LSN-ordered micro-batches, splits each
+  Arrow batch by owner (vectorized filter), and applies concurrently;
+- each actor enforces its own high-watermark (exactly-once under
+  re-delivery), applies LWW + tombstones to its in-memory map, and can
+  snapshot its state as an Arrow table or flush it to lake staging files.
+
+This is a deliberate drop to raw ``@ray.remote`` actors: a Ray Data
+``map_batches`` actor pool gives no batch->actor affinity, so per-key
+state would be split across actors. The reference's analogous state is the
+Kafka consumer group's committed offsets (src/kafka.rs:127-140) plus the
+Mongo collection acting as the merge target (kafka_jdd_to_mongo.rs:68-95).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..sources.event_log import fast_hash_bucket, read_event_log_table
+from ..stages.merge_apply import DEFAULT_KEY
+
+
+@ray.remote
+class PartitionMerger:
+    """Owns the LWW/tombstone map for a set of buckets.
+
+    State: key tuple -> (lsn, row dict); plus the partition high-watermark.
+    Setup cost is paid once at actor construction (the reference reloads
+    lazy_static lookup state per process similarly, config.rs:79-97).
+    """
+
+    def __init__(self, key_cols=DEFAULT_KEY, lsn_col: str = "lsn", op_col: str = "op"):
+        self.key_cols = tuple(key_cols)
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+        self.state: dict[tuple, tuple[int, dict]] = {}
+        self.hwm = -1
+        self.applied = 0
+        self.dropped_stale = 0
+
+    def apply(self, batch: pa.Table, enforce_hwm: bool = True) -> dict:
+        """Apply one micro-batch (rows for this partition only, any order).
+
+        Exactly-once: events at or below the partition HWM are dropped
+        (re-delivery); within the batch, LWW by LSN decides.
+        """
+        rows = batch.to_pylist()
+        rows.sort(key=lambda r: r[self.lsn_col])
+        applied = 0
+        for r in rows:
+            lsn = r[self.lsn_col]
+            if enforce_hwm and lsn <= self.hwm:
+                self.dropped_stale += 1
+                continue
+            key = tuple(r[c] for c in self.key_cols)
+            cur = self.state.get(key)
+            if cur is None or lsn >= cur[0]:
+                if r[self.op_col] == "D":
+                    self.state.pop(key, None)
+                    # remember nothing: HWM ordering makes resurrection safe
+                else:
+                    self.state[key] = (lsn, r)
+            applied += 1
+        if rows:
+            self.hwm = max(self.hwm, rows[-1][self.lsn_col])
+        self.applied += applied
+        return {"applied": applied, "hwm": self.hwm, "keys": len(self.state)}
+
+    def snapshot(self) -> pa.Table:
+        """Current partition state as one Arrow table."""
+        if not self.state:
+            return pa.table({})
+        rows = [dict(r, **{self.lsn_col: lsn}) for lsn, r in self.state.values()]
+        return pa.Table.from_pylist(rows)
+
+    def stats(self) -> dict:
+        return {
+            "hwm": self.hwm,
+            "keys": len(self.state),
+            "applied": self.applied,
+            "dropped_stale": self.dropped_stale,
+        }
+
+
+class StreamingMerge:
+    """Driver-side coordinator: event-log tail -> actor pool."""
+
+    def __init__(self, num_partitions: int = 8, key_cols=DEFAULT_KEY):
+        self.num_partitions = num_partitions
+        self.key_cols = tuple(key_cols)
+        self.actors = [PartitionMerger.remote(key_cols) for _ in range(num_partitions)]
+
+    def apply_batch(self, batch: pa.Table) -> list[dict]:
+        """Split one Arrow micro-batch by owner and apply concurrently."""
+        buckets = fast_hash_bucket(
+            batch.column("repo"), batch.column("path"), self.num_partitions
+        )
+        batch = batch.append_column("_b", buckets)
+        futs = []
+        for p in range(self.num_partitions):
+            part = batch.filter(pc.equal(batch.column("_b"), p)).drop_columns(["_b"])
+            if part.num_rows:
+                futs.append(self.actors[p].apply.remote(part))
+        return ray.get(futs)
+
+    def tail(self, log_dir: str, lsn_from: int | None = None, lsn_to: int | None = None,
+             micro_batch_rows: int = 50_000) -> dict:
+        """Bounded tail of the log in LSN order through the pool."""
+        events = read_event_log_table(log_dir, lsn_from, lsn_to).sort_by("lsn")
+        for start in range(0, events.num_rows, micro_batch_rows):
+            self.apply_batch(events.slice(start, micro_batch_rows))
+        return self.stats()
+
+    def snapshot(self) -> pa.Table:
+        tables = [t for t in ray.get([a.snapshot.remote() for a in self.actors]) if t.num_rows]
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    def stats(self) -> dict:
+        per = ray.get([a.stats.remote() for a in self.actors])
+        return {
+            "hwm": max((s["hwm"] for s in per), default=-1),
+            "keys": sum(s["keys"] for s in per),
+            "applied": sum(s["applied"] for s in per),
+            "dropped_stale": sum(s["dropped_stale"] for s in per),
+            "partitions": per,
+        }
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
