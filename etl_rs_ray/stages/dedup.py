@@ -1,0 +1,422 @@
+"""Document deduplication family for training-data pipelines.
+
+Beyond the reference's key/cluster dedup (SURVEY.md §2.3), these are the
+operators a 100 TB text corpus needs. All follow the same Ray shape:
+
+    map_batches(vectorized fingerprint)          # embarrassingly parallel
+      -> groupby(bucket) shuffle                 # co-locate candidates
+      -> per-bucket candidate pairs / winners
+      -> broadcast removal set -> filter         # tiny side, no 2nd shuffle
+
+Scale notes: candidate *edges* are collected to the driver for the
+union-find (they are O(duplicates), orders of magnitude smaller than the
+corpus); a fully distributed connected-components pass would replace the
+driver fold on multi-TB duplicate graphs. Buckets are the partitioning
+assumption: only documents sharing a bucket (an LSH band, a simhash band,
+an exact hash) are ever compared — never all pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash_shuffle(ds):
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
+def _group_partitions(default: int = 32) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(default, cpus * 2))
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def md5_hex(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(
+        [None if v is None else hashlib.md5(v.encode()).hexdigest() for v in arr.to_pylist()],
+        pa.string(),
+    )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact content dedup: keep the lowest-id row per content hash.
+
+    Per-batch combiner first (drop within-batch dups), then one hash
+    shuffle on the content hash, then first-per-group — the same
+    partial-aggregate-then-shuffle shape as the CDC merge.
+    """
+
+    def add_hash_and_precompact(batch: pa.Table) -> pa.Table:
+        h = md5_hex(batch.column(text_col))
+        batch = batch.append_column("_h", h)
+        idx = pc.sort_indices(batch, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+        batch = batch.take(idx)
+        from ..stages.merge_apply import _first_per_key_mask
+
+        return batch.filter(_first_per_key_mask(batch, ("_h",)))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+        g = group.take(idx)
+        from ..stages.merge_apply import _first_per_key_mask
+
+        return g.filter(_first_per_key_mask(g, ("_h",))).drop_columns(["_h"])
+
+    ds = ds.map_batches(add_hash_and_precompact, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _hash_shuffle(ds)
+    return ds.groupby("_h", num_partitions=_group_partitions()).map_groups(
+        keep_first, batch_format="pyarrow"
+    )
+
+
+# --- shingles / token helpers ------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """k-char shingle hashes (crc32 — stable across processes)."""
+    if len(text) < k:
+        data = [text]
+    else:
+        data = [text[i : i + k] for i in range(len(text) - k + 1)]
+    return np.unique(np.array([zlib.crc32(s.encode()) for s in data], dtype=np.uint64))
+
+
+def word_ngrams(text: str, n: int = 3) -> set:
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minimums of (a*x + b) mod 2^61-1 — one matmul-shaped op."""
+    if len(shingles) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    prod = (a[:, None] * shingles[None, :] + b[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def make_minhash_bands(text_col: str, id_col: str, num_perm: int, bands: int, shingle_k: int):
+    """map_batches fn: one (band, band_hash, id) row per doc per band."""
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for doc_id, text in zip(ids, texts):
+            if text is None:
+                continue
+            sig = minhash_signature(char_shingles(text, shingle_k), a, b)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                out_band.append(bi)
+                out_hash.append(zlib.crc32(chunk.tobytes()))
+                out_id.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                id_col: pa.array(out_id),
+            }
+        )
+
+    return fn
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, x, y):
+        rx, ry = self.find(x), self.find(y)
+        if rx != ry:
+            # deterministic: smaller root wins
+            lo, hi = (rx, ry) if rx <= ry else (ry, rx)
+            self.parent[hi] = lo
+
+
+def _edges_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000) -> list[tuple]:
+    """Per (band, band_hash) bucket: chain the members into edges."""
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column(id_col).to_pylist())
+        if len(ids) < 2 or len(ids) > max_bucket:  # skip degenerate mega-buckets
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {"a": pa.array([ids[0]] * (len(ids) - 1), pa.int64()), "b": pa.array(ids[1:], pa.int64())}
+        )
+
+    bands_ds = _hash_shuffle(bands_ds)
+    edges = bands_ds.groupby(
+        ["band", "band_hash"], num_partitions=_group_partitions()
+    ).map_groups(bucket_edges, batch_format="pyarrow")
+    return [(r["a"], r["b"]) for r in edges.take_all()]
+
+
+def _removal_set(edges: list[tuple]) -> set:
+    uf = _UnionFind()
+    for x, y in edges:
+        uf.union(x, y)
+    remove = set()
+    for x in list(uf.parent):
+        root = uf.find(x)
+        if root != x:
+            remove.add(x)
+    return remove
+
+
+def _filter_removed(ds, id_col: str, remove: set):
+    """Broadcast the (tiny) removal set; vectorized is_in filter."""
+    import ray
+
+    ref = ray.put(pa.array(sorted(remove)))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        removal = ray.get(ref)
+        return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=removal)))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+):
+    """Near-dup removal: shingle -> minhash -> banded LSH buckets ->
+    union-find -> keep the smallest id per cluster."""
+    bands_ds = ds.map_batches(
+        make_minhash_bands(text_col, id_col, num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    remove = _removal_set(_edges_from_buckets(bands_ds, id_col))
+    return _filter_removed(ds, id_col, remove) if remove else ds
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit token-weight simhash (crc32 token hashes spread to 64 bits)."""
+    v = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in _TOKEN_RE.findall(text.lower()):
+        h = np.uint64(zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode() + b"#") << 32))
+        bits = (h >> shifts) & np.uint64(1)
+        v += np.where(bits == 1, 1, -1)
+    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+    """SimHash near-dup: 4x16-bit bands (two same-band docs within
+    hamming<=3 must share at least one exact band)."""
+
+    def add_bands(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        ob, oh, oid, osig = [], [], [], []
+        for did, t in zip(ids, texts):
+            if t is None:
+                continue
+            sig = simhash64(t)
+            for bi in range(4):
+                ob.append(bi)
+                oh.append((sig >> (16 * bi)) & 0xFFFF)
+                oid.append(did)
+                osig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(ob, pa.int32()),
+                "band_hash": pa.array(oh, pa.int64()),
+                id_col: pa.array(oid),
+                "_sig": pa.array(osig, pa.uint64()),
+            }
+        )
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group.column(id_col).to_pylist(), group.column("_sig").to_pylist()))
+        ea, eb = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
+                    ea.append(rows[i][0])
+                    eb.append(rows[j][0])
+        return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
+
+    bands_ds = ds.map_batches(add_bands, batch_format="pyarrow", zero_copy_batch=True)
+    bands_ds = _hash_shuffle(bands_ds)
+    edges_ds = bands_ds.groupby(
+        ["band", "band_hash"], num_partitions=_group_partitions()
+    ).map_groups(bucket_edges, batch_format="pyarrow")
+    remove = _removal_set([(r["a"], r["b"]) for r in edges_ds.take_all()])
+    return _filter_removed(ds, id_col, remove) if remove else ds
+
+
+# --- n-gram Jaccard verify ---------------------------------------------------
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+):
+    """MinHash-LSH candidates verified by TRUE word-n-gram Jaccard —
+    removes only pairs >= threshold (no LSH false positives)."""
+    bands_ds = ds.map_batches(
+        make_minhash_bands(text_col, id_col, num_perm, bands, shingle_k=5),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    candidate_edges = _edges_from_buckets(bands_ds, id_col)
+    if not candidate_edges:
+        return ds
+    # verify candidates against true n-gram sets (edges are tiny vs corpus)
+    need = sorted({x for e in candidate_edges for x in e})
+    need_arr = pa.array(need)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=need_arr)).select(
+            [id_col, text_col]
+        )
+
+    texts = {}
+    for r in ds.map_batches(grab, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        texts[r[id_col]] = word_ngrams(r[text_col] or "", n)
+    verified = [
+        (a, b)
+        for a, b in candidate_edges
+        if a in texts and b in texts and jaccard(texts[a], texts[b]) >= threshold
+    ]
+    remove = _removal_set(verified)
+    return _filter_removed(ds, id_col, remove) if remove else ds
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_dedup(
+    ds,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 13,
+):
+    """Near-dup by cosine >= threshold. Random-hyperplane LSH buckets
+    (sign pattern of num_planes projections) -> in-bucket pairwise cosine.
+    Two near-identical vectors agree on most signs; we emit each doc into
+    2 bucket families (full pattern + pattern with one rotated half) to
+    cut misses."""
+
+    planes: dict = {}
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        ids = batch.column(id_col).to_pylist()
+        if embs.size == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()), "_norm": pa.array([], pa.float32()),
+                 emb_col: pa.array([], pa.list_(pa.float32()))}
+            )
+        dim = embs.shape[1]
+        if dim not in planes:
+            rng = np.random.default_rng(seed)
+            planes[dim] = rng.standard_normal((dim, num_planes)).astype(np.float32)
+        P = planes[dim]
+        signs = (embs @ P) > 0  # (n, planes)
+        half = num_planes // 2
+        weights_full = 1 << np.arange(num_planes, dtype=np.int64)
+        h_full = (signs * weights_full).sum(axis=1)
+        h_half = (signs[:, :half] * weights_full[:half]).sum(axis=1)
+        norms = np.linalg.norm(embs, axis=1).astype(np.float32)
+        n = len(ids)
+        return pa.table(
+            {
+                "band": pa.array([0] * n + [1] * n, pa.int32()),
+                "band_hash": pa.array(np.concatenate([h_full, h_half]), pa.int64()),
+                id_col: pa.array(ids + ids),
+                "_norm": pa.array(np.concatenate([norms, norms])),
+                emb_col: pa.array(embs.tolist() + embs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        embs = np.array(group.column(emb_col).to_pylist(), dtype=np.float32)
+        norms = np.array(group.column("_norm").to_pylist(), dtype=np.float32)
+        normed = embs / np.maximum(norms[:, None], 1e-12)
+        sims = normed @ normed.T
+        ea, eb = [], []
+        order = np.argsort(ids)
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                if sims[i, j] >= threshold:
+                    ea.append(ids[i])
+                    eb.append(ids[j])
+        return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
+
+    bands_ds = ds.map_batches(add_buckets, batch_format="pyarrow", zero_copy_batch=True)
+    bands_ds = _hash_shuffle(bands_ds)
+    edges_ds = bands_ds.groupby(
+        ["band", "band_hash"], num_partitions=_group_partitions()
+    ).map_groups(bucket_edges, batch_format="pyarrow")
+    remove = _removal_set([(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in edges_ds.take_all()])
+    return _filter_removed(ds, id_col, remove) if remove else ds

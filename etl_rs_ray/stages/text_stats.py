@@ -1,0 +1,139 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language-ID, document fingerprinting.
+
+All column kernels are vectorized pyarrow.compute (RE2) where possible;
+the per-doc ones (fingerprint) run bounded Python over the batch. Shapes:
+one ``map_batches`` each, no shuffle.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- token counting ----------------------------------------------------------
+
+
+def token_count(arr) -> pa.Array:
+    """Whitespace tokens: count of \\S+ runs (0 for empty/null->null)."""
+    return pc.count_substring_regex(arr, pattern=r"\S+")
+
+
+def bpe_ish_token_count(arr) -> pa.Array:
+    """BPE-ish estimate: letter runs, digit runs, and single punctuation
+    each count as one token (a GPT-2-style pre-tokenizer regex)."""
+    return pc.count_substring_regex(arr, pattern=r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|as|on|are|it|be|this|by|an|or|at)\b",
+    "fr": r"\b(le|la|les|de|des|du|et|un|une|est|que|pour|dans|en|au|aux|sur|avec|ce)\b",
+    "de": r"\b(der|die|das|und|ist|von|zu|den|mit|auf|für|im|ein|eine|nicht|als|auch|es)\b",
+    "es": r"\b(el|la|los|las|de|del|y|un|una|es|que|por|para|en|con|se|su|al|lo)\b",
+}
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc curation signals: lengths, token counts, punctuation /
+    uppercase / stopword / unique-token ratios."""
+    txt = batch.column(text_col)
+    n_chars = pc.utf8_length(txt)
+    n_tokens = token_count(txt)
+    n_punct = pc.count_substring_regex(txt, pattern=r"[^\w\s]")
+    n_upper = pc.count_substring_regex(txt, pattern=r"[A-Z]")
+    n_stop = pc.count_substring_regex(pc.utf8_lower(txt), pattern=_STOPWORDS["en"])
+    denom_c = pc.max_element_wise(n_chars, 1)
+    denom_t = pc.max_element_wise(n_tokens, 1)
+    batch = batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    batch = batch.append_column("n_chars_computed", pc.cast(n_chars, pa.int64()))
+    batch = batch.append_column(
+        "punct_ratio", pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(denom_c, pa.float64()))
+    )
+    batch = batch.append_column(
+        "upper_ratio", pc.divide(pc.cast(n_upper, pa.float64()), pc.cast(denom_c, pa.float64()))
+    )
+    batch = batch.append_column(
+        "stopword_ratio", pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(denom_t, pa.float64()))
+    )
+    mean_tok_len = pc.divide(
+        pc.cast(pc.subtract(n_chars, pc.max_element_wise(pc.subtract(n_tokens, 1), 0)), pa.float64()),
+        pc.cast(denom_t, pa.float64()),
+    )
+    batch = batch.append_column("mean_token_len", mean_tok_len)
+    return batch
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Scalar [0,1] quality score from the stats (heuristic filter knob)."""
+    b = quality_stats(batch, text_col)
+    import numpy as np
+
+    punct = b.column("punct_ratio").to_numpy(zero_copy_only=False)
+    stop = b.column("stopword_ratio").to_numpy(zero_copy_only=False)
+    ntok = b.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    length_score = np.clip(ntok / 100.0, 0, 1)
+    punct_score = np.clip(1.0 - 4.0 * np.abs(punct - 0.03), 0, 1)
+    stop_score = np.clip(stop / 0.4, 0, 1)
+    score = 0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score
+    return b.append_column("quality_score", pa.array(score, pa.float64()))
+
+
+# --- language ID -------------------------------------------------------------
+
+
+def lang_id(batch: pa.Table, text_col: str = "text", out_col: str = "lang_pred") -> pa.Table:
+    """n-gram-free heuristic language ID: stopword-hit rate per language
+    (vectorized: one RE2 count per language over the whole column)."""
+    low = pc.utf8_lower(batch.column(text_col))
+    n_tokens = pc.max_element_wise(token_count(low), 1)
+    scores = []
+    langs = sorted(_STOPWORDS)
+    for lang in langs:
+        c = pc.count_substring_regex(low, pattern=_STOPWORDS[lang])
+        scores.append(
+            pc.divide(pc.cast(c, pa.float64()), pc.cast(n_tokens, pa.float64())).to_numpy(
+                zero_copy_only=False
+            )
+        )
+    m = np.vstack(scores)  # (langs, n)
+    best = m.argmax(axis=0)
+    confident = m.max(axis=0) > 0.02
+    out = np.where(confident, np.array(langs, dtype=object)[best], "unknown")
+    return batch.append_column(out_col, pa.array(out.tolist(), pa.string()))
+
+
+# --- document fingerprinting -------------------------------------------------
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 6) -> list[int]:
+    """Winnowing (Schleimer et al.): min k-gram rolling hash per window —
+    a compact, position-robust document fingerprint."""
+    if len(text) < k:
+        return [zlib.crc32(text.encode())] if text else []
+    hashes = np.array(
+        [zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)],
+        dtype=np.uint32,
+    )
+    if len(hashes) <= window:
+        return [int(hashes.min())]
+    out = []
+    prev = -1
+    for i in range(len(hashes) - window + 1):
+        j = i + int(np.argmin(hashes[i : i + window]))
+        if j != prev:
+            out.append(int(hashes[j]))
+            prev = j
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
+    fps = [
+        winnow_fingerprint(t) if t is not None else None
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(fps, pa.list_(pa.int64())))

@@ -1,0 +1,109 @@
+"""ANN search, text analysis, and multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from etl_rs_ray.stages.ann import brute_force_topk, ivf_topk
+from etl_rs_ray.stages.multimodal import DecodeImage, media_pipeline, synthesize_media
+from etl_rs_ray.stages.text_stats import (
+    bpe_ish_token_count,
+    fingerprint_batch,
+    lang_id,
+    quality_score,
+    token_count,
+    winnow_fingerprint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_brute_force_topk_matches_numpy():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet").repartition(4)
+    rows = pa.concat_tables([pa.Table.from_pylist(ds.take_all())])
+    embs = np.array(rows.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.array(rows.column("vec_id").to_pylist())
+    q = embs[:3]
+    out = brute_force_topk(ds, q, k=5)
+    # exact oracle in numpy
+    qe = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ee = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    sims = qe @ ee.T
+    for qi in range(3):
+        want = set(ids[np.argsort(-sims[qi])[:5]].tolist())
+        got = {r["vec_id"] for r in out.to_pylist() if r["query_id"] == qi}
+        assert got == want
+
+
+def test_ivf_topk_recall():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet").repartition(4)
+    rows = ds.take_all()
+    embs = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    q = embs[:5]
+    exact = brute_force_topk(ds, q, k=10)
+    approx = ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
+    hits = tot = 0
+    for qi in range(5):
+        want = {r["vec_id"] for r in exact.to_pylist() if r["query_id"] == qi}
+        got = {r["vec_id"] for r in approx.to_pylist() if r["query_id"] == qi}
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.5  # nprobe=4 of 8 lists
+
+
+def test_token_counts():
+    arr = pa.array(["a b  c", "", None, "hello, world! 42"])
+    assert token_count(arr).to_pylist() == [3, 0, None, 3]
+    assert bpe_ish_token_count(arr).to_pylist() == [3, 0, None, 5]
+
+
+def test_quality_and_lang():
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "The cat sat on the mat and the dog lay by the door of the house.",
+                "le chat est sur le tapis et le chien est dans la maison pour la nuit",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    out = lang_id(quality_score(batch))
+    langs = out.column("lang_pred").to_pylist()
+    assert langs[0] == "en"
+    assert langs[1] == "fr"
+    assert langs[2] == "unknown"
+    scores = out.column("quality_score").to_pylist()
+    assert scores[0] > scores[2]
+
+
+def test_winnow_fingerprint_robust_to_position():
+    a = "shared middle content that is long enough to fingerprint properly"
+    f1 = set(winnow_fingerprint("PREFIX " + a))
+    f2 = set(winnow_fingerprint(a + " SUFFIX"))
+    assert len(f1 & f2) / max(len(f1 | f2), 1) > 0.5
+    batch = pa.table({"text": [a, None]})
+    fp = fingerprint_batch(batch)
+    assert fp.column("fingerprint").to_pylist()[1] is None
+
+
+def test_media_pipeline_plumbing():
+    media = synthesize_media(48)
+    ds = ray.data.from_arrow(media).repartition(3)
+    out = media_pipeline(ds, concurrency=2, batch_size=8).take_all()
+    assert len(out) == 48
+    r = out[0]
+    assert set(r) >= {"media_id", "media_type", "payload", "width", "height", "mean_luma", "features", "frame_offsets"}
+    assert len(r["features"]) == 32
+    vids = [r for r in out if r["media_type"] == "video"]
+    assert all(r["frame_offsets"] is not None for r in vids)
+    # determinism
+    out2 = media_pipeline(ray.data.from_arrow(media).repartition(3), concurrency=2, batch_size=8).take_all()
+    assert sorted(r["mean_luma"] for r in out) == sorted(r["mean_luma"] for r in out2)
+
+
+def test_decode_strict_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(strict=True)(synthesize_media(2))

@@ -1,0 +1,144 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — seeded corpora with planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from etl_rs_ray.stages.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard_dedup,
+    simhash64,
+    simhash_dedup,
+    word_ngrams,
+    char_shingles,
+    _perm_params,
+)
+
+
+def _corpus():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again in the field",
+        "rust and python are both fine systems languages for data processing work",
+        "ray data streams arrow record batches through a distributed object store",
+        "completely unrelated text about cooking pasta with tomato sauce and basil",
+    ]
+    docs = []
+    did = 0
+    for t in base:
+        docs.append({"doc_id": did, "text": t}); did += 1
+        # exact duplicate
+        docs.append({"doc_id": did, "text": t}); did += 1
+        # near duplicate: one word changed
+        docs.append({"doc_id": did, "text": t.replace("the", "a", 1) + " extra"}); did += 1
+    # fillers with genuinely disjoint vocabulary (high mutual jaccard would
+    # make LSH legitimately cluster them)
+    fillers = [
+        "astronomy telescopes reveal distant galaxies spinning through darkness",
+        "baking sourdough requires patient fermentation and steady oven heat",
+        "glaciers carve valleys slowly grinding bedrock into fine silt",
+        "jazz trumpeters improvise over shifting chord progressions nightly",
+        "volcanic islands emerge where tectonic plates pull steadily apart",
+        "marathon runners pace themselves across twenty six grueling miles",
+        "honeybees communicate flower locations through waggle dances",
+        "submarines navigate ocean trenches using sonar echoes alone",
+    ]
+    for t in fillers:
+        docs.append({"doc_id": did, "text": t})
+        did += 1
+    return docs
+
+
+def test_exact_dedup():
+    docs = _corpus()
+    ds = ray.data.from_items(docs).repartition(4)
+    out = exact_dedup(ds, "text", "doc_id").take_all()
+    texts = [r["text"] for r in out]
+    assert len(texts) == len(set(texts))
+    # survivor is the min doc_id of each identical-text group
+    kept = {r["text"]: r["doc_id"] for r in out}
+    for t, i in kept.items():
+        assert i == min(d["doc_id"] for d in docs if d["text"] == t)
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _perm_params(256)
+    s1 = char_shingles("the quick brown fox jumps over the lazy dog", 5)
+    s2 = char_shingles("the quick brown fox jumped over the lazy dog", 5)
+    sig1 = minhash_signature(s1, a, b)
+    sig2 = minhash_signature(s2, a, b)
+    est = (sig1 == sig2).mean()
+    true = len(np.intersect1d(s1, s2)) / len(np.union1d(s1, s2))
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_lsh_dedup_removes_near_dups():
+    docs = _corpus()
+    ds = ray.data.from_items(docs).repartition(4)
+    out = minhash_lsh_dedup(ds, "text", "doc_id", num_perm=64, bands=16).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    # every planted triple (base, exact-dup, near-dup) collapses to its min id
+    for trip in range(4):
+        base_id = trip * 3
+        assert base_id in ids
+        assert base_id + 1 not in ids  # exact dup removed
+    # fillers survive
+    assert all(d["doc_id"] in ids for d in docs[-8:])
+
+
+def test_simhash_dedup():
+    docs = _corpus()
+    ds = ray.data.from_items(docs).repartition(3)
+    out = simhash_dedup(ds, "text", "doc_id", max_hamming=3).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    for trip in range(4):
+        assert trip * 3 in ids
+        assert trip * 3 + 1 not in ids  # exact dup: hamming 0
+    assert all(d["doc_id"] in ids for d in docs[-8:])
+
+
+def test_simhash_near_texts_close():
+    h1 = simhash64("the quick brown fox jumps over the lazy dog many times")
+    h2 = simhash64("the quick brown fox jumps over the lazy dog many time")
+    h3 = simhash64("tomato sauce with basil garlic and olive oil for dinner")
+    assert bin(h1 ^ h2).count("1") < bin(h1 ^ h3).count("1")
+
+
+def test_ngram_jaccard_dedup_verifies():
+    docs = _corpus()
+    ds = ray.data.from_items(docs).repartition(3)
+    out = ngram_jaccard_dedup(ds, "text", "doc_id", n=3, threshold=0.95).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    # only exact dups (jaccard 1.0) exceed 0.95; near-dups (<=0.91) survive
+    for trip in range(4):
+        assert trip * 3 in ids
+        assert trip * 3 + 1 not in ids
+        assert trip * 3 + 2 in ids
+
+
+def test_jaccard_helper():
+    assert jaccard(set("ab"), set("ab")) == 1.0
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+    assert word_ngrams("a b c d", 3) == {"a b c", "b c d"}
+
+
+def test_embedding_dedup():
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    # plant near-dups: 40+i is a tiny perturbation of i for i in 0..4
+    for i in range(5):
+        rows.append({"vec_id": 40 + i, "embedding": (vecs[i] + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist()})
+    ds = ray.data.from_items(rows).repartition(3)
+    out = embedding_dedup(ds, "embedding", "vec_id", threshold=0.98).take_all()
+    ids = sorted(r["vec_id"] for r in out)
+    for i in range(5):
+        assert i in ids
+        assert 40 + i not in ids
+    assert len(ids) >= 35
