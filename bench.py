@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line with total wall time and
+per-query seconds; ``--scaling`` runs the headline CDC replay at two
+num_cpus levels in fresh processes and reports scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+BENCH_CACHE = "/tmp/etl_rs_ray_bench"
+
+# event-log size per sf tier for the headline CDC replay
+SF_EVENTS = {"sf0.001": 4_000, "sf0.01": 40_000, "sf0.1": 400_000}
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf0.1"
+
+
+def ensure_event_log(sf_dir: str, num_partitions: int = 16) -> tuple[str, int]:
+    """Deterministic cached event log for the headline replay (generation
+    excluded from timed sections)."""
+    from etl_rs_ray.datagen import generate_events, generate_repos, write_event_log
+
+    sf = _sf_name(sf_dir)
+    n_files = SF_EVENTS.get(sf, 40_000)
+    log_dir = os.path.join(BENCH_CACHE, sf, "log")
+    marker = os.path.join(BENCH_CACHE, sf, "DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return log_dir, int(f.read())
+    shutil.rmtree(os.path.join(BENCH_CACHE, sf), ignore_errors=True)
+    repos = generate_repos(n_files=n_files, seed=42)
+    events = generate_events(repos, update_frac=0.4, delete_frac=0.1, dup_frac=0.05, seed=42)
+    write_event_log(events, log_dir, num_partitions=num_partitions, events_per_segment=200_000)
+    with open(marker, "w") as f:
+        f.write(str(events.num_rows))
+    return log_dir, events.num_rows
+
+
+def run_cdc_replay(sf_dir: str, num_cpus: int) -> dict:
+    from etl_rs_ray.pipelines.cdc import replay
+
+    log_dir, n_events = ensure_event_log(sf_dir)
+    table_dir = f"/tmp/etl_rs_ray_bench_table_{os.getpid()}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = replay(log_dir, table_dir, num_buckets=max(16, num_cpus * 2))
+    wall = time.perf_counter() - t0
+    shutil.rmtree(table_dir, ignore_errors=True)
+    return {
+        "wall": wall,
+        "events": n_events,
+        "events_per_sec": n_events / wall,
+        "rows_out": res.rows_total,
+    }
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "events_lww_state",
+    "events_exact_dedup",
+    "orders_topk",
+    "customer_order_revenue",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "embeddings_topk",
+    "docs_minhash_dedup",
+]
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import pyarrow as pa
+
+    import ray.data
+    from etl_rs_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            # consume the stream without materializing to the driver
+            for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+                pass
+        elif isinstance(res, pa.Table):
+            pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--only-cdc", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        # fresh process per CPU level (two-cluster-size proxy)
+        low, high = max(2, num_cpus // 4), num_cpus
+        results = {}
+        for cpus in (low, high):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cpus", str(cpus), "--only-cdc"],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        thr_low = results[low]["events_per_sec"]
+        thr_high = results[high]["events_per_sec"]
+        efficiency = thr_high / (thr_low * (high / low))
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay_scaling",
+                    "value": round(efficiency, 3),
+                    "unit": "efficiency",
+                    "sf": _sf_name(sf_dir),
+                    "cpus_low": low,
+                    "cpus_high": high,
+                    "events_per_sec_low": round(thr_low, 1),
+                    "events_per_sec_high": round(thr_high, 1),
+                    "wall_low": round(results[low]["value"], 3),
+                    "wall_high": round(results[high]["value"], 3),
+                }
+            )
+        )
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        cdc = run_cdc_replay(sf_dir, num_cpus)
+        queries = {} if args.only_cdc else run_queries(sf_dir)
+        total = cdc["wall"] + sum(queries.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_wall_seconds",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {"cdc_replay": round(cdc["wall"], 3), **queries},
+                    "sf": _sf_name(sf_dir),
+                    "num_cpus": num_cpus,
+                    "events": cdc["events"],
+                    "events_per_sec": round(cdc["events_per_sec"], 1),
+                    "cdc_rows_out": cdc["rows_out"],
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,437 @@
+"""Named queries over the driver testdata tables, each with a DuckDB
+oracle (see __ray_entry__.py). Every computed column is aliased
+identically in the Ray code and the SQL.
+
+These exercise the operator inventory of SURVEY.md §2 against the
+TPC-H-ish tables: groupby aggregates, LWW upsert (the CDC merge over the
+``events`` stream), exact dedup, window filters, sort+limit listing,
+inner/anti/broadcast joins, transform kernels, token stats, and
+brute-force cosine top-k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions.registry import col_pce
+from ..stages.merge_apply import _first_per_key_mask
+from ..stages.text_stats import token_count
+
+
+def _read(sf_dir: str, table: str, **kwargs) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kwargs)
+
+
+def _hash_shuffle(ds):
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
+def _partitions(cap: int = 32) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cap, cpus * 2))
+
+
+# --- aggregates --------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style groupby aggregate over lineitem (columns pruned at
+    the read; Ray's groupby.aggregate does partial aggregation per block
+    before the shuffle)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def lineitem_revenue_filter(sf_dir: str):
+    """Filter + computed projection with column pruning at the read."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_quantity"), 45.0))
+        revenue = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- CDC-style operators over the events stream ------------------------------
+
+
+def events_lww_state(sf_dir: str):
+    """The flagship merge shape over the provided stream: event_id ≙ LSN,
+    user_id ≙ key, event_type='error' ≙ tombstone. Per-batch LWW combiner
+    then one hash-shuffle groupby — identical to pipelines/cdc.py."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def precompact(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch, sort_keys=[("user_id", "ascending"), ("event_id", "descending")]
+        )
+        t = batch.take(idx)
+        return t.filter(_first_per_key_mask(t, ("user_id",)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"), ("event_id", "descending")]
+        )
+        t = group.take(idx)
+        t = t.filter(_first_per_key_mask(t, ("user_id",)))
+        return t.filter(pc.not_equal(t.column("event_type"), "error"))
+
+    ds = ds.map_batches(precompact, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _hash_shuffle(ds)
+    return ds.groupby("user_id", num_partitions=_partitions()).map_groups(
+        finalize, batch_format="pyarrow"
+    )
+
+
+def events_exact_dedup(sf_dir: str):
+    """First event per (user_id, event_type) by event_id — the per-(key,
+    lsn) exact dedup of the CDC engine."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    key = ("user_id", "event_type")
+
+    def first_per_key(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("event_type", "ascending"), ("event_id", "ascending")],
+        )
+        t = t.take(idx)
+        return t.filter(_first_per_key_mask(t, key))
+
+    ds = ds.map_batches(first_per_key, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _hash_shuffle(ds)
+    return ds.groupby(list(key), num_partitions=_partitions()).map_groups(
+        first_per_key, batch_format="pyarrow"
+    )
+
+
+def events_window_filter(sf_dir: str):
+    """filter_duplicates analogue (D1, transform_hdd_deduplication.rs:265-280):
+    partition count as a window column, keep partitions with > 60 rows."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def add_count(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n <= 60:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "partition_size": pa.array([], pa.int64()),
+                }
+            )
+        return group.append_column("partition_size", pa.array([n] * n, pa.int64()))
+
+    ds = _hash_shuffle(ds)
+    return ds.groupby("user_id", num_partitions=_partitions()).map_groups(
+        add_count, batch_format="pyarrow"
+    )
+
+
+# --- listing / sorting (the CRUD list surface, crud_fns.rs:99-189) -----------
+
+
+def orders_topk(sf_dir: str):
+    """ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 — the ListOptions
+    order_by + limit surface; Ray's sort is a range-partitioned shuffle,
+    limit streams."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+# --- joins -------------------------------------------------------------------
+
+
+def customer_order_revenue(sf_dir: str):
+    """Inner hash join + aggregate: revenue per customer."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = cust.join(
+        orders,
+        join_type="inner",
+        num_partitions=_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return joined.groupby(["c_custkey", "c_name"]).aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="order_count"),
+    )
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join via broadcast membership — the reference's is_in +
+    JoinType::Anti reconciliation (transform_hdd_deduplication.rs:241-252):
+    the small side (distinct buyer keys) is collected once and shipped to
+    every filter task instead of shuffling the big side."""
+    import ray
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000"
+    )
+    buyer_keys = pa.array(sorted({r["o_custkey"] for r in orders.take_all()}))
+    ref = ray.put(buyer_keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return batch.filter(pc.invert(pc.is_in(batch.column("c_custkey"), value_set=keys)))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nation_region_join(sf_dir: str):
+    """Broadcast map-side join: the tiny region table rides into every
+    task as a lookup dict — no shuffle at all."""
+    import ray
+
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in _read(sf_dir, "region").take_all()
+    }
+    ref = ray.put(region)
+
+    def join_fn(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        r_names = [lookup.get(k) for k in batch.column("n_regionkey").to_pylist()]
+        return pa.table(
+            {
+                "n_nationkey": batch.column("n_nationkey"),
+                "n_name": batch.column("n_name"),
+                "r_name": pa.array(r_names, pa.string()),
+            }
+        )
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    return nation.map_batches(join_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- documents: dedup / transforms / stats -----------------------------------
+
+
+def docs_exact_dedup(sf_dir: str):
+    """Exact content dedup on documents: min doc_id per md5(text)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "text_md5": pa.array(h, pa.string())})
+
+    ds = ds.map_batches(add_md5, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _hash_shuffle(ds)
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("text_md5", "ascending"), ("doc_id", "ascending")])
+        g = group.take(idx)
+        return g.filter(_first_per_key_mask(g, ("text_md5",)))
+
+    return ds.groupby("text_md5", num_partitions=_partitions()).map_groups(
+        keep_min, batch_format="pyarrow"
+    )
+
+
+def docs_digits(sf_dir: str):
+    """Transform kernel parity check: T13/pce (strip non-digits,
+    pce.rs:4-17) applied to documents.source, verified against SQL
+    regexp_replace."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "digits": col_pce(batch.column("source").combine_chunks())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.cast(token_count(txt), pa.int64()),
+                "n_chars2": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- embeddings: similarity search -------------------------------------------
+
+
+def embeddings_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 embedding (rounded to 4
+    decimals so the float64 reduction order can't flip the value hash)."""
+    from ..stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_rows = [r for r in ds.take(50) if r["vec_id"] == 0]
+    if not q_rows:
+        q_rows = [ds.take(1)[0]]
+    q = np.array([q_rows[0]["embedding"]], dtype=np.float64)
+    out = brute_force_topk(ds, q, k=10)
+    cos = pc.round(out.column("cos_sim"), ndigits=4)
+    return pa.table({"vec_id": out.column("vec_id"), "cos_sim": cos})
+
+
+# --- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def docs_minhash_dedup(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, "text", "doc_id", num_perm=64, bands=8)
+
+
+def docs_lang_quality(sf_dir: str):
+    from ..stages.text_stats import lang_id, quality_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: lang_id(quality_score(b)).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return out
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "lineitem_revenue_filter": lineitem_revenue_filter,
+    "events_lww_state": events_lww_state,
+    "events_exact_dedup": events_exact_dedup,
+    "events_window_filter": events_window_filter,
+    "orders_topk": orders_topk,
+    "customer_order_revenue": customer_order_revenue,
+    "customers_without_orders": customers_without_orders,
+    "nation_region_join": nation_region_join,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_digits": docs_digits,
+    "docs_token_stats": docs_token_stats,
+    "embeddings_topk": embeddings_topk,
+    "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_lang_quality": docs_lang_quality,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "lineitem_revenue_filter": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem WHERE l_quantity > 45
+    """,
+    "events_lww_state": """
+        SELECT user_id, event_id, event_type, value FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events
+        ) t WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "events_exact_dedup": """
+        SELECT user_id, event_type, event_id, value FROM (
+            SELECT user_id, event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+            FROM events
+        ) t WHERE rn = 1
+    """,
+    "events_window_filter": """
+        SELECT event_id, user_id, partition_size FROM (
+            SELECT event_id, user_id,
+                   count(*) OVER (PARTITION BY user_id) AS partition_size
+            FROM events
+        ) t WHERE partition_size > 60
+    """,
+    "orders_topk": """
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "customer_order_revenue": """
+        SELECT c.c_custkey, c.c_name,
+               sum(o.o_totalprice) AS revenue,
+               count(*) AS order_count
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    "nation_region_join": """
+        SELECT n.n_nationkey, n.n_name, r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "docs_exact_dedup": """
+        SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+        FROM documents GROUP BY md5(text)
+    """,
+    "docs_digits": """
+        SELECT doc_id, regexp_replace(source, '[^0-9]', '', 'g') AS digits
+        FROM documents
+    """,
+    "docs_token_stats": """
+        SELECT doc_id,
+               length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars2
+        FROM documents
+    """,
+    "embeddings_topk": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT 10
+    """,
+    # docs_minhash_dedup, docs_lang_quality: heuristic operators — no SQL
+    # oracle; the driver records the weaker rows-only check.
+}
