@@ -110,6 +110,86 @@ def make_bucket_merger(
     return merge_group
 
 
+def make_spiller(shuffle_dir: str, key_cols=DEFAULT_KEY, lsn_col="lsn", op_col="op"):
+    """Map stage of the disk exchange: per input block, LWW-precompact,
+    then write one file per touched bucket under
+    ``shuffle_dir/bucket=K/<content-hash>.parquet``.
+
+    File names derive from the partition's content (lsn range, row count,
+    crc of lsns) so a retried task overwrites identical bytes —
+    idempotent under Ray task retry. Emits (bucket, rows) accounting rows.
+    """
+
+    def spill(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()), "spilled": pa.array([], pa.int64())})
+        buckets = batch.column("bucket")
+        out_b, out_n = [], []
+        import zlib
+
+        for b in pc.unique(buckets).to_pylist():
+            part = batch.filter(pc.equal(buckets, b)).drop_columns(["bucket"])
+            lsns = part.column("lsn")
+            tag = (
+                f"{pc.min(lsns).as_py()}-{pc.max(lsns).as_py()}-{part.num_rows}-"
+                f"{zlib.crc32(lsns.combine_chunks().to_numpy(zero_copy_only=False).tobytes()):08x}"
+            )
+            bdir = os.path.join(shuffle_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            fpath = os.path.join(bdir, f"part-{tag}.parquet")
+            tmp = fpath + f".tmp-{os.getpid()}"
+            pq.write_table(part, tmp, row_group_size=256 * 1024, compression="zstd")
+            os.replace(tmp, fpath)
+            out_b.append(b)
+            out_n.append(part.num_rows)
+        return pa.table({"bucket": pa.array(out_b, pa.int32()), "spilled": pa.array(out_n, pa.int64())})
+
+    return spill
+
+
+def _merge_bucket_task(
+    bucket: int,
+    spill_dir: str,
+    existing_file: str | None,
+    staging_dir: str,
+    key_cols=DEFAULT_KEY,
+    lsn_col="lsn",
+    op_col="op",
+) -> dict:
+    """Reduce side of the disk exchange (plain Ray task body): fold one
+    bucket's spilled partials + stored state, write the new bucket file."""
+    files = sorted(
+        os.path.join(spill_dir, f)
+        for f in os.listdir(spill_dir)
+        if f.endswith(".parquet")
+    )
+    from ..state.schema_evolution import unify_tables
+
+    incoming = unify_tables([pq.read_table(f) for f in files])
+    stats = LwwStats()
+    incoming = lww_reduce(incoming, key_cols, lsn_col, op_col, stats=stats)
+    existing = pq.read_table(existing_file) if existing_file else None
+    merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
+    merged = merged.sort_by([(k, "ascending") for k in key_cols])
+    filename = f"bucket-{bucket}.parquet"
+    out = os.path.join(staging_dir, filename)
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(merged, tmp, row_group_size=128 * 1024)
+    os.replace(tmp, out)
+    hwm = pc.max(incoming.column(lsn_col)).as_py() if incoming.num_rows else -1
+    return {
+        "bucket": bucket,
+        "filename": filename,
+        "rows": merged.num_rows,
+        "hwm_lsn": hwm,
+        "events_in": stats.events_in,
+        "superseded_dropped": stats.superseded_dropped,
+        "applied_i": stats.ops.get("I", 0),
+        "applied_u": stats.ops.get("U", 0),
+        "applied_d": stats.ops.get("D", 0),
+    }
+
+
 @dataclass
 class ReplayResult:
     committed: bool
@@ -131,6 +211,8 @@ def replay(
     normalize: TransformChain | dict | None = None,
     override_num_blocks: int | None = None,
     batch_size: int | None = None,
+    shuffle_partitions: int | None = None,
+    shuffle: str = "disk",
 ) -> ReplayResult:
     """Replay all events with ``lsn > table.hwm`` (bounded by ``target_lsn``)
     into the lake upsert table. Resumable + idempotent: re-running after a
@@ -154,25 +236,63 @@ def replay(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    merger = make_bucket_merger(lake.staging_dir(epoch), lake.bucket_files())
-    # Hash-shuffle co-locates every row of a bucket in ONE partition. The
-    # default range-sort shuffle can split a group across blocks when key
-    # cardinality is low (Ray map_groups applies the UDF per block), which
-    # would silently drop events — pin the strategy on this dataset's context.
-    from ray.data.context import ShuffleStrategy
+    import ray
 
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    entries_ds = ds.groupby("bucket", num_partitions=lake.num_buckets).map_groups(
-        merger, batch_format="pyarrow"
-    )
-    entries = entries_ds.take_all()  # tiny: one row per touched bucket
+    staging = lake.staging_dir(epoch)
+    if shuffle == "disk":
+        # Explicit disk-partitioned exchange: map tasks spill per-bucket
+        # partials, then one independent Ray task folds each bucket. No
+        # aggregator actor pool (Ray's hash shuffle routes all data through
+        # num_partitions actors, which measurably bottlenecks the pipeline)
+        # and both sides scale linearly with CPUs. The shuffle dir lives
+        # under the epoch's staging dir; a crashed attempt is wiped on the
+        # next replay of the same epoch, keeping retries exactly-once.
+        import shutil as _shutil
+
+        shuffle_dir = os.path.join(staging, "_shuffle")
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)
+        os.makedirs(shuffle_dir, exist_ok=True)
+        spilled = ds.map_batches(
+            make_spiller(shuffle_dir),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        ).take_all()
+        touched = sorted({int(r["bucket"]) for r in spilled})
+        if not touched:
+            return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
+        bucket_files = lake.bucket_files()
+        merge_task = ray.remote(num_cpus=1)(_merge_bucket_task)
+        futs = [
+            merge_task.remote(
+                b, os.path.join(shuffle_dir, f"bucket={b}"), bucket_files.get(b), staging
+            )
+            for b in touched
+        ]
+        entries = ray.get(futs)
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)
+    else:
+        # Ray-native hash-shuffle groupby (kept for comparison / small jobs).
+        # Hash (not range-sort) shuffle: the sort strategy can split a
+        # low-cardinality group across blocks and map_groups applies the
+        # UDF per block — silent data loss.
+        from ray.data.context import ShuffleStrategy
+
+        merger = make_bucket_merger(staging, lake.bucket_files())
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        if shuffle_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            shuffle_partitions = max(2, min(lake.num_buckets, cpus))
+        entries_ds = ds.groupby("bucket", num_partitions=shuffle_partitions).map_groups(
+            merger, batch_format="pyarrow"
+        )
+        entries = entries_ds.take_all()  # tiny: one row per touched bucket
+        seen = [int(e["bucket"]) for e in entries]
+        if len(seen) != len(set(seen)):
+            raise RuntimeError(f"bucket group split across reducers: {sorted(seen)}")
 
     if not entries:
         return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
-
-    seen = [int(e["bucket"]) for e in entries]
-    if len(seen) != len(set(seen)):
-        raise RuntimeError(f"bucket group split across reducers: {sorted(seen)}")
 
     written = {
         int(e["bucket"]): {

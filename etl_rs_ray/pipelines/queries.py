@@ -36,10 +36,12 @@ def _hash_shuffle(ds):
 
 
 def _partitions(cap: int = 32) -> int:
+    # one hash-shuffle aggregator actor per partition — oversubscribing
+    # CPUs with aggregators measurably halves throughput, so cap at cpus
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(cap, cpus * 2))
+    return max(2, min(cap, cpus))
 
 
 # --- aggregates --------------------------------------------------------------

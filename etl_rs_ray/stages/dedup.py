@@ -35,10 +35,11 @@ def _hash_shuffle(ds):
 
 
 def _group_partitions(default: int = 32) -> int:
+    # one aggregator actor per partition: stay at or below the CPU budget
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(default, cpus * 2))
+    return max(2, min(default, cpus))
 
 
 # --- exact dedup -------------------------------------------------------------

@@ -186,9 +186,9 @@ def hdd_dedup_dataset(ds, num_partitions: int | None = None):
 
     if num_partitions is None:
         # the default (200) spawns one aggregator actor per partition and
-        # stalls small clusters; size to the actual CPU budget
+        # stalls small clusters; stay at or below the CPU budget
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(64, cpus * 2))
+        num_partitions = max(2, min(64, cpus))
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return ds.groupby(NOM, num_partitions=num_partitions).map_groups(
         dedup_group, batch_format="pyarrow"
