@@ -28,13 +28,17 @@ def _sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)) or "sf0.1"
 
 
-def ensure_event_log(sf_dir: str, num_partitions: int = 16) -> tuple[str, int]:
+def ensure_event_log(sf_dir: str, num_partitions: int = 16, scale_mult: int = 1) -> tuple[str, int]:
     """Deterministic cached event log for the headline replay (generation
-    excluded from timed sections)."""
+    excluded from timed sections). ``scale_mult`` inflates the tier for
+    the scaling run, where the job must be large enough to exercise the
+    full CPU budget."""
     from etl_rs_ray.datagen import generate_events, generate_repos, write_event_log
 
     sf = _sf_name(sf_dir)
-    n_files = SF_EVENTS.get(sf, 40_000)
+    if scale_mult > 1:
+        sf = f"{sf}x{scale_mult}"
+    n_files = SF_EVENTS.get(_sf_name(sf_dir), 40_000) * scale_mult
     log_dir = os.path.join(BENCH_CACHE, sf, "log")
     marker = os.path.join(BENCH_CACHE, sf, "DONE")
     if os.path.exists(marker):
@@ -49,10 +53,10 @@ def ensure_event_log(sf_dir: str, num_partitions: int = 16) -> tuple[str, int]:
     return log_dir, events.num_rows
 
 
-def run_cdc_replay(sf_dir: str, num_cpus: int) -> dict:
+def run_cdc_replay(sf_dir: str, num_cpus: int, scale_mult: int = 1) -> dict:
     from etl_rs_ray.pipelines.cdc import replay
 
-    log_dir, n_events = ensure_event_log(sf_dir)
+    log_dir, n_events = ensure_event_log(sf_dir, scale_mult=scale_mult)
     table_dir = f"/tmp/etl_rs_ray_bench_table_{os.getpid()}"
     shutil.rmtree(table_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -105,18 +109,23 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--only-cdc", action="store_true")
+    ap.add_argument("--scale-mult", type=int, default=8)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        # fresh process per CPU level (two-cluster-size proxy)
+        # fresh process per CPU level (two-cluster-size proxy); the scaling
+        # tier is 8x the bench tier so the job is large enough to use the
+        # full CPU budget (pre-generate the shared log once, outside timing)
+        ensure_event_log(sf_dir, scale_mult=args.scale_mult)
         low, high = max(2, num_cpus // 4), num_cpus
         results = {}
         for cpus in (low, high):
             proc = subprocess.run(
-                [sys.executable, __file__, "--cpus", str(cpus), "--only-cdc"],
+                [sys.executable, __file__, "--cpus", str(cpus), "--only-cdc",
+                 "--scale-mult", str(args.scale_mult)],
                 capture_output=True,
                 text=True,
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir},
@@ -148,7 +157,7 @@ def main():
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
-        cdc = run_cdc_replay(sf_dir, num_cpus)
+        cdc = run_cdc_replay(sf_dir, num_cpus, scale_mult=args.scale_mult if args.only_cdc else 1)
         queries = {} if args.only_cdc else run_queries(sf_dir)
         total = cdc["wall"] + sum(queries.values())
         print(

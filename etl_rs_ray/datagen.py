@@ -8,15 +8,15 @@ plus re-delivered duplicate events (same LSN, identical payload) to
 exercise exact dedup — the at-least-once Kafka behavior of the reference
 (auto-commit consumer, src/kafka.rs:127-140).
 
-Everything is seeded — no wall clock, no external data.
+Everything is seeded and vectorized (numpy index math + Arrow take /
+binary_join kernels) — generating millions of events takes seconds.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .sources.event_log import EVENT_SCHEMA, EventLogWriter
 
@@ -28,39 +28,40 @@ _VOCAB = np.array(
         "column key value lsn commit merge apply shuffle partition stream"
     ).split()
 )
+_GOLD = 0x9E3779B97F4A7C15
 
 
-def _commit_hex(repo: str, path: str, version: int) -> str:
-    return hashlib.sha1(f"{repo}:{path}:{version}".encode()).hexdigest()
-
-
-def _content(rng: np.random.Generator, repo: str, path: str, commit: str, n_tokens: int = 40) -> str:
-    toks = _VOCAB[rng.integers(0, len(_VOCAB), n_tokens)]
-    return f"// {repo}/{path}@{commit[:8]}\n" + " ".join(toks.tolist())
+def _commit_hex_vec(n: int, salt: int) -> list[str]:
+    """Deterministic unique 40-hex 'commit' ids without per-row hashing."""
+    idx = np.arange(n, dtype=np.uint64)
+    a = (idx * np.uint64(_GOLD) + np.uint64(salt)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    b = ((idx + np.uint64(salt)) * np.uint64(0xC2B2AE3D27D4EB4F)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    c = (a ^ (b >> np.uint64(29))) * np.uint64(0xFF51AFD7ED558CCD) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return [f"{int(x):016x}{int(y):016x}{int(z) & 0xFFFFFFFF:08x}" for x, y, z in zip(a, b, c)]
 
 
 def generate_repos(n_files: int = 2000, n_orgs: int = 10, versions_per_file: int = 1, seed: int = 42) -> pa.Table:
-    """One row per (repo, path, commit) file version."""
+    """One row per (repo, path, commit) file version. Vectorized."""
     rng = np.random.default_rng(seed)
-    repos, paths, commits, langs, contents = [], [], [], [], []
-    for i in range(n_files):
-        repo = f"org{i % n_orgs}/project{i % (n_orgs * 7)}"
-        ext_i = int(rng.integers(0, len(LANGS)))
-        path = f"src/module_{i}.{LANGS[ext_i]}"
-        for v in range(versions_per_file):
-            commit = _commit_hex(repo, path, v)
-            repos.append(repo)
-            paths.append(path)
-            commits.append(commit)
-            langs.append(str(LANGS[ext_i]))
-            contents.append(_content(rng, repo, path, commit))
+    n = n_files * versions_per_file
+    file_idx = np.repeat(np.arange(n_files), versions_per_file)
+    lang_idx = rng.integers(0, len(LANGS), n_files)[file_idx]
+    langs = LANGS[lang_idx]
+    repos = [f"org{i % n_orgs}/project{i % (n_orgs * 7)}" for i in file_idx]
+    paths = [f"src/module_{i}.{lang}" for i, lang in zip(file_idx, langs)]
+    commits = _commit_hex_vec(n, seed * 7919 + 13)
+    # content: header + token soup, built via one Arrow join kernel
+    tok_mat = _VOCAB[rng.integers(0, len(_VOCAB), (n, 12))]
+    soup = [" ".join(row) for row in tok_mat.tolist()]
+    headers = [f"// {r}/{p}@{c[:8]}\n" for r, p, c in zip(repos, paths, commits)]
+    content = pc.binary_join_element_wise(pa.array(headers), pa.array(soup), "")
     return pa.table(
         {
             "repo": pa.array(repos, pa.string()),
             "path": pa.array(paths, pa.string()),
             "commit": pa.array(commits, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-            "content": pa.array(contents, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "content": content.cast(pa.string()),
         }
     )
 
@@ -77,73 +78,65 @@ def generate_events(
     duplicate re-deliveries of random events (identical rows, same LSN)."""
     rng = np.random.default_rng(seed + 1)
     n = repos.num_rows
-    d = repos.to_pydict()
 
     # inserts in shuffled order, lsn 0..n-1
     order = rng.permutation(n)
-    lsns = np.empty(n, dtype=np.int64)
-    lsns[order] = np.arange(n, dtype=np.int64)
-
-    ev_lsn = list(lsns)
-    ev_op = ["I"] * n
-    ev_repo = list(d["repo"])
-    ev_path = list(d["path"])
-    ev_commit = list(d["commit"])
-    ev_lang = list(d["lang"])
-    ev_content = list(d["content"])
+    ins_lsn = np.empty(n, dtype=np.int64)
+    ins_lsn[order] = np.arange(n, dtype=np.int64)
+    inserts = repos.add_column(0, "lsn", pa.array(ins_lsn)).add_column(
+        1, "op", pa.array(np.full(n, "I")).cast(pa.string())
+    )
 
     next_lsn = n
     n_updates = int(n * update_frac)
-    upd_rows = rng.integers(0, n, n_updates)  # with replacement: multiple U per key
-    for r in upd_rows:
-        r = int(r)
-        ev_lsn.append(next_lsn)
-        ev_op.append("U")
-        ev_repo.append(d["repo"][r])
-        ev_path.append(d["path"][r])
-        ev_commit.append(d["commit"][r])
-        ev_lang.append(d["lang"][r])
-        ev_content.append(d["content"][r] + f"\n// updated lsn={next_lsn}")
-        next_lsn += 1
-
-    n_deletes = int(n * delete_frac)
-    del_rows = rng.choice(n, size=n_deletes, replace=False)
-    for r in del_rows:
-        r = int(r)
-        ev_lsn.append(next_lsn)
-        ev_op.append("D")
-        ev_repo.append(d["repo"][r])
-        ev_path.append(d["path"][r])
-        ev_commit.append(d["commit"][r])
-        ev_lang.append(None)
-        ev_content.append(None)
-        next_lsn += 1
-
-    # duplicate re-deliveries: identical (lsn, payload) rows appended
-    n_dups = int(len(ev_lsn) * dup_frac)
-    dup_idx = rng.integers(0, len(ev_lsn), n_dups)
-    for i in dup_idx:
-        i = int(i)
-        ev_lsn.append(ev_lsn[i])
-        ev_op.append(ev_op[i])
-        ev_repo.append(ev_repo[i])
-        ev_path.append(ev_path[i])
-        ev_commit.append(ev_commit[i])
-        ev_lang.append(ev_lang[i])
-        ev_content.append(ev_content[i])
-
-    return pa.table(
+    upd_rows = rng.integers(0, n, n_updates)  # with replacement: several U per key
+    upd = repos.take(pa.array(upd_rows))
+    upd_lsns = np.arange(next_lsn, next_lsn + n_updates, dtype=np.int64)
+    upd_content = pc.binary_join_element_wise(
+        upd.column("content").cast(pa.string()),
+        pa.array([f"\n// updated lsn={lsn}" for lsn in upd_lsns], pa.string()),
+        "",
+    ).cast(pa.string())
+    updates = pa.table(
         {
-            "lsn": pa.array(ev_lsn, pa.int64()),
-            "op": pa.array(ev_op, pa.string()),
-            "repo": pa.array(ev_repo, pa.string()),
-            "path": pa.array(ev_path, pa.string()),
-            "commit": pa.array(ev_commit, pa.string()),
-            "lang": pa.array(ev_lang, pa.string()),
-            "content": pa.array(ev_content, pa.string()),
+            "lsn": pa.array(upd_lsns),
+            "op": pa.array(np.full(n_updates, "U")).cast(pa.string()),
+            "repo": upd.column("repo"),
+            "path": upd.column("path"),
+            "commit": upd.column("commit"),
+            "lang": upd.column("lang"),
+            "content": upd_content,
         },
         schema=EVENT_SCHEMA,
     )
+    next_lsn += n_updates
+
+    n_deletes = int(n * delete_frac)
+    del_rows = rng.choice(n, size=n_deletes, replace=False)
+    dl = repos.take(pa.array(del_rows))
+    deletes = pa.table(
+        {
+            "lsn": pa.array(np.arange(next_lsn, next_lsn + n_deletes, dtype=np.int64)),
+            "op": pa.array(np.full(n_deletes, "D")).cast(pa.string()),
+            "repo": dl.column("repo"),
+            "path": dl.column("path"),
+            "commit": dl.column("commit"),
+            "lang": pa.nulls(n_deletes, pa.string()),
+            "content": pa.nulls(n_deletes, pa.string()),
+        },
+        schema=EVENT_SCHEMA,
+    )
+
+    inserts = pa.table(
+        {name: inserts.column(name) for name in EVENT_SCHEMA.names}, schema=EVENT_SCHEMA
+    )
+    events = pa.concat_tables([inserts, updates, deletes])
+
+    # duplicate re-deliveries: identical rows (same LSN) appended
+    n_dups = int(events.num_rows * dup_frac)
+    dup_idx = rng.integers(0, events.num_rows, n_dups)
+    dups = events.take(pa.array(dup_idx))
+    return pa.concat_tables([events, dups])
 
 
 def write_event_log(

@@ -110,84 +110,98 @@ def make_bucket_merger(
     return merge_group
 
 
-def make_spiller(shuffle_dir: str, key_cols=DEFAULT_KEY, lsn_col="lsn", op_col="op"):
+def make_spiller(shuffle_dir: str, num_xparts: int, key_cols=DEFAULT_KEY, lsn_col="lsn", op_col="op"):
     """Map stage of the disk exchange: per input block, LWW-precompact,
-    then write one file per touched bucket under
-    ``shuffle_dir/bucket=K/<content-hash>.parquet``.
+    then write one file per touched EXCHANGE PARTITION (xpart = bucket %
+    num_xparts) under ``shuffle_dir/xpart=X/<content-hash>.parquet``.
+
+    Exchange partitions are the classic M x R shuffle-file bound: R tracks
+    the reducer/CPU budget, independent of the (possibly much larger) lake
+    bucket count, so the file count stays O(blocks x reducers) rather than
+    O(blocks x buckets). Spilled rows keep their ``bucket`` column; the
+    reducer splits them per bucket in memory.
 
     File names derive from the partition's content (lsn range, row count,
     crc of lsns) so a retried task overwrites identical bytes —
-    idempotent under Ray task retry. Emits (bucket, rows) accounting rows.
+    idempotent under Ray task retry. Emits (xpart, rows) accounting rows.
     """
 
     def spill(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"bucket": pa.array([], pa.int32()), "spilled": pa.array([], pa.int64())})
-        buckets = batch.column("bucket")
-        out_b, out_n = [], []
+            return pa.table({"xpart": pa.array([], pa.int32()), "spilled": pa.array([], pa.int64())})
         import zlib
 
-        for b in pc.unique(buckets).to_pylist():
-            part = batch.filter(pc.equal(buckets, b)).drop_columns(["bucket"])
+        import numpy as np
+
+        bnp = batch.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        batch = batch.append_column("_x", pa.array((bnp % num_xparts).astype(np.int32)))
+        out_x, out_n = [], []
+        for x in pc.unique(batch.column("_x")).to_pylist():
+            part = batch.filter(pc.equal(batch.column("_x"), x)).drop_columns(["_x"])
             lsns = part.column("lsn")
             tag = (
                 f"{pc.min(lsns).as_py()}-{pc.max(lsns).as_py()}-{part.num_rows}-"
                 f"{zlib.crc32(lsns.combine_chunks().to_numpy(zero_copy_only=False).tobytes()):08x}"
             )
-            bdir = os.path.join(shuffle_dir, f"bucket={b}")
-            os.makedirs(bdir, exist_ok=True)
-            fpath = os.path.join(bdir, f"part-{tag}.parquet")
+            xdir = os.path.join(shuffle_dir, f"xpart={x}")
+            os.makedirs(xdir, exist_ok=True)
+            fpath = os.path.join(xdir, f"part-{tag}.parquet")
             tmp = fpath + f".tmp-{os.getpid()}"
             pq.write_table(part, tmp, row_group_size=256 * 1024, compression="zstd")
             os.replace(tmp, fpath)
-            out_b.append(b)
+            out_x.append(x)
             out_n.append(part.num_rows)
-        return pa.table({"bucket": pa.array(out_b, pa.int32()), "spilled": pa.array(out_n, pa.int64())})
+        return pa.table({"xpart": pa.array(out_x, pa.int32()), "spilled": pa.array(out_n, pa.int64())})
 
     return spill
 
 
-def _merge_bucket_task(
-    bucket: int,
-    spill_dir: str,
-    existing_file: str | None,
+def _merge_xpart_task(
+    xpart_dir: str,
+    bucket_files: dict,
     staging_dir: str,
     key_cols=DEFAULT_KEY,
     lsn_col="lsn",
     op_col="op",
-) -> dict:
-    """Reduce side of the disk exchange (plain Ray task body): fold one
-    bucket's spilled partials + stored state, write the new bucket file."""
+) -> list[dict]:
+    """Reduce side of the disk exchange (plain Ray task body): read one
+    exchange partition's spilled files, then fold EACH contained lake
+    bucket with its stored state and write that bucket's new file."""
     files = sorted(
-        os.path.join(spill_dir, f)
-        for f in os.listdir(spill_dir)
-        if f.endswith(".parquet")
+        os.path.join(xpart_dir, f) for f in os.listdir(xpart_dir) if f.endswith(".parquet")
     )
     from ..state.schema_evolution import unify_tables
 
-    incoming = unify_tables([pq.read_table(f) for f in files])
-    stats = LwwStats()
-    incoming = lww_reduce(incoming, key_cols, lsn_col, op_col, stats=stats)
-    existing = pq.read_table(existing_file) if existing_file else None
-    merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
-    merged = merged.sort_by([(k, "ascending") for k in key_cols])
-    filename = f"bucket-{bucket}.parquet"
-    out = os.path.join(staging_dir, filename)
-    tmp = out + f".tmp-{os.getpid()}"
-    pq.write_table(merged, tmp, row_group_size=128 * 1024)
-    os.replace(tmp, out)
-    hwm = pc.max(incoming.column(lsn_col)).as_py() if incoming.num_rows else -1
-    return {
-        "bucket": bucket,
-        "filename": filename,
-        "rows": merged.num_rows,
-        "hwm_lsn": hwm,
-        "events_in": stats.events_in,
-        "superseded_dropped": stats.superseded_dropped,
-        "applied_i": stats.ops.get("I", 0),
-        "applied_u": stats.ops.get("U", 0),
-        "applied_d": stats.ops.get("D", 0),
-    }
+    data = unify_tables([pq.read_table(f) for f in files])
+    entries = []
+    for b in pc.unique(data.column("bucket")).to_pylist():
+        incoming = data.filter(pc.equal(data.column("bucket"), b)).drop_columns(["bucket"])
+        stats = LwwStats()
+        incoming = lww_reduce(incoming, key_cols, lsn_col, op_col, stats=stats)
+        existing_file = bucket_files.get(b)
+        existing = pq.read_table(existing_file) if existing_file else None
+        merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
+        merged = merged.sort_by([(k, "ascending") for k in key_cols])
+        filename = f"bucket-{b}.parquet"
+        out = os.path.join(staging_dir, filename)
+        tmp = out + f".tmp-{os.getpid()}"
+        pq.write_table(merged, tmp, row_group_size=128 * 1024)
+        os.replace(tmp, out)
+        hwm = pc.max(incoming.column(lsn_col)).as_py() if incoming.num_rows else -1
+        entries.append(
+            {
+                "bucket": b,
+                "filename": filename,
+                "rows": merged.num_rows,
+                "hwm_lsn": hwm,
+                "events_in": stats.events_in,
+                "superseded_dropped": stats.superseded_dropped,
+                "applied_i": stats.ops.get("I", 0),
+                "applied_u": stats.ops.get("U", 0),
+                "applied_d": stats.ops.get("D", 0),
+            }
+        )
+    return entries
 
 
 @dataclass
@@ -226,6 +240,16 @@ def replay(
     if not segs:
         return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
 
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if override_num_blocks is None:
+        # LSN ranges bound the row count (each event is in exactly one
+        # segment): size blocks to ~150k rows, at least one per CPU —
+        # hundreds of tiny segment files would otherwise explode the
+        # exchange into blocks x partitions micro-files
+        est_rows = sum(s.lsn_max - s.lsn_min + 1 for s in segs)
+        override_num_blocks = max(cpus, min(len(segs), est_rows // 150_000 + 1))
     ds = read_event_log(log_dir, lsn_from=hwm, lsn_to=target_lsn, override_num_blocks=override_num_blocks)
     if normalize is not None:
         chain = normalize if isinstance(normalize, TransformChain) else TransformChain(normalize)
@@ -236,40 +260,39 @@ def replay(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    import ray
-
     staging = lake.staging_dir(epoch)
     if shuffle == "disk":
-        # Explicit disk-partitioned exchange: map tasks spill per-bucket
-        # partials, then one independent Ray task folds each bucket. No
-        # aggregator actor pool (Ray's hash shuffle routes all data through
-        # num_partitions actors, which measurably bottlenecks the pipeline)
-        # and both sides scale linearly with CPUs. The shuffle dir lives
-        # under the epoch's staging dir; a crashed attempt is wiped on the
-        # next replay of the same epoch, keeping retries exactly-once.
+        # Explicit disk-partitioned exchange: map tasks spill per-exchange-
+        # partition partials, then one independent Ray task per partition
+        # folds its lake buckets. No aggregator actor pool (Ray's hash
+        # shuffle routes all data through num_partitions actors, which
+        # measurably bottlenecks the pipeline) and both sides scale
+        # linearly with CPUs. The shuffle dir lives under the epoch's
+        # staging dir; a crashed attempt is wiped on the next replay of the
+        # same epoch, keeping retries exactly-once.
         import shutil as _shutil
 
+        if shuffle_partitions is None:
+            shuffle_partitions = max(2, min(lake.num_buckets, cpus))
         shuffle_dir = os.path.join(staging, "_shuffle")
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         os.makedirs(shuffle_dir, exist_ok=True)
         spilled = ds.map_batches(
-            make_spiller(shuffle_dir),
+            make_spiller(shuffle_dir, shuffle_partitions),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
         ).take_all()
-        touched = sorted({int(r["bucket"]) for r in spilled})
-        if not touched:
+        touched_x = sorted({int(r["xpart"]) for r in spilled})
+        if not touched_x:
             return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
         bucket_files = lake.bucket_files()
-        merge_task = ray.remote(num_cpus=1)(_merge_bucket_task)
+        merge_task = ray.remote(num_cpus=1)(_merge_xpart_task)
         futs = [
-            merge_task.remote(
-                b, os.path.join(shuffle_dir, f"bucket={b}"), bucket_files.get(b), staging
-            )
-            for b in touched
+            merge_task.remote(os.path.join(shuffle_dir, f"xpart={x}"), bucket_files, staging)
+            for x in touched_x
         ]
-        entries = ray.get(futs)
+        entries = [e for sub in ray.get(futs) for e in sub]
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
     else:
         # Ray-native hash-shuffle groupby (kept for comparison / small jobs).
