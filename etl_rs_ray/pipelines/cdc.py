@@ -35,6 +35,30 @@ from ..sources.event_log import fast_hash_bucket, read_event_log, select_segment
 from ..sources.lake import LakeTable
 from ..stages.merge_apply import DEFAULT_KEY, LwwStats, lww_reduce, merge_bucket_tables
 
+def curate_batch(batch: pa.Table) -> pa.Table:
+    """The normalize/curate stage of the full ingest pipeline: language-ID
+    + quality signals (vectorized RE2) and a winnowing content fingerprint
+    per event — the training-data analogue of the reference's per-record
+    Transform chain. Tombstones (null content) pass through untouched."""
+    import pyarrow.compute as _pc
+
+    from ..stages.text_stats import lang_id, quality_stats, winnow_fingerprint
+
+    live_mask = _pc.is_valid(batch.column("content"))
+    live = batch.filter(live_mask)
+    dead = batch.filter(_pc.invert(live_mask))
+    if live.num_rows:
+        live = quality_stats(live, "content")
+        live = lang_id(live, "content", out_col="lang_pred")
+        fps = [winnow_fingerprint(t) for t in live.column("content").to_pylist()]
+        live = live.append_column("fingerprint", pa.array(fps, pa.list_(pa.int64())))
+    if dead.num_rows == 0:
+        return live
+    from ..state.schema_evolution import unify_tables
+
+    return unify_tables([live, dead]) if live.num_rows else dead
+
+
 ENTRY_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
@@ -244,16 +268,24 @@ def replay(
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if override_num_blocks is None:
-        # LSN ranges bound the row count (each event is in exactly one
-        # segment): size blocks to ~150k rows, at least one per CPU —
-        # hundreds of tiny segment files would otherwise explode the
-        # exchange into blocks x partitions micro-files
-        est_rows = sum(s.lsn_max - s.lsn_min + 1 for s in segs)
-        override_num_blocks = max(cpus, min(len(segs), est_rows // 150_000 + 1))
+        # LSNs are globally dense, so the global LSN span bounds the row
+        # count (per-segment ranges overlap across log partitions and
+        # would overcount). Size blocks to ~150k rows, at least one per
+        # CPU — hundreds of tiny segment blocks would otherwise explode
+        # the exchange into blocks x partitions micro-files.
+        est_rows = max(s.lsn_max for s in segs) - min(s.lsn_min for s in segs) + 1
+        # round up to a multiple of the CPU count: 34 blocks on 32 CPUs
+        # means one full wave plus a 2-task straggler wave (~half the
+        # fleet idle); k x cpus blocks keeps waves even
+        waves = max(1, -(-est_rows // (150_000 * cpus)))
+        override_num_blocks = cpus * waves
     ds = read_event_log(log_dir, lsn_from=hwm, lsn_to=target_lsn, override_num_blocks=override_num_blocks)
     if normalize is not None:
-        chain = normalize if isinstance(normalize, TransformChain) else TransformChain(normalize)
-        ds = ds.map_batches(chain, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+        # a TransformChain, a column->transform mapping, or any
+        # batch -> batch callable (e.g. a curation stage)
+        if isinstance(normalize, dict):
+            normalize = TransformChain(normalize)
+        ds = ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     ds = ds.map_batches(
         make_precompact(lake.num_buckets),
         batch_format="pyarrow",

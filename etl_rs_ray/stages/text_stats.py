@@ -110,25 +110,42 @@ def lang_id(batch: pa.Table, text_col: str = "text", out_col: str = "lang_pred")
 # --- document fingerprinting -------------------------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _pows(k: int) -> np.ndarray:
+    B, m = 1099511628211, 1 << 64
+    vals = [1]
+    for _ in range(k - 1):
+        vals.append((vals[-1] * B) % m)
+    return np.array(vals[::-1], dtype=np.uint64)
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Vectorized k-gram rolling hash: polynomial hash over the byte
+    array via precomputed powers (no per-gram Python call)."""
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(data) - k + 1 <= 0:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64) if text else np.array([], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    return (windows * _pows(k)).sum(axis=1, dtype=np.uint64)
+
+
 def winnow_fingerprint(text: str, k: int = 8, window: int = 6) -> list[int]:
-    """Winnowing (Schleimer et al.): min k-gram rolling hash per window —
-    a compact, position-robust document fingerprint."""
-    if len(text) < k:
-        return [zlib.crc32(text.encode())] if text else []
-    hashes = np.array(
-        [zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)],
-        dtype=np.uint32,
-    )
+    """Winnowing (Schleimer et al., SIGMOD'03): per sliding window keep the
+    min k-gram hash position — a compact, position-robust fingerprint.
+    Fully vectorized (sliding_window_view + argmin along axis). Values are
+    int64 (wrapped) so they store directly in Arrow list<int64> columns."""
+    hashes = _kgram_hashes(text, k)
+    if len(hashes) == 0:
+        return []
     if len(hashes) <= window:
-        return [int(hashes.min())]
-    out = []
-    prev = -1
-    for i in range(len(hashes) - window + 1):
-        j = i + int(np.argmin(hashes[i : i + window]))
-        if j != prev:
-            out.append(int(hashes[j]))
-            prev = j
-    return out
+        return [int(hashes.view(np.int64).min())]
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    pos = wins.argmin(axis=1) + np.arange(len(wins))
+    sel = np.unique(pos)
+    return hashes[sel].view(np.int64).tolist()
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
