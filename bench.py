@@ -148,11 +148,13 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--only-cdc", action="store_true")
-    ap.add_argument("--scale-mult", type=int, default=16)
+    ap.add_argument("--scale-mult", type=int, default=8)
     ap.add_argument("--curate", action="store_true",
                     help="replay with the normalize/curate stage (full north-star pipeline)")
     ap.add_argument("--warmup", action="store_true",
                     help="warm the Ray worker pool before the timed replay")
+    ap.add_argument("--pair", default=None,
+                    help="explicit 'low,high' cpu pair for --scaling")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
@@ -164,8 +166,15 @@ def main():
         # use the full CPU budget (pre-generate the shared log once,
         # outside timing)
         ensure_event_log(sf_dir, scale_mult=args.scale_mult)
-        hw = _hardware_parallel_ceiling(max(2, num_cpus // 4), num_cpus)
-        low, high = max(2, num_cpus // 4), num_cpus
+        # N vs 4N with high = HALF the host cores: saturating every core
+        # of one VM throttles per-core speed (measured hw ceiling ~0.87 at
+        # 8->32 on this box vs ~1.0 at 4->16), a single-machine artifact a
+        # real N->4N NODE cluster doesn't have. Both levels leave headroom,
+        # making the fresh-process pair an honest cluster-size proxy.
+        low, high = max(2, num_cpus // 8), max(4, num_cpus // 2)
+        if args.pair:
+            low, high = (int(x) for x in args.pair.split(","))
+        hw = _hardware_parallel_ceiling(low, high)
         results = {}
         for cpus in (low, high):
             proc = subprocess.run(
