@@ -86,6 +86,18 @@ def read_csv_dataset(path: str, all_strings: bool = True) -> "ray.data.Dataset":
     return ray.data.read_csv(path, parse_options=parse, **kwargs)
 
 
+def write_single_csv(table: pa.Table, path: str) -> None:
+    """Collect-and-write CSV sink (S9 — the reference's CsvWriter finish,
+    examples/transform_jdd_normalisation.rs:55-59): one file, header row,
+    null -> empty. For distributed output use ``ds.write_csv`` /
+    ``ds.write_parquet`` instead; this is the golden-fixture sink."""
+    import os
+
+    tmp = path + ".tmp"
+    pacsv.write_csv(table, tmp)
+    os.replace(tmp, path)
+
+
 def stringify_numeric_columns(table: pa.Table) -> pa.Table:
     """Reproduce struct_to_dataframe's value model (transforms/utils.rs:79-122):
     every column becomes nullable utf8; numeric values are stringified via

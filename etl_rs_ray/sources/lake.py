@@ -49,8 +49,8 @@ class LakeTable:
         m = self.manifests.read()
         return int(m["hwm_lsn"]) if m else -1
 
-    def bucket_files(self) -> dict[int, str]:
-        m = self.manifests.read()
+    def bucket_files(self, epoch: int | None = None) -> dict[int, str]:
+        m = self.manifests.read(epoch)
         if not m:
             return {}
         return {
@@ -58,25 +58,68 @@ class LakeTable:
             for b, e in m["buckets"].items()
         }
 
-    def data_files(self) -> list[str]:
-        return sorted(self.bucket_files().values())
+    def data_files(self, epoch: int | None = None) -> list[str]:
+        return sorted(self.bucket_files(epoch).values())
 
-    def snapshot(self, columns: list[str] | None = None):
-        """Current table state as a streaming Ray Dataset."""
+    def snapshot(self, columns: list[str] | None = None, epoch: int | None = None):
+        """Table state as a streaming Ray Dataset. ``epoch`` gives time
+        travel to any retained manifest (lineage is per-epoch)."""
         import ray.data
 
-        files = self.data_files()
+        files = self.data_files(epoch)
         if not files:
             return ray.data.from_arrow(pa.schema([]).empty_table())
         kwargs = {"columns": columns} if columns else {}
         return ray.data.read_parquet(files, **kwargs)
 
-    def snapshot_table(self) -> pa.Table:
+    def snapshot_table(self, epoch: int | None = None) -> pa.Table:
         """Driver-side materialized snapshot (tests / small tables)."""
-        files = self.data_files()
+        files = self.data_files(epoch)
         if not files:
             return pa.schema([]).empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+
+    def vacuum(self, keep_epochs: int = 1) -> list[str]:
+        """Delete data files not referenced by the last ``keep_epochs``
+        committed manifests (plus orphaned staging). Returns removed paths."""
+        cur = self.current_epoch()
+        if cur < 0:
+            return []
+        referenced: set[str] = set()
+        kept = 0
+        for e in range(cur, -1, -1):
+            if kept >= keep_epochs:
+                break
+            try:
+                m = self.manifests.read(e)
+            except FileNotFoundError:
+                continue
+            if m is None:
+                continue
+            referenced.update(
+                os.path.join(self.table_dir, entry["file"]) for entry in m["buckets"].values()
+            )
+            kept += 1
+        removed = []
+        data_root = os.path.join(self.table_dir, "data")
+        if os.path.isdir(data_root):
+            for root, _dirs, files in os.walk(data_root):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    if p not in referenced:
+                        os.unlink(p)
+                        removed.append(p)
+        staging_root = os.path.join(self.table_dir, "_staging")
+        if os.path.isdir(staging_root):
+            shutil.rmtree(staging_root, ignore_errors=True)
+            removed.append(staging_root)
+        # drop manifests older than the kept window (CURRENT stays valid)
+        for fn in os.listdir(self.manifests.manifest_dir):
+            if fn.startswith("manifest-"):
+                e = int(fn.split("-")[1].split(".")[0])
+                if e <= cur - keep_epochs:
+                    os.unlink(os.path.join(self.manifests.manifest_dir, fn))
+        return removed
 
     def metrics(self) -> dict:
         m = self.manifests.read()

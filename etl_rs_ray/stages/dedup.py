@@ -91,12 +91,11 @@ _TOKEN_RE = re.compile(r"\S+")
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """k-char shingle hashes (crc32 — stable across processes)."""
-    if len(text) < k:
-        data = [text]
-    else:
-        data = [text[i : i + k] for i in range(len(text) - k + 1)]
-    return np.unique(np.array([zlib.crc32(s.encode()) for s in data], dtype=np.uint64))
+    """k-char shingle hashes — vectorized polynomial rolling hash
+    (sliding_window_view), stable across processes."""
+    from .text_stats import _kgram_hashes
+
+    return np.unique(_kgram_hashes(text, k))
 
 
 def word_ngrams(text: str, n: int = 3) -> set:

@@ -137,6 +137,44 @@ class StreamingMerge:
             "partitions": per,
         }
 
+    def flush_to_lake(self, table_dir: str) -> bool:
+        """Persist the pool's state as one atomic lake epoch (streaming ->
+        durable table bridge): each partition's snapshot becomes that
+        bucket's file, committed under the pool's global HWM."""
+        import pyarrow.parquet as pq
+
+        from ..sources.lake import LakeTable
+
+        lake = LakeTable(table_dir, self.num_partitions)
+        epoch = lake.current_epoch() + 1
+        staging = lake.staging_dir(epoch)
+        snaps = ray.get([a.snapshot.remote() for a in self.actors])
+        stats = ray.get([a.stats.remote() for a in self.actors])
+        written = {}
+        for p, (snap, st) in enumerate(zip(snaps, stats)):
+            if snap.num_rows == 0:
+                continue
+            snap = snap.sort_by([(k, "ascending") for k in self.key_cols])
+            filename = f"bucket-{p}.parquet"
+            import os
+
+            out = os.path.join(staging, filename)
+            pq.write_table(snap, out)
+            written[p] = {
+                "filename": filename,
+                "rows": snap.num_rows,
+                "hwm_lsn": st["hwm"],
+                "stats": {"applied": st["applied"], "dropped_stale": st["dropped_stale"]},
+            }
+        hwm = max((st["hwm"] for st in stats), default=-1)
+        metrics = {
+            "applied": sum(st["applied"] for st in stats),
+            "dropped_stale": sum(st["dropped_stale"] for st in stats),
+        }
+        return lake.commit_epoch(
+            epoch, written, hwm, metrics, {"source": "streaming-pool"}, mode="overwrite"
+        )
+
     def shutdown(self):
         for a in self.actors:
             ray.kill(a)
