@@ -338,6 +338,92 @@ def docs_lang_quality(sf_dir: str):
     return out
 
 
+def events_type_stats(sf_dir: str):
+    """Groupby aggregates with min/max/mean over the stream (the CRUD
+    count/list analytics surface)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def supplier_nation_region(sf_dir: str):
+    """Two broadcast joins chained (supplier -> nation -> region): the
+    small dimension tables ride into every task as dicts."""
+    import ray
+
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    region = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
+    ref = ray.put((nation, region))
+
+    def join_fn(batch: pa.Table) -> pa.Table:
+        nat, reg = ray.get(ref)
+        n_names, r_names = [], []
+        for k in batch.column("s_nationkey").to_pylist():
+            n_name, r_key = nat.get(k, (None, None))
+            n_names.append(n_name)
+            r_names.append(reg.get(r_key))
+        return pa.table(
+            {
+                "s_suppkey": batch.column("s_suppkey"),
+                "s_name": batch.column("s_name"),
+                "n_name": pa.array(n_names, pa.string()),
+                "r_name": pa.array(r_names, pa.string()),
+            }
+        )
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    return sup.map_batches(join_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def part_filter_like(sf_dir: str):
+    """Predicate with string matching + projection over part."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(batch.column("p_name"), "widget")
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_simhash_dedup(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds, "text", "doc_id", max_hamming=3)
+
+
+def embeddings_ann_ivf(sf_dir: str):
+    from ..stages.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = ds.take(5)
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
+
+
+def media_features(sf_dir: str):
+    """Multimodal actor-pool plumbing over synthesized binary payloads
+    (sf_dir seeds the size; deterministic)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import media_pipeline, synthesize_media
+
+    n = 128 if "0.1" in sf_dir else 64
+    ds = rd.from_arrow(synthesize_media(n)).repartition(4)
+    out = media_pipeline(ds, concurrency=2, batch_size=16)
+    return out.drop_columns(["payload"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "lineitem_revenue_filter": lineitem_revenue_filter,
@@ -354,6 +440,12 @@ QUERIES = {
     "embeddings_topk": embeddings_topk,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_lang_quality": docs_lang_quality,
+    "events_type_stats": events_type_stats,
+    "supplier_nation_region": supplier_nation_region,
+    "part_filter_like": part_filter_like,
+    "docs_simhash_dedup": docs_simhash_dedup,
+    "embeddings_ann_ivf": embeddings_ann_ivf,
+    "media_features": media_features,
 }
 
 ORACLE_SQL = {
@@ -434,6 +526,26 @@ ORACLE_SQL = {
         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
         LIMIT 10
     """,
-    # docs_minhash_dedup, docs_lang_quality: heuristic operators — no SQL
-    # oracle; the driver records the weaker rows-only check.
+    "events_type_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               avg(value) AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "supplier_nation_region": """
+        SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "part_filter_like": """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part WHERE p_name LIKE '%widget%'
+    """,
+    # docs_minhash_dedup, docs_simhash_dedup, docs_lang_quality,
+    # embeddings_ann_ivf, media_features: heuristic / approximate / stubbed
+    # operators — no SQL oracle; the driver records the weaker rows-only
+    # check.
 }
