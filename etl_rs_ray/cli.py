@@ -1,0 +1,144 @@
+"""Job entry points — the ``ray job submit`` surface of the engine.
+
+Usage (each owns its Ray session; the driver-embedded paths in
+__ray_entry__.py never init Ray):
+
+    python -m etl_rs_ray.cli generate --out /data/log --files 1000000
+    python -m etl_rs_ray.cli replay   --log /data/log --table /data/table
+    python -m etl_rs_ray.cli tail     --log /data/log --table /data/table --partitions 8
+    python -m etl_rs_ray.cli snapshot --table /data/table --limit 10
+    python -m etl_rs_ray.cli vacuum   --table /data/table
+
+On a real cluster: ``ray job submit --working-dir . -- python -m
+etl_rs_ray.cli replay --log s3://... --table s3://...`` (local-mode here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_rs_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="seeded repos table + change-event log")
+    g.add_argument("--out", required=True)
+    g.add_argument("--files", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--partitions", type=int, default=8)
+
+    r = sub.add_parser("replay", help="bounded replay into the lake upsert table")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--target-lsn", type=int, default=None)
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--curate", action="store_true")
+
+    t = sub.add_parser("tail", help="streaming actor-pool merge of the log")
+    t.add_argument("--log", required=True)
+    t.add_argument("--table", required=True)
+    t.add_argument("--partitions", type=int, default=8)
+    t.add_argument("--micro-batch-rows", type=int, default=50_000)
+
+    s = sub.add_parser("snapshot", help="print table state sample + metrics")
+    s.add_argument("--table", required=True)
+    s.add_argument("--limit", type=int, default=5)
+    s.add_argument("--epoch", type=int, default=None)
+
+    v = sub.add_parser("vacuum", help="remove unreferenced data files")
+    v.add_argument("--table", required=True)
+    v.add_argument("--keep-epochs", type=int, default=1)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .datagen import generate_events, generate_repos, write_event_log
+
+        repos = generate_repos(n_files=args.files, seed=args.seed)
+        events = generate_events(repos, seed=args.seed)
+        write_event_log(events, args.out, num_partitions=args.partitions)
+        print(json.dumps({"files": repos.num_rows, "events": events.num_rows, "log": args.out}))
+        return 0
+
+    if args.cmd == "replay":
+        _init_ray(args.num_cpus)
+        from .pipelines.cdc import curate_batch, replay
+
+        res = replay(
+            args.log,
+            args.table,
+            target_lsn=args.target_lsn,
+            num_buckets=args.buckets,
+            normalize=curate_batch if args.curate else None,
+        )
+        print(
+            json.dumps(
+                {
+                    "committed": res.committed,
+                    "epoch": res.epoch,
+                    "hwm_lsn": res.hwm_lsn,
+                    "events_applied": res.events_applied,
+                    "rows_total": res.rows_total,
+                    "wall_seconds": round(res.wall_seconds, 3),
+                }
+            )
+        )
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "tail":
+        _init_ray(args.num_cpus)
+        from .stages.streaming import StreamingMerge
+
+        sm = StreamingMerge(num_partitions=args.partitions)
+        try:
+            from .sources.lake import LakeTable
+
+            hwm = LakeTable(args.table).hwm_lsn()
+            sm.tail(args.log, lsn_from=hwm if hwm >= 0 else None, micro_batch_rows=args.micro_batch_rows)
+            sm.flush_to_lake(args.table)
+            print(json.dumps(sm.stats() | {"table": args.table}))
+        finally:
+            sm.shutdown()
+            import ray
+
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "snapshot":
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        snap = lake.snapshot_table(epoch=args.epoch)
+        print(json.dumps({"rows": snap.num_rows, "epoch": lake.current_epoch(), "metrics": lake.metrics()}))
+        for row in snap.slice(0, args.limit).to_pylist():
+            print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}))
+        return 0
+
+    if args.cmd == "vacuum":
+        from .sources.lake import LakeTable
+
+        removed = LakeTable(args.table).vacuum(keep_epochs=args.keep_epochs)
+        print(json.dumps({"removed": len(removed)}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
