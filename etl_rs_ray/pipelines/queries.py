@@ -35,13 +35,24 @@ def _hash_shuffle(ds):
     return ds
 
 
-def _partitions(cap: int = 32) -> int:
+def _partitions(cap: int = 32, rows: int | None = None) -> int:
     # one hash-shuffle aggregator actor per partition — oversubscribing
-    # CPUs with aggregators measurably halves throughput, so cap at cpus
+    # CPUs with aggregators measurably halves throughput, so cap at cpus;
+    # when the input size is known, don't spin up more aggregators than
+    # ~50k-row shares either
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(cap, cpus))
+    n = max(2, min(cap, cpus))
+    if rows is not None:
+        n = max(2, min(n, rows // 50_000 + 1))
+    return n
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
 # --- aggregates --------------------------------------------------------------
@@ -117,7 +128,8 @@ def events_lww_state(sf_dir: str):
 
     ds = ds.map_batches(precompact, batch_format="pyarrow", zero_copy_batch=True)
     ds = _hash_shuffle(ds)
-    return ds.groupby("user_id", num_partitions=_partitions()).map_groups(
+    nparts = _partitions(rows=_table_rows(sf_dir, "events"))
+    return ds.groupby("user_id", num_partitions=nparts).map_groups(
         finalize, batch_format="pyarrow"
     )
 
@@ -138,7 +150,8 @@ def events_exact_dedup(sf_dir: str):
 
     ds = ds.map_batches(first_per_key, batch_format="pyarrow", zero_copy_batch=True)
     ds = _hash_shuffle(ds)
-    return ds.groupby(list(key), num_partitions=_partitions()).map_groups(
+    nparts = _partitions(rows=_table_rows(sf_dir, "events"))
+    return ds.groupby(list(key), num_partitions=nparts).map_groups(
         first_per_key, batch_format="pyarrow"
     )
 
@@ -161,7 +174,8 @@ def events_window_filter(sf_dir: str):
         return group.append_column("partition_size", pa.array([n] * n, pa.int64()))
 
     ds = _hash_shuffle(ds)
-    return ds.groupby("user_id", num_partitions=_partitions()).map_groups(
+    nparts = _partitions(rows=_table_rows(sf_dir, "events"))
+    return ds.groupby("user_id", num_partitions=nparts).map_groups(
         add_count, batch_format="pyarrow"
     )
 
@@ -187,7 +201,7 @@ def customer_order_revenue(sf_dir: str):
     joined = cust.join(
         orders,
         join_type="inner",
-        num_partitions=_partitions(),
+        num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -263,7 +277,7 @@ def docs_exact_dedup(sf_dir: str):
         g = group.take(idx)
         return g.filter(_first_per_key_mask(g, ("text_md5",)))
 
-    return ds.groupby("text_md5", num_partitions=_partitions()).map_groups(
+    return ds.groupby("text_md5", num_partitions=_partitions(rows=_table_rows(sf_dir, "documents"))).map_groups(
         keep_min, batch_format="pyarrow"
     )
 
