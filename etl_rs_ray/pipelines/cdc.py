@@ -309,12 +309,15 @@ def replay(
         shuffle_dir = os.path.join(staging, "_shuffle")
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         os.makedirs(shuffle_dir, exist_ok=True)
-        spilled = ds.map_batches(
+        spill_ds = ds.map_batches(
             make_spiller(shuffle_dir, shuffle_partitions),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
-        ).take_all()
+        )
+        spilled = spill_ds.take_all()
+        if os.environ.get("ETL_RS_RAY_STATS"):
+            print(spill_ds.stats())
         touched_x = sorted({int(r["xpart"]) for r in spilled})
         if not touched_x:
             return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)

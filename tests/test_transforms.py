@@ -196,6 +196,51 @@ def test_column_fn_matches_scalar(name):
     assert out.to_pylist() == expected
 
 
+EXPR_VARIANT_CASES = {
+    # nom.rs:163-226 (col_nom_with_polars_expr test)
+    "nom_expr": [
+        ("&Carre & Lagrave&", "CARRE ET LAGRAVE"),
+        ("/Sébastien / Pascal/", "SEBASTIEN ET PASCAL"),
+        ("Carre_/", "CARRE"),
+        ("Brøgger", "BRØGGER"),
+        (None, None),
+    ],
+    # prenom.rs:178-251 — expr agrees with the UDF on the reference vectors
+    "prenom_expr": PRENOM_CASES,
+    # email.rs:186-277 — expr agrees with the UDF on the reference vectors
+    "email_expr": EMAIL_CASES,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPR_VARIANT_CASES))
+def test_expr_variant_vectors(name):
+    fn = {
+        "nom_expr": T.transform_nom_expr,
+        "prenom_expr": T.transform_prenom_expr,
+        "email_expr": T.transform_email_expr,
+    }[name]
+    for given, expected in EXPR_VARIANT_CASES[name]:
+        assert fn(given) == expected, f"{name}({given!r})"
+    out = TRANSFORMS[name](pa.array([c[0] for c in EXPR_VARIANT_CASES[name]], pa.string()))
+    assert out.to_pylist() == [c[1] for c in EXPR_VARIANT_CASES[name]]
+
+
+def test_expr_vs_udf_divergences():
+    """The documented behavioral gaps between the reference's two variants
+    (the example pipelines use the EXPR one for these columns)."""
+    # polars str.replace is first-occurrence-only; UDF replaces all
+    assert T.transform_nom("A/B/C") == "A ET B ET C"
+    assert T.transform_nom_expr("A/B/C") == "A ET BC"
+    # no final trim in expr (the JDD golden keeps 'SEBASTIEN ET PASCAL ')
+    assert T.transform_nom_expr("/Sébastien / Pascal /") == "SEBASTIEN ET PASCAL "
+    # no empty->null in expr
+    assert T.transform_nom("") is None
+    assert T.transform_nom_expr("") == ""
+    # prenom single-byte rule exists only in the UDF
+    assert T.transform_prenom("7") is None
+    assert T.transform_prenom_expr("7") == ""
+
+
 def test_strip_accent_preserves_unmapped():
     # utils.rs:13-68 — ø and ß are NOT folded; case is preserved
     assert T.strip_accent("øßÀéÇñÕ") == "øßAeCnO"
