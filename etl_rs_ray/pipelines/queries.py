@@ -67,15 +67,29 @@ def q1_pricing_summary(sf_dir: str):
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    return (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
-        )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
     )
+
+    def round_floats(batch: pa.Table) -> pa.Table:
+        # parallel float reduction order differs from DuckDB's by ~1e-6 on
+        # 1e9-magnitude sums; round to cents / 6dp on BOTH sides so the
+        # driver's value hash compares stably
+        batch = batch.set_column(
+            batch.schema.get_field_index("sum_base_price"),
+            "sum_base_price",
+            pc.round(batch.column("sum_base_price"), ndigits=2),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("avg_disc"),
+            "avg_disc",
+            pc.round(batch.column("avg_disc"), ndigits=6),
+        )
+
+    return agg.map_batches(round_floats, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lineitem_revenue_filter(sf_dir: str):
@@ -205,10 +219,19 @@ def customer_order_revenue(sf_dir: str):
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
-    return joined.groupby(["c_custkey", "c_name"]).aggregate(
+    agg = joined.groupby(["c_custkey", "c_name"]).aggregate(
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="order_count"),
     )
+
+    def round_rev(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(batch.column("revenue"), ndigits=2),
+        )
+
+    return agg.map_batches(round_rev, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def customers_without_orders(sf_dir: str):
@@ -358,12 +381,21 @@ def events_type_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    return ds.groupby("event_type").aggregate(
+    agg = ds.groupby("event_type").aggregate(
         Count(alias_name="n_events"),
         Mean("value", alias_name="avg_value"),
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),
     )
+
+    def round_avg(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("avg_value"),
+            "avg_value",
+            pc.round(batch.column("avg_value"), ndigits=6),
+        )
+
+    return agg.map_batches(round_avg, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def supplier_nation_region(sf_dir: str):
@@ -466,8 +498,8 @@ ORACLE_SQL = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               avg(l_discount) AS avg_disc,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_discount), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -504,7 +536,7 @@ ORACLE_SQL = {
     """,
     "customer_order_revenue": """
         SELECT c.c_custkey, c.c_name,
-               sum(o.o_totalprice) AS revenue,
+               round(sum(o.o_totalprice), 2) AS revenue,
                count(*) AS order_count
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey, c.c_name
@@ -543,7 +575,7 @@ ORACLE_SQL = {
     "events_type_stats": """
         SELECT event_type,
                count(*) AS n_events,
-               avg(value) AS avg_value,
+               round(avg(value), 6) AS avg_value,
                min(value) AS min_value,
                max(value) AS max_value
         FROM events GROUP BY event_type
