@@ -134,10 +134,19 @@ def make_bucket_merger(
     return merge_group
 
 
-def make_spiller(shuffle_dir: str, num_xparts: int, key_cols=DEFAULT_KEY, lsn_col="lsn", op_col="op"):
-    """Map stage of the disk exchange: per input block, LWW-precompact,
-    then write one file per touched EXCHANGE PARTITION (xpart = bucket %
-    num_xparts) under ``shuffle_dir/xpart=X/<content-hash>.parquet``.
+def make_spiller(
+    shuffle_dir: str,
+    num_xparts: int,
+    num_buckets: int,
+    key_cols=DEFAULT_KEY,
+    lsn_col="lsn",
+    op_col="op",
+):
+    """Map stage of the disk exchange: per input block, LWW-precompact
+    (the combiner — superseded events die before any data moves), assign
+    lake buckets, then write one file per touched EXCHANGE PARTITION
+    (xpart = bucket % num_xparts) under
+    ``shuffle_dir/xpart=X/<content-hash>.parquet``.
 
     Exchange partitions are the classic M x R shuffle-file bound: R tracks
     the reducer/CPU budget, independent of the (possibly much larger) lake
@@ -152,12 +161,22 @@ def make_spiller(shuffle_dir: str, num_xparts: int, key_cols=DEFAULT_KEY, lsn_co
 
     def spill(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"xpart": pa.array([], pa.int32()), "spilled": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "xpart": pa.array([], pa.int32()),
+                    "spilled": pa.array([], pa.int64()),
+                    "raw_events": pa.array([], pa.int64()),
+                }
+            )
         import zlib
 
         import numpy as np
 
-        bnp = batch.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        raw_rows = batch.num_rows
+        batch = lww_reduce(batch, key_cols, lsn_col, op_col, drop_tombstones=False)
+        bucket = fast_hash_bucket(batch.column("repo"), batch.column("path"), num_buckets)
+        batch = batch.append_column("bucket", bucket)
+        bnp = bucket.to_numpy(zero_copy_only=False)
         batch = batch.append_column("_x", pa.array((bnp % num_xparts).astype(np.int32)))
         out_x, out_n = [], []
         for x in pc.unique(batch.column("_x")).to_pylist():
@@ -175,7 +194,14 @@ def make_spiller(shuffle_dir: str, num_xparts: int, key_cols=DEFAULT_KEY, lsn_co
             os.replace(tmp, fpath)
             out_x.append(x)
             out_n.append(part.num_rows)
-        return pa.table({"xpart": pa.array(out_x, pa.int32()), "spilled": pa.array(out_n, pa.int64())})
+        raw_col = [raw_rows] + [0] * (len(out_x) - 1)  # attribute once per batch
+        return pa.table(
+            {
+                "xpart": pa.array(out_x, pa.int32()),
+                "spilled": pa.array(out_n, pa.int64()),
+                "raw_events": pa.array(raw_col, pa.int64()),
+            }
+        )
 
     return spill
 
@@ -286,12 +312,6 @@ def replay(
         if isinstance(normalize, dict):
             normalize = TransformChain(normalize)
         ds = ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
-    ds = ds.map_batches(
-        make_precompact(lake.num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-    )
     staging = lake.staging_dir(epoch)
     if shuffle == "disk":
         # Explicit disk-partitioned exchange: map tasks spill per-exchange-
@@ -310,7 +330,7 @@ def replay(
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         os.makedirs(shuffle_dir, exist_ok=True)
         spill_ds = ds.map_batches(
-            make_spiller(shuffle_dir, shuffle_partitions),
+            make_spiller(shuffle_dir, shuffle_partitions, lake.num_buckets),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
@@ -318,6 +338,7 @@ def replay(
         spilled = spill_ds.take_all()
         if os.environ.get("ETL_RS_RAY_STATS"):
             print(spill_ds.stats())
+        events_read = sum(int(r["raw_events"]) for r in spilled)
         touched_x = sorted({int(r["xpart"]) for r in spilled})
         if not touched_x:
             return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
@@ -336,6 +357,13 @@ def replay(
         # UDF per block — silent data loss.
         from ray.data.context import ShuffleStrategy
 
+        ds = ds.map_batches(
+            make_precompact(lake.num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+        events_read = None
         merger = make_bucket_merger(staging, lake.bucket_files())
         ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         if shuffle_partitions is None:
@@ -368,9 +396,15 @@ def replay(
         for e in entries
     }
     new_hwm = max([hwm] + [w["hwm_lsn"] for w in written.values()])
+    merged_in = sum(w["stats"]["events_in"] for w in written.values())
+    merge_dropped = sum(w["stats"]["superseded_dropped"] for w in written.values())
+    if events_read is None:
+        events_read = merged_in
     metrics = {
-        "events_applied": sum(w["stats"]["events_in"] for w in written.values()),
-        "superseded_dropped": sum(w["stats"]["superseded_dropped"] for w in written.values()),
+        "events_read": events_read,
+        "events_applied": events_read,
+        "combiner_dropped": events_read - merged_in,
+        "superseded_dropped": (events_read - merged_in) + merge_dropped,
         "applied_i": sum(w["stats"]["applied_i"] for w in written.values()),
         "applied_u": sum(w["stats"]["applied_u"] for w in written.values()),
         "applied_d": sum(w["stats"]["applied_d"] for w in written.values()),
