@@ -14,6 +14,11 @@ with a lake-style protocol:
 
 Re-committing an epoch <= CURRENT is a no-op, so a replayed job's only
 visible effect is the single pointer swap.
+
+The protocol follows the log-structured table model published as Delta
+Lake (Armbrust et al., "Delta Lake: High-Performance ACID Table Storage
+over Cloud Object Stores", VLDB 2020): immutable data files + an ordered
+manifest log whose tail pointer is the only mutable state.
 """
 
 from __future__ import annotations
