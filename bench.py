@@ -118,6 +118,45 @@ def _hardware_parallel_ceiling(low: int, high: int, seconds: float = 4.0) -> flo
     return round(totals[high] / (totals[low] * (high / low)), 3)
 
 
+def run_jdd_normalize(sf_dir: str) -> dict:
+    """The reference's flagship normalization workload at scale: the full
+    11-column JDD Transform chain over a synthetic dirty contact table
+    (reference fixtures are 57 rows; we run 200k/tier). Reports both the
+    distributed Ray wall and a single-process baseline on the same data —
+    the single-node-throughput comparison the north rule asks for."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from etl_rs_ray.datagen import generate_contacts
+    from etl_rs_ray.pipelines.jdd import jdd_chain
+
+    sf = _sf_name(sf_dir)
+    n = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 1_000_000}.get(sf, 100_000)
+    path = os.path.join(BENCH_CACHE, sf, "contacts.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq_.write_table(generate_contacts(n), path)
+
+    chain = jdd_chain()
+    # single-process baseline (the reference runs one process) — measured
+    # on a 100k sample and linearly extrapolated (per-row cost is constant)
+    sample_n = min(n, 100_000)
+    table = pq_.read_table(path).slice(0, sample_n)
+    t0 = time.perf_counter()
+    chain.apply_table(table)
+    single = (time.perf_counter() - t0) * (n / sample_n)
+
+    ds = ray.data.read_parquet(path, override_num_blocks=max(8, int(os.environ.get("RAY_GRAFT_CPUS", "32"))))
+    t0 = time.perf_counter()
+    for _ in ds.map_batches(chain, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        pass
+    dist = time.perf_counter() - t0
+    return {"rows": n, "single_process_sec_est": round(single, 3), "ray_sec": round(dist, 3),
+            "speedup": round(single / dist, 2)}
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "events_lww_state",
@@ -232,6 +271,9 @@ def main():
             warmup=args.warmup,
         )
         queries = {} if args.only_cdc else run_queries(sf_dir)
+        jdd = None if args.only_cdc else run_jdd_normalize(sf_dir)
+        if jdd:
+            queries["jdd_normalize"] = jdd["ray_sec"]
         total = cdc["wall"] + sum(queries.values())
         print(
             json.dumps(
@@ -245,6 +287,7 @@ def main():
                     "events": cdc["events"],
                     "events_per_sec": round(cdc["events_per_sec"], 1),
                     "cdc_rows_out": cdc["rows_out"],
+                    **({"jdd_normalize_vs_single_process": jdd} if jdd else {}),
                 }
             )
         )

@@ -152,6 +152,42 @@ def write_event_log(
         writer.write(events.slice(start, events_per_segment))
 
 
+_FIRST = ["amélie", "LOUCA", "H-an", "élie", "anne-marie", "Jean", "Hélène&Adelin", "marc", "Sophie", "émile"]
+_LAST = ["Jean-Dupont//Smith", "O'Neil & Sons", "El Niño", "Brøgger", "Carre_/", "MARTIN", "&Lagrave&", "N/A", "petit", "Sébastien / Pascal"]
+_CIV = ["Mm", "MR", "Ms", "MMe", "MAD", "MM Mme", "MISS", None, "M.", "Docteur"]
+_RS = ['"ED""BANGER"', "Imagin&tiff_", "S’ociété", "Straße", "édouardservices", "HecøTOR", "TIGER_Milk", "Société dupont", None, "Paul&JO"]
+
+
+def generate_contacts(n: int = 100_000, seed: int = 42) -> pa.Table:
+    """Synthetic dirty JDD-shaped contact table (the reference's
+    normalization workload shape, schemas/jdd.rs) at arbitrary scale —
+    deterministic, built from the reference test vectors' dirt patterns."""
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 10, (n, 8))
+    tel = [f"0{d} {a:02d} {b:02d} {c:02d} {e:02d}" if d % 3 else f"08{a}{b:02d}{c:02d}{e:02d}{d}"
+           for d, a, b, c, e in zip(idx[:, 4] % 10, idx[:, 0] * 7 % 100, idx[:, 1] * 13 % 100,
+                                    idx[:, 2] * 17 % 100, idx[:, 3] * 19 % 100)]
+    email = [f"Luc’as{i}@gmail.com" if i % 4 else f"user {i}@mail..com" for i in range(n)]
+    siret = [f"443 169 524 {i % 100000:05d}" if i % 5 else "4ZT 169 524 00120" for i in range(n)]
+    siren = [f"{i % 1000000000:09d}" if i % 3 else f"{i}-{i}" for i in range(n)]
+    ape = [f"62.0{i % 10}z" if i % 2 else "94z" for i in range(n)]
+    return pa.table(
+        {
+            "RAISON_SOCIALE": pa.array([_RS[i] for i in idx[:, 0]], pa.string()),
+            "SIRET": pa.array(siret, pa.string()),
+            "SIREN": pa.array(siren, pa.string()),
+            "APE": pa.array(ape, pa.string()),
+            "CODE_NAF": pa.array([f"01{i}1;Z"[: 6] for i in idx[:, 1]], pa.string()),
+            "LIBELE_NAF": pa.array([f"0111{chr(97 + i)}" for i in idx[:, 2]], pa.string()),
+            "CIVILITE": pa.array([_CIV[i] for i in idx[:, 3]], pa.string()),
+            "NOM": pa.array([_LAST[i] for i in idx[:, 4]], pa.string()),
+            "PRENOM": pa.array([_FIRST[i] for i in idx[:, 5]], pa.string()),
+            "TELEPHONE": pa.array(tel, pa.string()),
+            "email": pa.array(email, pa.string()),
+        }
+    )
+
+
 def oracle_replay(events: pa.Table, lsn_to: int | None = None) -> dict[tuple, tuple]:
     """Pure-Python sequential oracle: key -> last non-deleted payload by LSN
     (FIXTURES.md §2). Duplicate LSNs apply idempotently (identical payload)."""
