@@ -7,13 +7,15 @@ src/transforms.rs:29-47).  Here a transform is a named
 names to transforms and compiles into ONE ``map_batches`` UDF over
 zero-copy Arrow batches.
 
-Vectorized pyarrow.compute (RE2) fast paths are used where they are
-provably equivalent to the scalar semantics (pce, siret_successeur, siret,
-siren, ape, code_naf, libelle_naf); the gnarly ones (nom, prenom, civilite,
-email, telephone, raison_sociale) run the pinned scalar functions over the
-batch with precompiled module-level regexes — mirroring the reference,
-whose example pipelines also use the row-UDF variant for those
-(examples/transform_jdd_normalisation.rs:40-52).
+Vectorized pyarrow.compute (RE2) kernels back every transform whose
+semantics are expressible without per-row Python: the regex family (pce,
+siret_successeur, siret, siren, ape, code_naf, libelle_naf), the
+expression variants nom_expr/email_expr, telephone, civilite and
+raison_sociale — each cross-checked against its pinned scalar function by
+reference vectors AND hypothesis sweeps (tests/test_vectorized_kernels.py).
+The UDF variants whose reference semantics depend on byte offsets or
+per-token casing (nom, prenom, prenom_expr, email UDF) run the scalar
+functions over the batch with precompiled module-level regexes.
 """
 
 from __future__ import annotations
@@ -93,17 +95,208 @@ def col_code_naf(arr: pa.Array) -> pa.Array:
 col_libelle_naf = col_code_naf
 
 
+# --- vectorized expression-variant kernels -----------------------------------
+# The expr variants (used by the example pipelines) are pure regex chains —
+# no byte-offset quirks — so they vectorize fully in RE2. Semantics are
+# pinned to the scalar functions by vector tests AND a hypothesis
+# cross-check over random unicode strings (tests/test_vectorized_kernels.py).
+
+# Rust regex \s is Unicode White_Space; RE2 \s is ASCII-only. This class
+# reproduces the Unicode set (Z* covers NBSP/LS/PS; \x{85} is NEL).
+_WS = r"[\t\n\x0b\f\r \x{85}\p{Z}]"
+
+# accent folds applied AFTER utf8_upper (upper(fold(x)) == fold(upper(x))
+# for every mapped char; ß/ø are unmapped in both orders)
+_UPPER_FOLDS = [
+    ("ÀÁÂÃÄÅ", "A"), ("ÈÉÊË", "E"), ("ÌÍÎÏ", "I"), ("ÒÓÔÕÖ", "O"),
+    ("ÙÚÛÜ", "U"), ("Ç", "C"), ("Ñ", "N"),
+]
+
+
+def _fold_upper_accents(arr: pa.Array) -> pa.Array:
+    for chars, base in _UPPER_FOLDS:
+        arr = pc.replace_substring_regex(arr, pattern=f"[{chars}]", replacement=base)
+    return arr
+
+
+# utf8_upper uses simple case mapping (ß -> U+1E9E, ligatures unchanged);
+# Python/Rust use full mapping (ß -> SS, ﬁ -> FI). Pre-expand the common
+# divergent chars so upper() agrees with the scalar ground truth.
+_FULL_CASE_EXPANSIONS = [("ß", "SS"), ("ﬀ", "FF"), ("ﬁ", "FI"), ("ﬂ", "FL"), ("ﬃ", "FFI"), ("ﬄ", "FFL"), ("ﬅ", "ST"), ("ﬆ", "ST")]
+
+
+def _upper_full(arr: pa.Array) -> pa.Array:
+    for ch, rep in _FULL_CASE_EXPANSIONS:
+        arr = pc.replace_substring(arr, ch, rep)
+    return pc.utf8_upper(arr)
+
+
+def col_nom_expr_vec(arr: pa.Array) -> pa.Array:
+    """Vectorized transform_nom_expr (nom.rs:83-114)."""
+    arr = pc.replace_substring_regex(arr, pattern=rf"^{_WS}+|{_WS}+$", replacement="")
+    arr = _fold_upper_accents(_upper_full(arr))
+    arr = pc.replace_substring_regex(
+        arr, pattern=rf"^[^a-zA-ZÀ-ÿ\t\n\x0b\f\r \x{{85}}\p{{Z}}]+|[^a-zA-ZÀ-ÿ\t\n\x0b\f\r \x{{85}}\p{{Z}}]+$",
+        replacement="",
+    )
+    arr = pc.replace_substring_regex(arr, pattern=r"//|_|/|&", replacement=" ET ", max_replacements=1)
+    arr = pc.replace_substring_regex(
+        arr, pattern=r"[^a-zA-Z0-9À-ÿ\t\n\x0b\f\r \x{85}\p{Z}\-'’]", replacement=""
+    )
+    arr = pc.replace_substring_regex(arr, pattern=r"\-+", replacement=" ")
+    return pc.replace_substring_regex(arr, pattern=rf"{_WS}+", replacement=" ")
+
+
+_EMAIL_VALID_RE = r"^[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]{2,}$"
+_EMAIL_DOMAIN_RE = r"^[A-Z0-9._%+-]+@(?:[A-Z0-9-]*\.)*[A-Z0-9-]{2,}\.[A-Z]{2,4}$"
+
+
+def col_email_expr_vec(arr: pa.Array) -> pa.Array:
+    """Vectorized transform_email_expr (email.rs:65-125): uppercase, strip
+    FIRST ['’&\\s]+ run, fix FIRST "@.", fold accents, validate (structure
+    + >=2-char label before a 2-4 char TLD), strip domain hyphens."""
+    arr = _upper_full(arr)
+    arr = pc.replace_substring_regex(
+        arr, pattern=rf"['’&\t\n\x0b\f\r \x{{85}}\p{{Z}}]+", replacement="", max_replacements=1
+    )
+    arr = pc.replace_substring_regex(arr, pattern=r"@\.", replacement="@", max_replacements=1)
+    arr = _fold_upper_accents(arr)
+    valid = pc.and_(
+        pc.match_substring_regex(arr, _EMAIL_VALID_RE),
+        pc.match_substring_regex(arr, _EMAIL_DOMAIN_RE),
+    )
+    parts = pc.extract_regex(arr, r"^(?P<local>[^@]+)@(?P<domain>[^@]+)$")
+    local = pc.struct_field(parts, "local")
+    domain = pc.replace_substring(pc.struct_field(parts, "domain"), "-", "")
+    joined = pc.binary_join_element_wise(local, domain, "@")
+    return pc.if_else(pc.fill_null(valid, False), joined, pa.scalar(None, pa.string()))
+
+
+def _tel_fmt(d: pa.Array, prefix, spans: list[tuple[int, int]]) -> pa.Array:
+    """Join fixed slices of the digit string with spaces after a prefix."""
+    pieces = [pc.utf8_slice_codeunits(d, a, b) for a, b in spans]
+    if isinstance(prefix, str):
+        first = pa.nulls(len(d), pa.string()) if len(d) == 0 else pa.array([prefix] * len(d), pa.string())
+    else:
+        first = prefix
+    return pc.binary_join_element_wise(first, *pieces, " ")
+
+
+def col_telephone_vec(arr: pa.Array) -> pa.Array:
+    """Vectorized transform_telephone (telephone.rs:7-84): ASCII digits
+    only; length/prefix dispatch; paid prefixes {81,82,83,87,89} rejected
+    on the national significant number; +33/+CC space formatting."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = pc.replace_substring_regex(arr, pattern=r"[^0-9]", replacement="")
+    ln = pc.utf8_length(d)
+    paid = "(81|82|83|87|89)"
+
+    def case(length: int, ok_re: str | None, bad_re: str | None, fmt: pa.Array):
+        cond = pc.equal(ln, length)
+        if ok_re:
+            cond = pc.and_(cond, pc.match_substring_regex(d, ok_re))
+        if bad_re:
+            cond = pc.and_(cond, pc.invert(pc.match_substring_regex(d, bad_re)))
+        return cond, fmt
+
+    cases = [
+        case(10, r"^0", rf"^0{paid}", _tel_fmt(d, "+33", [(1, 2), (2, 4), (4, 6), (6, 8), (8, 10)])),
+        case(11, r"^33", rf"^33{paid}", _tel_fmt(d, "+33", [(2, 3), (3, 5), (5, 7), (7, 9), (9, 11)])),
+        case(
+            12,
+            r"^00",
+            rf"^00{paid}",
+            _tel_fmt(
+                d,
+                pc.binary_join_element_wise(pa.array(["+"] * len(d), pa.string()) if len(d) else pa.nulls(0, pa.string()), pc.utf8_slice_codeunits(d, 2, 4), ""),
+                [(4, 5), (5, 7), (7, 9), (9, 11), (11, 13)],
+            ),
+        ),
+        case(12, r"^330", rf"^330{paid}", _tel_fmt(d, "+33", [(3, 4), (4, 6), (6, 8), (8, 10), (10, 12)])),
+        case(9, None, rf"^{paid}", _tel_fmt(d, "+33", [(0, 1), (1, 3), (3, 5), (5, 7), (7, 9)])),
+    ]
+    out = pa.nulls(len(d), pa.string())
+    for cond, fmt in reversed(cases):
+        out = pc.if_else(pc.fill_null(cond, False), fmt, out)
+    return out
+
+
+# case-preserving accent folds (strip_accent semantics, utils.rs:13-68)
+_CASE_FOLDS = [
+    ("àáâãäå", "a"), ("èéêë", "e"), ("ìíîï", "i"), ("òóôõö", "o"), ("ùúûü", "u"), ("ç", "c"), ("ñ", "n"),
+    ("ÀÁÂÃÄÅ", "A"), ("ÈÉÊË", "E"), ("ÌÍÎÏ", "I"), ("ÒÓÔÕÖ", "O"), ("ÙÚÛÜ", "U"), ("Ç", "C"), ("Ñ", "N"),
+]
+
+
+def _fold_accents(arr: pa.Array) -> pa.Array:
+    for chars, base in _CASE_FOLDS:
+        arr = pc.replace_substring_regex(arr, pattern=f"[{chars}]", replacement=base)
+    return arr
+
+
+_SS_SENTINEL = ""  # private-use: protects ß through utf8_upper
+
+
+def col_raison_sociale_vec(arr: pa.Array) -> pa.Array:
+    """Vectorized transform_raison_sociale (raison_sociale.rs:12-37):
+    accent fold, unwrap one layer of surrounding quotes, "" -> ",
+    uppercase-except-ß."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = _fold_accents(arr)
+    arr = pc.replace_substring_regex(arr, pattern=r'(?s)^"(.*)"$', replacement=r"\1", max_replacements=1)
+    arr = pc.replace_substring(arr, '""', '"')
+    arr = pc.replace_substring(arr, "ß", _SS_SENTINEL)
+    for ch, rep in _FULL_CASE_EXPANSIONS[1:]:  # ß already protected
+        arr = pc.replace_substring(arr, ch, rep)
+    arr = pc.utf8_upper(arr)
+    return pc.replace_substring(arr, _SS_SENTINEL, "ß")
+
+
+_CIV_SPECIALS = pa.array(sorted(T.SPECIAL_CIVILITIES))
+_CIV_M_RE = rf"(?:^|{_WS})(?:MONSIEUR|MR|MM|M\(ESPACE\)|M)(?:{_WS}|$)"
+_CIV_MME_RE = rf"(?:^|{_WS})(?:MADAME|MADEMOISELLE|MME|MRS|MS|MLLE|MAD)(?:{_WS}|$)"
+
+
+def col_civilite_vec(arr: pa.Array) -> pa.Array:
+    """Vectorized transform_civilite (civilite.rs:7-50): trim+fold+upper,
+    special-title rejection, punct -> space, token lookup, fixed
+    MONSIEUR/MADAME output order. (The "M." map entry is unreachable:
+    '.' is replaced by a space before tokenization.)"""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = pc.replace_substring_regex(arr, pattern=rf"^{_WS}+|{_WS}+$", replacement="")
+    t = _fold_upper_accents(_upper_full(_fold_accents(t)))
+    special = pc.is_in(t, value_set=_CIV_SPECIALS)
+    t = pc.replace_substring_regex(t, pattern=r"[.,/&\\]", replacement=" ")
+    has_m = pc.match_substring_regex(t, _CIV_M_RE)
+    has_mme = pc.match_substring_regex(t, _CIV_MME_RE)
+    null = pa.scalar(None, pa.string())
+    out = pc.if_else(
+        pc.and_(has_m, has_mme),
+        pa.scalar("MONSIEUR MADAME"),
+        pc.if_else(
+            has_m, pa.scalar("MONSIEUR"), pc.if_else(has_mme, pa.scalar("MADAME"), null)
+        ),
+    )
+    return pc.if_else(pc.fill_null(special, False), null, out)
+
+
 # --- scalar-backed columns ---------------------------------------------------
 
 col_nom = _scalar(T.transform_nom)
 col_prenom = _scalar(T.transform_prenom)
-col_civilite = _scalar(T.transform_civilite)
+col_civilite = col_civilite_vec  # RE2-vectorized, hypothesis-checked vs scalar
 col_email = _scalar(T.transform_email)
-col_telephone = _scalar(T.transform_telephone)
-col_raison_sociale = _scalar(T.transform_raison_sociale)
-col_nom_expr = _scalar(T.transform_nom_expr)
+col_telephone = col_telephone_vec  # RE2-vectorized, hypothesis-checked vs scalar
+col_raison_sociale = col_raison_sociale_vec  # RE2-vectorized, hypothesis-checked vs scalar
+# nom_expr / email_expr use the RE2-vectorized kernels (hypothesis-checked
+# equivalent to the scalars); prenom_expr's per-part Title-Case needs the
+# scalar path
+col_nom_expr = col_nom_expr_vec
 col_prenom_expr = _scalar(T.transform_prenom_expr)
-col_email_expr = _scalar(T.transform_email_expr)
+col_email_expr = col_email_expr_vec
 
 TRANSFORMS: dict[str, ColumnFn] = {
     "nom": col_nom,
