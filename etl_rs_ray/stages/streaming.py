@@ -43,7 +43,7 @@ class PartitionMerger:
         self.key_cols = tuple(key_cols)
         self.lsn_col = lsn_col
         self.op_col = op_col
-        self.state: dict[tuple, tuple[int, dict]] = {}
+        self.state: pa.Table | None = None  # live rows only, LWW-collapsed
         self.hwm = -1
         self.applied = 0
         self.dropped_stale = 0
@@ -52,41 +52,41 @@ class PartitionMerger:
         """Apply one micro-batch (rows for this partition only, any order).
 
         Exactly-once: events at or below the partition HWM are dropped
-        (re-delivery); within the batch, LWW by LSN decides.
+        (re-delivery); within the batch, LWW by LSN decides. Fully
+        vectorized: the same Arrow kernels as the batch replay fold the
+        micro-batch into the in-memory state table.
         """
-        rows = batch.to_pylist()
-        rows.sort(key=lambda r: r[self.lsn_col])
-        applied = 0
-        for r in rows:
-            lsn = r[self.lsn_col]
-            if enforce_hwm and lsn <= self.hwm:
-                self.dropped_stale += 1
-                continue
-            key = tuple(r[c] for c in self.key_cols)
-            cur = self.state.get(key)
-            if cur is None or lsn >= cur[0]:
-                if r[self.op_col] == "D":
-                    self.state.pop(key, None)
-                    # remember nothing: HWM ordering makes resurrection safe
-                else:
-                    self.state[key] = (lsn, r)
-            applied += 1
-        if rows:
-            self.hwm = max(self.hwm, rows[-1][self.lsn_col])
+        from ..stages.merge_apply import lww_reduce, merge_bucket_tables
+
+        if batch.num_rows == 0:
+            return {"applied": 0, "hwm": self.hwm, "keys": self._keys()}
+        if enforce_hwm and self.hwm >= 0:
+            fresh = batch.filter(pc.greater(batch.column(self.lsn_col), self.hwm))
+            self.dropped_stale += batch.num_rows - fresh.num_rows
+            batch = fresh
+        applied = batch.num_rows
+        if applied:
+            self.hwm = max(self.hwm, pc.max(batch.column(self.lsn_col)).as_py())
+            incoming = lww_reduce(batch, self.key_cols, self.lsn_col, self.op_col)
+            self.state = merge_bucket_tables(
+                self.state, incoming, self.key_cols, self.lsn_col, self.op_col
+            )
         self.applied += applied
-        return {"applied": applied, "hwm": self.hwm, "keys": len(self.state)}
+        return {"applied": applied, "hwm": self.hwm, "keys": self._keys()}
+
+    def _keys(self) -> int:
+        return self.state.num_rows if self.state is not None else 0
 
     def snapshot(self) -> pa.Table:
         """Current partition state as one Arrow table."""
-        if not self.state:
+        if self.state is None:
             return pa.table({})
-        rows = [dict(r, **{self.lsn_col: lsn}) for lsn, r in self.state.values()]
-        return pa.Table.from_pylist(rows)
+        return self.state
 
     def stats(self) -> dict:
         return {
             "hwm": self.hwm,
-            "keys": len(self.state),
+            "keys": self._keys(),
             "applied": self.applied,
             "dropped_stale": self.dropped_stale,
         }
