@@ -42,7 +42,7 @@ def curate_batch(batch: pa.Table) -> pa.Table:
     Transform chain. Tombstones (null content) pass through untouched."""
     import pyarrow.compute as _pc
 
-    from ..stages.text_stats import lang_id, quality_stats, winnow_fingerprint
+    from ..stages.text_stats import lang_id, quality_stats, winnow_fingerprints_batch
 
     live_mask = _pc.is_valid(batch.column("content"))
     live = batch.filter(live_mask)
@@ -50,7 +50,7 @@ def curate_batch(batch: pa.Table) -> pa.Table:
     if live.num_rows:
         live = quality_stats(live, "content")
         live = lang_id(live, "content", out_col="lang_pred")
-        fps = [winnow_fingerprint(t) for t in live.column("content").to_pylist()]
+        fps = winnow_fingerprints_batch(live.column("content").to_pylist())
         live = live.append_column("fingerprint", pa.array(fps, pa.list_(pa.int64())))
     if dead.num_rows == 0:
         return live
