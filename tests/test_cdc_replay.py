@@ -147,6 +147,36 @@ def test_schema_evolution_column_add(tmp_path):
     assert pc.count(stars, mode="only_valid").as_py() == 10
 
 
+def test_schema_evolution_type_widening(tmp_path):
+    """Epoch 1 carries an int32 'stars' column; epoch 2 widens it to int64
+    — merge unifies to int64 and both epochs' values survive."""
+    import pyarrow as pa
+
+    repos = generate_repos(n_files=30, seed=19)
+    events = generate_events(repos, update_frac=0, delete_frac=0, dup_frac=0, seed=19)
+    n = repos.num_rows
+    e1 = events.append_column("stars", pa.array([1] * n, pa.int32()))
+    log1 = str(tmp_path / "log1")
+    write_event_log(e1, log1, num_partitions=2)
+    table_dir = str(tmp_path / "table")
+    assert replay(log1, table_dir, num_buckets=2).committed
+
+    base = events.slice(0, 5)
+    e2 = base.set_column(
+        base.schema.get_field_index("lsn"), "lsn", pa.array([n + i for i in range(5)], pa.int64())
+    ).set_column(
+        base.schema.get_field_index("op"), "op", pa.array(["U"] * 5, pa.string())
+    ).append_column("stars", pa.array([2**40] * 5, pa.int64()))
+    log2 = str(tmp_path / "log2")
+    write_event_log(e2, log2, num_partitions=2)
+    assert replay(log2, table_dir, num_buckets=2).committed
+
+    snap = LakeTable(table_dir).snapshot_table()
+    assert snap.schema.field("stars").type == pa.int64()
+    vals = sorted(snap.column("stars").to_pylist())
+    assert vals.count(2**40) == 5 and vals.count(1) == n - 5
+
+
 def test_commit_is_atomic_and_staging_is_garbage(tmp_path):
     """An uncommitted staging epoch is invisible to snapshots."""
     repos = generate_repos(n_files=20, seed=3)
