@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--partitions", type=int, default=8)
 
+    ic = sub.add_parser("ingest-csv", help="CSV rows -> op=I change events (row index ≙ offset)")
+    ic.add_argument("--csv", required=True)
+    ic.add_argument("--log", required=True)
+    ic.add_argument("--partitions", type=int, default=8)
+
     r = sub.add_parser("replay", help="bounded replay into the lake upsert table")
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
@@ -71,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
         events = generate_events(repos, seed=args.seed)
         write_event_log(events, args.out, num_partitions=args.partitions)
         print(json.dumps({"files": repos.num_rows, "events": events.num_rows, "log": args.out}))
+        return 0
+
+    if args.cmd == "ingest-csv":
+        from .sources.csv_source import read_csv_table
+        from .sources.event_log import ingest_table_as_inserts
+
+        table = read_csv_table(args.csv)
+        next_lsn = ingest_table_as_inserts(table, args.log, num_partitions=args.partitions)
+        print(json.dumps({"rows": table.num_rows, "next_lsn": next_lsn, "log": args.log}))
         return 0
 
     if args.cmd == "replay":

@@ -277,13 +277,18 @@ def replay(
     batch_size: int | None = None,
     shuffle_partitions: int | None = None,
     shuffle: str = "disk",
+    mode: str = "upsert",
 ) -> ReplayResult:
     """Replay all events with ``lsn > table.hwm`` (bounded by ``target_lsn``)
     into the lake upsert table. Resumable + idempotent: re-running after a
     crash (or calling twice) applies each event exactly once."""
     t0 = time.perf_counter()
     lake = LakeTable(table_dir, num_buckets)
-    hwm = lake.hwm_lsn()
+    # Overwrite mode (the Mongo-sink semantics, kafka_jdd_to_mongo.rs:68-95):
+    # rebuild the table from the full replay window, discarding prior
+    # buckets — idempotent-by-truncation, but with an atomic manifest swap
+    # instead of a drop+insert gap.
+    hwm = -1 if mode == "overwrite" else lake.hwm_lsn()
     epoch = lake.current_epoch() + 1
 
     segs = select_segments(log_dir, hwm, target_lsn)
@@ -342,7 +347,7 @@ def replay(
         touched_x = sorted({int(r["xpart"]) for r in spilled})
         if not touched_x:
             return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
-        bucket_files = lake.bucket_files()
+        bucket_files = lake.bucket_files() if mode == "upsert" else {}
         merge_task = ray.remote(num_cpus=1)(_merge_xpart_task)
         futs = [
             merge_task.remote(os.path.join(shuffle_dir, f"xpart={x}"), bucket_files, staging)
@@ -364,7 +369,7 @@ def replay(
             batch_size=batch_size,
         )
         events_read = None
-        merger = make_bucket_merger(staging, lake.bucket_files())
+        merger = make_bucket_merger(staging, lake.bucket_files() if mode == "upsert" else {})
         ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         if shuffle_partitions is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -416,7 +421,7 @@ def replay(
         "lsn_window": [hwm, new_hwm],
         "log_dir": log_dir,
     }
-    committed = lake.commit_epoch(epoch, written, new_hwm, metrics, lineage)
+    committed = lake.commit_epoch(epoch, written, new_hwm, metrics, lineage, mode=mode)
     rows_total = sum(
         int(e["rows"]) for e in lake.manifests.read()["buckets"].values()
     )

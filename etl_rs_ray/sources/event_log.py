@@ -145,6 +145,27 @@ def read_event_log_table(log_dir: str, lsn_from=None, lsn_to=None) -> pa.Table:
     return t
 
 
+def ingest_table_as_inserts(
+    table: pa.Table,
+    log_dir: str,
+    num_partitions: int = 8,
+    start_lsn: int | None = None,
+) -> int:
+    """The csv->Kafka producer path (examples/csv_jdd_to_kafka.rs:7-37,
+    src/kafka.rs:24-41): every row becomes one op=I change event, LSN =
+    start offset + row index (the reference's key = row index). Appends
+    after the log's current tail when ``start_lsn`` is None. Returns the
+    next unused LSN."""
+    if start_lsn is None:
+        segs = list_segments(log_dir) if os.path.isdir(log_dir) else []
+        start_lsn = max((s.lsn_max for s in segs), default=-1) + 1
+    n = table.num_rows
+    table = table.add_column(0, "lsn", pa.array(range(start_lsn, start_lsn + n), pa.int64()))
+    table = table.add_column(1, "op", pa.array(["I"] * n, pa.string()))
+    EventLogWriter(log_dir, num_partitions).write(table)
+    return start_lsn + n
+
+
 class EventLogWriter:
     """Partitioned segment writer (the ``push_json_to_kafka`` analogue,
     src/kafka.rs:24-41: key -> partition, offset order within partition).
