@@ -225,15 +225,35 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 8,
     shingle_k: int = 5,
+    distributed_cc: bool = False,
 ):
     """Near-dup removal: shingle -> minhash -> banded LSH buckets ->
-    union-find -> keep the smallest id per cluster."""
+    connected components -> keep the smallest id per cluster.
+
+    ``distributed_cc=True`` runs the component fold as Ray-native
+    min-label propagation (stages/cc.py) instead of the driver union-find
+    — for corpora whose duplicate graph itself is too big to collect."""
     bands_ds = ds.map_batches(
         make_minhash_bands(text_col, id_col, num_perm, bands, shingle_k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    remove = _removal_set(_edges_from_buckets(bands_ds, id_col))
+    if distributed_cc:
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        from .cc import removal_set_distributed
+
+        edges = _edges_from_buckets(bands_ds, id_col)
+        if not edges:
+            return ds
+        t = _pa.table(
+            {"a": _pa.array([e[0] for e in edges], _pa.int64()),
+             "b": _pa.array([e[1] for e in edges], _pa.int64())}
+        )
+        remove = removal_set_distributed(t)
+    else:
+        remove = _removal_set(_edges_from_buckets(bands_ds, id_col))
     return _filter_removed(ds, id_col, remove) if remove else ds
 
 
