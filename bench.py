@@ -261,7 +261,9 @@ def main():
 
     import ray
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    # log_to_driver=False: raylet/worker warnings otherwise stream into THIS
+    # process's stdout and would corrupt the one-JSON-line contract
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False)
     try:
         cdc = run_cdc_replay(
             sf_dir,

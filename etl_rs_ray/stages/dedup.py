@@ -240,7 +240,6 @@ def minhash_lsh_dedup(
     )
     if distributed_cc:
         import pyarrow as _pa
-        import ray.data as _rd
 
         from .cc import removal_set_distributed
 
