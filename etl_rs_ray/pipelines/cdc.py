@@ -213,10 +213,15 @@ def _merge_xpart_task(
     key_cols=DEFAULT_KEY,
     lsn_col="lsn",
     op_col="op",
+    delta: bool = False,
 ) -> list[dict]:
     """Reduce side of the disk exchange (plain Ray task body): read one
     exchange partition's spilled files, then fold EACH contained lake
-    bucket with its stored state and write that bucket's new file."""
+    bucket with its stored state and write that bucket's new file.
+
+    ``delta=True`` (LSM mode) writes just the window's LWW winners —
+    tombstones INCLUDED so merge-on-read can delete base rows — without
+    touching the stored base."""
     files = sorted(
         os.path.join(xpart_dir, f) for f in os.listdir(xpart_dir) if f.endswith(".parquet")
     )
@@ -228,9 +233,12 @@ def _merge_xpart_task(
         incoming = data.filter(pc.equal(data.column("bucket"), b)).drop_columns(["bucket"])
         stats = LwwStats()
         incoming = lww_reduce(incoming, key_cols, lsn_col, op_col, stats=stats)
-        existing_file = bucket_files.get(b)
-        existing = pq.read_table(existing_file) if existing_file else None
-        merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
+        if delta:
+            merged = incoming
+        else:
+            existing_file = bucket_files.get(b)
+            existing = pq.read_table(existing_file) if existing_file else None
+            merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
         merged = merged.sort_by([(k, "ascending") for k in key_cols])
         filename = f"bucket-{b}.parquet"
         out = os.path.join(staging_dir, filename)
@@ -350,7 +358,10 @@ def replay(
         bucket_files = lake.bucket_files() if mode == "upsert" else {}
         merge_task = ray.remote(num_cpus=1)(_merge_xpart_task)
         futs = [
-            merge_task.remote(os.path.join(shuffle_dir, f"xpart={x}"), bucket_files, staging)
+            merge_task.remote(
+                os.path.join(shuffle_dir, f"xpart={x}"), bucket_files, staging,
+                delta=(mode == "delta"),
+            )
             for x in touched_x
         ]
         entries = [e for sub in ray.get(futs) for e in sub]
@@ -423,7 +434,8 @@ def replay(
     }
     committed = lake.commit_epoch(epoch, written, new_hwm, metrics, lineage, mode=mode)
     rows_total = sum(
-        int(e["rows"]) for e in lake.manifests.read()["buckets"].values()
+        int(e.get("rows", 0)) + int(e.get("delta_rows", 0))
+        for e in lake.manifests.read()["buckets"].values()
     )
     return ReplayResult(
         committed=committed,

@@ -56,28 +56,120 @@ class LakeTable:
         return {
             int(b): os.path.join(self.table_dir, e["file"])
             for b, e in m["buckets"].items()
+            if e.get("file")
         }
+
+    def bucket_file_sets(self, epoch: int | None = None) -> dict[int, list[str]]:
+        """Per bucket: [base?, *delta_files] — the merge-on-read unit."""
+        m = self.manifests.read(epoch)
+        if not m:
+            return {}
+        out = {}
+        for b, e in m["buckets"].items():
+            files = []
+            if e.get("file"):
+                files.append(os.path.join(self.table_dir, e["file"]))
+            files.extend(os.path.join(self.table_dir, f) for f in e.get("delta_files", []))
+            if files:
+                out[int(b)] = files
+        return out
+
+    def has_deltas(self, epoch: int | None = None) -> bool:
+        m = self.manifests.read(epoch)
+        return bool(m) and any(e.get("delta_files") for e in m["buckets"].values())
 
     def data_files(self, epoch: int | None = None) -> list[str]:
         return sorted(self.bucket_files(epoch).values())
 
-    def snapshot(self, columns: list[str] | None = None, epoch: int | None = None):
+    @staticmethod
+    def _merge_on_read(files: list[str], key_cols=("repo", "path", "commit")) -> pa.Table:
+        from ..stages.merge_apply import lww_reduce
+        from ..state.schema_evolution import unify_tables
+
+        t = unify_tables([pq.read_table(f) for f in files])
+        return lww_reduce(t, tuple(key_cols), drop_tombstones=True)
+
+    def snapshot(self, columns: list[str] | None = None, epoch: int | None = None,
+                 key_cols=("repo", "path", "commit")):
         """Table state as a streaming Ray Dataset. ``epoch`` gives time
-        travel to any retained manifest (lineage is per-epoch)."""
+        travel to any retained manifest (lineage is per-epoch). Buckets
+        with outstanding delta files are merged on read — one task per
+        bucket, no shuffle (bucket files are already key-partitioned)."""
         import ray.data
 
-        files = self.data_files(epoch)
-        if not files:
-            return ray.data.from_arrow(pa.schema([]).empty_table())
-        kwargs = {"columns": columns} if columns else {}
-        return ray.data.read_parquet(files, **kwargs)
+        if not self.has_deltas(epoch):
+            files = self.data_files(epoch)
+            if not files:
+                return ray.data.from_arrow(pa.schema([]).empty_table())
+            kwargs = {"columns": columns} if columns else {}
+            return ray.data.read_parquet(files, **kwargs)
 
-    def snapshot_table(self, epoch: int | None = None) -> pa.Table:
+        sets = self.bucket_file_sets(epoch)
+        items = [{"files": files} for files in sets.values()]
+        merge = self._merge_on_read
+
+        def read_bucket(batch: pa.Table) -> pa.Table:
+            tables = [merge(files.as_py(), key_cols) for files in batch.column("files")]
+            from ..state.schema_evolution import unify_tables
+
+            out = unify_tables(tables)
+            return out.select(columns) if columns else out
+
+        return ray.data.from_items(items).repartition(len(items)).map_batches(
+            read_bucket, batch_format="pyarrow", batch_size=None
+        )
+
+    def snapshot_table(self, epoch: int | None = None, key_cols=("repo", "path", "commit")) -> pa.Table:
         """Driver-side materialized snapshot (tests / small tables)."""
+        if self.has_deltas(epoch):
+            from ..state.schema_evolution import unify_tables
+
+            sets = self.bucket_file_sets(epoch)
+            if not sets:
+                return pa.schema([]).empty_table()
+            return unify_tables([self._merge_on_read(f, key_cols) for f in sets.values()])
         files = self.data_files(epoch)
         if not files:
             return pa.schema([]).empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+
+    def compact(self, key_cols=("repo", "path", "commit")) -> bool:
+        """Fold every bucket's delta files into a fresh base (one Ray task
+        per bucket) and commit — bounds read amplification after many
+        delta epochs."""
+        import ray
+
+        if not self.has_deltas():
+            return False
+        m = self.manifests.read()
+        epoch = self.current_epoch() + 1
+        staging = self.staging_dir(epoch)
+        sets = self.bucket_file_sets()
+        merge = self._merge_on_read
+
+        @ray.remote(num_cpus=1)
+        def compact_bucket(b: int, files: list[str], staging: str) -> dict:
+            t = merge(files, key_cols).sort_by([(k, "ascending") for k in key_cols])
+            filename = f"bucket-{b}.parquet"
+            out = os.path.join(staging, filename)
+            tmp = out + f".tmp-{os.getpid()}"
+            pq.write_table(t, tmp, row_group_size=128 * 1024)
+            os.replace(tmp, out)
+            return {"bucket": b, "filename": filename, "rows": t.num_rows}
+
+        entries = ray.get([compact_bucket.remote(b, files, staging) for b, files in sets.items()])
+        written = {
+            e["bucket"]: {
+                "filename": e["filename"],
+                "rows": e["rows"],
+                "hwm_lsn": int(m["buckets"][str(e["bucket"])].get("hwm_lsn", m["hwm_lsn"])),
+                "stats": {"compacted": True},
+            }
+            for e in entries
+        }
+        return self.commit_epoch(
+            epoch, written, m["hwm_lsn"], {"compaction": True}, {"source": "compact"}, mode="overwrite"
+        )
 
     def vacuum(self, keep_epochs: int = 1) -> list[str]:
         """Delete data files not referenced by the last ``keep_epochs``
@@ -96,9 +188,12 @@ class LakeTable:
                 continue
             if m is None:
                 continue
-            referenced.update(
-                os.path.join(self.table_dir, entry["file"]) for entry in m["buckets"].values()
-            )
+            for entry in m["buckets"].values():
+                if entry.get("file"):
+                    referenced.add(os.path.join(self.table_dir, entry["file"]))
+                referenced.update(
+                    os.path.join(self.table_dir, f) for f in entry.get("delta_files", [])
+                )
             kept += 1
         removed = []
         data_root = os.path.join(self.table_dir, "data")
@@ -147,13 +242,16 @@ class LakeTable:
 
         Idempotent: returns False without side effects if ``epoch`` is
         already committed. ``mode='upsert'`` replaces touched buckets
-        (copy-on-write); ``mode='overwrite'`` drops all previous buckets.
+        (copy-on-write); ``mode='overwrite'`` drops all previous buckets;
+        ``mode='delta'`` APPENDS each staged file to its bucket's delta
+        list (LSM-style: merge-on-read, no base rewrite — tombstones stay
+        in the delta files so reads can delete base rows).
         """
         if self.manifests.current_epoch() >= epoch:
             return False
         prev = self.manifests.read()
         buckets: dict[str, dict] = {}
-        if prev and mode == "upsert":
+        if prev and mode in ("upsert", "delta"):
             buckets.update({str(k): dict(v) for k, v in prev["buckets"].items()})
 
         data_dir = os.path.join(self.table_dir, "data", f"epoch-{epoch}")
@@ -161,7 +259,7 @@ class LakeTable:
         staging = self.staging_dir(epoch)
         for b, entry in written_buckets.items():
             staged = os.path.join(staging, entry["filename"])
-            if entry.get("rows", 0) == 0:
+            if mode != "delta" and entry.get("rows", 0) == 0:
                 # bucket became empty (all keys tombstoned) -> drop it
                 buckets.pop(str(b), None)
                 if os.path.exists(staged):
@@ -173,12 +271,20 @@ class LakeTable:
                 os.replace(staged, final_abs)
             elif not os.path.exists(final_abs):
                 raise FileNotFoundError(f"bucket {b}: neither staged nor final file exists: {staged}")
-            buckets[str(b)] = {
-                "file": final_rel,
-                "rows": int(entry["rows"]),
-                "hwm_lsn": int(entry.get("hwm_lsn", hwm_lsn)),
-                "stats": entry.get("stats", {}),
-            }
+            if mode == "delta":
+                cur = buckets.get(str(b), {"file": None, "rows": 0, "delta_files": []})
+                cur.setdefault("delta_files", [])
+                cur["delta_files"].append(final_rel)
+                cur["hwm_lsn"] = int(entry.get("hwm_lsn", hwm_lsn))
+                cur["delta_rows"] = int(cur.get("delta_rows", 0)) + int(entry["rows"])
+                buckets[str(b)] = cur
+            else:
+                buckets[str(b)] = {
+                    "file": final_rel,
+                    "rows": int(entry["rows"]),
+                    "hwm_lsn": int(entry.get("hwm_lsn", hwm_lsn)),
+                    "stats": entry.get("stats", {}),
+                }
         shutil.rmtree(staging, ignore_errors=True)
         manifest = {
             "num_buckets": self.num_buckets,
