@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--target-lsn", type=int, default=None)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--curate", action="store_true")
+    r.add_argument("--mode", choices=["upsert", "overwrite", "delta"], default="upsert")
+
+    cp = sub.add_parser("compact", help="fold delta files into fresh bucket bases")
+    cp.add_argument("--table", required=True)
 
     t = sub.add_parser("tail", help="streaming actor-pool merge of the log")
     t.add_argument("--log", required=True)
@@ -97,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
             target_lsn=args.target_lsn,
             num_buckets=args.buckets,
             normalize=curate_batch if args.curate else None,
+            mode=args.mode,
         )
         print(
             json.dumps(
@@ -142,6 +147,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": snap.num_rows, "epoch": lake.current_epoch(), "metrics": lake.metrics()}))
         for row in snap.slice(0, args.limit).to_pylist():
             print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}))
+        return 0
+
+    if args.cmd == "compact":
+        _init_ray(args.num_cpus)
+        from .sources.lake import LakeTable
+
+        did = LakeTable(args.table).compact()
+        print(json.dumps({"compacted": did}))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "vacuum":
