@@ -154,13 +154,29 @@ def ids_to_remove(clusters: dict[str, dict]) -> set[str]:
     return out
 
 
+# Pair detection is O(n²) within a Nom group — faithful to the reference's
+# per-partition cross join (transform_hdd_deduplication.rs:24-66). A
+# pathological hot key (e.g. 100k rows sharing one Nom) would stall a
+# reducer for hours in EITHER engine; beyond this cap the group passes
+# through un-deduplicated instead of hanging the job.
+MAX_GROUP_SIZE = 10_000
+
+
 def dedup_group(group: pa.Table) -> pa.Table:
-    """map_groups body: pass through singleton / null-Nom groups; otherwise
-    replace clustered rows with merged rows (D3-D8 + reconciliation D11)."""
+    """map_groups body: pass through singleton / null-Nom / oversized
+    groups; otherwise replace clustered rows with merged rows (D3-D8 +
+    reconciliation D11)."""
     rows = [dict(r) for r in group.select([c for c in OUTPUT_COLUMNS if c != IDS]).to_pylist()]
     out_rows: list[dict]
     nom = rows[0][NOM] if rows else None
-    if nom is None or len(rows) <= 1:
+    if nom is None or len(rows) <= 1 or len(rows) > MAX_GROUP_SIZE:
+        if len(rows) > MAX_GROUP_SIZE:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dedup: Nom group %r has %d rows (> %d cap) — passing through",
+                nom, len(rows), MAX_GROUP_SIZE,
+            )
         out_rows = [dict(r, **{IDS: None}) for r in rows]
     else:
         pairs = detect_pairs(rows)
