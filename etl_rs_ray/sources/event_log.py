@@ -156,6 +156,12 @@ def ingest_table_as_inserts(
     start offset + row index (the reference's key = row index). Appends
     after the log's current tail when ``start_lsn`` is None. Returns the
     next unused LSN."""
+    missing = {"repo", "path", "commit"} - set(table.column_names)
+    if missing:
+        raise ValueError(
+            f"ingest requires the source-repo key columns (BASELINE.json "
+            f"input_hint schema); missing: {sorted(missing)}"
+        )
     if start_lsn is None:
         segs = list_segments(log_dir) if os.path.isdir(log_dir) else []
         start_lsn = max((s.lsn_max for s in segs), default=-1) + 1

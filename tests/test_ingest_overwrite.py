@@ -38,6 +38,14 @@ def test_ingest_appends_after_tail(tmp_path):
     assert res.committed and res.rows_total == 15
 
 
+def test_ingest_rejects_non_repo_schema(tmp_path):
+    import pytest
+
+    bad = pa.table({"x": [1, 2], "y": ["a", "b"]})
+    with pytest.raises(ValueError, match="key columns"):
+        ingest_table_as_inserts(bad, str(tmp_path / "log"))
+
+
 def test_overwrite_replay_rebuilds_from_window(tmp_path):
     repos = generate_repos(n_files=40, seed=23)
     events = generate_events(repos, update_frac=0.3, delete_frac=0.1, dup_frac=0, seed=23)
