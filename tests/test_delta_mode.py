@@ -69,6 +69,37 @@ def test_delta_epochs_match_oracle_and_keep_base(tmp_path):
     assert not r3.committed  # nothing new
 
 
+def test_many_delta_epochs_then_compact_and_vacuum(tmp_path):
+    events, log_dir = _setup(tmp_path, n=150, seed=37)
+    max_lsn = pc.max(events.column("lsn")).as_py()
+    cuts = [max_lsn // 4, max_lsn // 2, 3 * max_lsn // 4, None]
+    table_dir = str(tmp_path / "table")
+    r = replay(log_dir, table_dir, target_lsn=cuts[0], num_buckets=3)
+    assert r.committed
+    for cut in cuts[1:]:
+        r = replay(log_dir, table_dir, target_lsn=cut, num_buckets=3, mode="delta")
+        assert r.committed
+    lake = LakeTable(table_dir)
+    # several delta files per bucket accumulated
+    assert max(len(v) for v in lake.bucket_file_sets().values()) >= 3
+    want = _oracle_state(events)
+    assert _state(lake.snapshot_table()) == want
+    assert lake.compact()
+    lake = LakeTable(table_dir)
+    assert not lake.has_deltas()
+    assert _state(lake.snapshot_table()) == want
+    # vacuum removes the superseded base + delta files, keeps current state
+    removed = lake.vacuum(keep_epochs=1)
+    assert removed
+    lake = LakeTable(table_dir)
+    assert _state(lake.snapshot_table()) == want
+    import os as _os
+
+    for files in lake.bucket_file_sets().values():
+        for f in files:
+            assert _os.path.exists(f)
+
+
 def test_delta_tombstones_delete_base_rows(tmp_path):
     events, log_dir = _setup(tmp_path, n=80, seed=33)
     max_lsn = pc.max(events.column("lsn")).as_py()
