@@ -44,6 +44,9 @@ class PartitionMerger:
         self.lsn_col = lsn_col
         self.op_col = op_col
         self.state: pa.Table | None = None  # live rows only, LWW-collapsed
+        # change set since the last delta flush: LWW winners INCLUDING
+        # tombstones — exactly what a lake delta epoch appends
+        self.dirty: pa.Table | None = None
         self.hwm = -1
         self.applied = 0
         self.dropped_stale = 0
@@ -71,8 +74,22 @@ class PartitionMerger:
             self.state = merge_bucket_tables(
                 self.state, incoming, self.key_cols, self.lsn_col, self.op_col
             )
+            if self.dirty is None:
+                self.dirty = incoming
+            else:
+                from ..state.schema_evolution import unify_tables
+
+                self.dirty = lww_reduce(
+                    unify_tables([self.dirty, incoming]), self.key_cols, self.lsn_col, self.op_col
+                )
         self.applied += applied
         return {"applied": applied, "hwm": self.hwm, "keys": self._keys()}
+
+    def take_dirty(self) -> pa.Table:
+        """Return-and-clear the change set since the last delta flush."""
+        d = self.dirty if self.dirty is not None else pa.table({})
+        self.dirty = None
+        return d
 
     def _keys(self) -> int:
         return self.state.num_rows if self.state is not None else 0
@@ -173,6 +190,41 @@ class StreamingMerge:
         }
         return lake.commit_epoch(
             epoch, written, hwm, metrics, {"source": "streaming-pool"}, mode="overwrite"
+        )
+
+    def flush_delta_to_lake(self, table_dir: str) -> bool:
+        """Append only the changes since the last flush as one LSM delta
+        epoch (tombstones included) — O(changes), not O(table), per flush.
+        Snapshot reads merge-on-read; compact folds when deltas pile up."""
+        import pyarrow.parquet as pq
+
+        from ..sources.lake import LakeTable
+
+        lake = LakeTable(table_dir, self.num_partitions)
+        epoch = lake.current_epoch() + 1
+        staging = lake.staging_dir(epoch)
+        dirties = ray.get([a.take_dirty.remote() for a in self.actors])
+        stats = ray.get([a.stats.remote() for a in self.actors])
+        written = {}
+        import os
+
+        for p, (d, st) in enumerate(zip(dirties, stats)):
+            if d.num_rows == 0:
+                continue
+            d = d.sort_by([(k, "ascending") for k in self.key_cols])
+            filename = f"bucket-{p}.parquet"
+            pq.write_table(d, os.path.join(staging, filename))
+            written[p] = {
+                "filename": filename,
+                "rows": d.num_rows,
+                "hwm_lsn": st["hwm"],
+                "stats": {"delta_flush": True},
+            }
+        if not written:
+            return False
+        hwm = max((st["hwm"] for st in stats), default=-1)
+        return lake.commit_epoch(
+            epoch, written, hwm, {"delta_flush": True}, {"source": "streaming-pool"}, mode="delta"
         )
 
     def shutdown(self):

@@ -56,6 +56,43 @@ def test_streaming_exactly_once_on_redelivery(data):
         sm.shutdown()
 
 
+def test_streaming_delta_flushes_match_oracle(data, tmp_path):
+    """Tail in windows, delta-flush after each: the lake (merge-on-read)
+    must track the oracle at every flush point, and compaction preserves
+    the final state."""
+    import pyarrow.compute as pc
+
+    from etl_rs_ray.datagen import oracle_replay
+    from etl_rs_ray.sources.lake import LakeTable
+
+    events = data["events"]
+    max_lsn = pc.max(events.column("lsn")).as_py()
+    table_dir = str(tmp_path / "table")
+    sm = StreamingMerge(num_partitions=3)
+    try:
+        cuts = [max_lsn // 3, 2 * max_lsn // 3, None]
+        prev = None
+        for cut in cuts:
+            sm.tail(data["log_dir"], lsn_from=prev, lsn_to=cut, micro_batch_rows=300)
+            prev = cut
+            assert sm.flush_delta_to_lake(table_dir)
+            lake = LakeTable(table_dir)
+            want = {
+                k: (lsn, lang, content)
+                for k, (lsn, lang, content) in oracle_replay(events, lsn_to=cut).items()
+            }
+            got = _to_state(lake.snapshot_table())
+            assert got == want
+        lake = LakeTable(table_dir)
+        assert lake.has_deltas()
+        assert lake.compact()
+        assert _to_state(LakeTable(table_dir).snapshot_table()) == oracle_replay(events)
+        # nothing dirty left -> flush is a no-op
+        assert not sm.flush_delta_to_lake(table_dir)
+    finally:
+        sm.shutdown()
+
+
 def test_streaming_incremental_windows_match_full(data):
     import pyarrow.compute as pc
 
