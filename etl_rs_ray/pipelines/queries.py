@@ -140,11 +140,13 @@ def events_lww_state(sf_dir: str):
         t = t.filter(_first_per_key_mask(t, ("user_id",)))
         return t.filter(pc.not_equal(t.column("event_type"), "error"))
 
+    # partial-aggregate-then-gather: the per-batch combiner leaves at most
+    # (distinct users x blocks) rows and user_id cardinality is bounded, so
+    # the final reduce fits one block — no keyed shuffle needed. (The CDC
+    # engine's hash exchange is the unbounded-key path.)
     ds = ds.map_batches(precompact, batch_format="pyarrow", zero_copy_batch=True)
-    ds = _hash_shuffle(ds)
-    nparts = _partitions(rows=_table_rows(sf_dir, "events"))
-    return ds.groupby("user_id", num_partitions=nparts).map_groups(
-        finalize, batch_format="pyarrow"
+    return ds.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -162,11 +164,11 @@ def events_exact_dedup(sf_dir: str):
         t = t.take(idx)
         return t.filter(_first_per_key_mask(t, key))
 
+    # bounded key domain (users x event types): partial dedup per batch,
+    # then a single-block final pass — no keyed shuffle
     ds = ds.map_batches(first_per_key, batch_format="pyarrow", zero_copy_batch=True)
-    ds = _hash_shuffle(ds)
-    nparts = _partitions(rows=_table_rows(sf_dir, "events"))
-    return ds.groupby(list(key), num_partitions=nparts).map_groups(
-        first_per_key, batch_format="pyarrow"
+    return ds.repartition(1).map_batches(
+        first_per_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
