@@ -29,6 +29,28 @@ def _init_ray(num_cpus: int | None):
         ray.init(address="local", **kwargs)
 
 
+def run_tail(log: str, table: str, partitions: int = 8, micro_batch_rows: int = 50_000) -> dict:
+    """One bounded streaming tail: pool-merge new events (lsn > table HWM)
+    and persist. Bootstrap (empty table) flushes the pool's full state as
+    an overwrite epoch; incremental tails append a DELTA epoch — the
+    pool's state holds only this window's keys, so an overwrite here would
+    wipe every previously committed row (ADVICE r1: cli.py:133)."""
+    from .sources.lake import LakeTable
+    from .stages.streaming import StreamingMerge
+
+    sm = StreamingMerge(num_partitions=partitions)
+    try:
+        hwm = LakeTable(table).hwm_lsn()
+        sm.tail(log, lsn_from=hwm if hwm >= 0 else None, micro_batch_rows=micro_batch_rows)
+        if hwm >= 0:
+            sm.flush_delta_to_lake(table)
+        else:
+            sm.flush_to_lake(table)
+        return sm.stats() | {"table": table}
+    finally:
+        sm.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="etl_rs_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -122,18 +144,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "tail":
         _init_ray(args.num_cpus)
-        from .stages.streaming import StreamingMerge
-
-        sm = StreamingMerge(num_partitions=args.partitions)
         try:
-            from .sources.lake import LakeTable
-
-            hwm = LakeTable(args.table).hwm_lsn()
-            sm.tail(args.log, lsn_from=hwm if hwm >= 0 else None, micro_batch_rows=args.micro_batch_rows)
-            sm.flush_to_lake(args.table)
-            print(json.dumps(sm.stats() | {"table": args.table}))
+            print(json.dumps(run_tail(args.log, args.table, args.partitions, args.micro_batch_rows)))
         finally:
-            sm.shutdown()
             import ray
 
             ray.shutdown()

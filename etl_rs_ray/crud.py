@@ -107,6 +107,16 @@ class CrudStore:
         rows = self.list(filters=filters, order_bys=order_bys, limit=1)
         return rows[0] if rows else None
 
+    @staticmethod
+    def _apply_filters(t: pa.Table, filters: dict | None) -> pa.Table:
+        if not filters or t.num_rows == 0:
+            return t
+        expr = None
+        for col, val in filters.items():
+            e = pads.field(col) == val
+            expr = e if expr is None else expr & e
+        return pads.dataset(t).to_table(filter=expr)
+
     def list(
         self,
         filters: dict | None = None,
@@ -115,15 +125,9 @@ class CrudStore:
         offset: int = 0,
     ) -> list[dict]:
         limit = LIST_LIMIT_DEFAULT if limit is None else min(limit, LIST_LIMIT_MAX)
-        t = self._snapshot()
+        t = self._apply_filters(self._snapshot(), filters)
         if t.num_rows == 0:
             return []
-        if filters:
-            expr = None
-            for col, val in filters.items():
-                e = pads.field(col) == val
-                expr = e if expr is None else expr & e
-            t = pads.dataset(t).to_table(filter=expr)
         if order_bys:
             keys = []
             for ob in order_bys:
@@ -135,4 +139,6 @@ class CrudStore:
         return t.slice(offset, limit).to_pylist()
 
     def count(self, filters: dict | None = None) -> int:
-        return len(self.list(filters=filters, limit=LIST_LIMIT_MAX))
+        """TRUE row count of the filtered snapshot — NOT limited by the
+        list cap (crud_fns.rs:281-308 counts the full filtered set)."""
+        return self._apply_filters(self._snapshot(), filters).num_rows

@@ -87,26 +87,41 @@ def make_precompact(num_buckets: int, key_cols=DEFAULT_KEY, lsn_col="lsn", op_co
     return precompact
 
 
+def _read_bucket_state(files: list[str] | None, key_cols, lsn_col, op_col) -> pa.Table | None:
+    """Stored state of one bucket = merge-on-read of [base?, *deltas].
+
+    Upsert epochs REPLACE a touched bucket's manifest entry, so any
+    outstanding delta files must be folded in here or their rows are
+    silently lost (ADVICE r1: cdc.py:358)."""
+    if not files:
+        return None
+    if len(files) == 1:
+        return pq.read_table(files[0])
+    from ..state.schema_evolution import unify_tables
+
+    t = unify_tables([pq.read_table(f) for f in files])
+    # deltas carry tombstones; folding drops them from the stored state
+    return lww_reduce(t, key_cols, lsn_col, op_col, drop_tombstones=True)
+
+
 def make_bucket_merger(
     staging_dir: str,
-    bucket_files: dict[int, str],
+    bucket_files: dict[int, list[str]],
     key_cols=DEFAULT_KEY,
     lsn_col="lsn",
     op_col="op",
 ):
     """Group reducer: merge one bucket's incoming winners into its stored
-    state, write the new bucket file to a deterministic staging path
-    (retry-idempotent), emit one manifest-entry row."""
+    state (base + any delta files, merge-on-read), write the new bucket
+    file to a deterministic staging path (retry-idempotent), emit one
+    manifest-entry row."""
 
     def merge_group(group: pa.Table) -> pa.Table:
         b = group.column("bucket")[0].as_py()
         incoming = group.drop_columns(["bucket"])
         stats = LwwStats()
         incoming = lww_reduce(incoming, key_cols, lsn_col, op_col, stats=stats)
-        existing = None
-        path = bucket_files.get(b)
-        if path is not None:
-            existing = pq.read_table(path)
+        existing = _read_bucket_state(bucket_files.get(b), key_cols, lsn_col, op_col)
         merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
         # deterministic bytes: retried tasks must re-produce identical files
         merged = merged.sort_by([(k, "ascending") for k in key_cols])
@@ -236,8 +251,7 @@ def _merge_xpart_task(
         if delta:
             merged = incoming
         else:
-            existing_file = bucket_files.get(b)
-            existing = pq.read_table(existing_file) if existing_file else None
+            existing = _read_bucket_state(bucket_files.get(b), key_cols, lsn_col, op_col)
             merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
         merged = merged.sort_by([(k, "ascending") for k in key_cols])
         filename = f"bucket-{b}.parquet"
@@ -299,9 +313,21 @@ def replay(
     hwm = -1 if mode == "overwrite" else lake.hwm_lsn()
     epoch = lake.current_epoch() + 1
 
+    def _noop() -> ReplayResult:
+        m = lake.manifests.read()
+        rows = (
+            sum(int(e.get("rows", 0)) + int(e.get("delta_rows", 0)) for e in m["buckets"].values())
+            if m
+            else 0
+        )
+        return ReplayResult(
+            False, lake.current_epoch(), hwm, rows_total=rows,
+            wall_seconds=time.perf_counter() - t0,
+        )
+
     segs = select_segments(log_dir, hwm, target_lsn)
     if not segs:
-        return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
+        return _noop()
 
     import ray
 
@@ -354,8 +380,8 @@ def replay(
         events_read = sum(int(r["raw_events"]) for r in spilled)
         touched_x = sorted({int(r["xpart"]) for r in spilled})
         if not touched_x:
-            return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
-        bucket_files = lake.bucket_files() if mode == "upsert" else {}
+            return _noop()
+        bucket_files = lake.bucket_file_sets() if mode == "upsert" else {}
         merge_task = ray.remote(num_cpus=1)(_merge_xpart_task)
         futs = [
             merge_task.remote(
@@ -380,7 +406,7 @@ def replay(
             batch_size=batch_size,
         )
         events_read = None
-        merger = make_bucket_merger(staging, lake.bucket_files() if mode == "upsert" else {})
+        merger = make_bucket_merger(staging, lake.bucket_file_sets() if mode == "upsert" else {})
         ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         if shuffle_partitions is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -394,7 +420,7 @@ def replay(
             raise RuntimeError(f"bucket group split across reducers: {sorted(seen)}")
 
     if not entries:
-        return ReplayResult(False, lake.current_epoch(), hwm, wall_seconds=time.perf_counter() - t0)
+        return _noop()
 
     written = {
         int(e["bucket"]): {

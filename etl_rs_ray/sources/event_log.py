@@ -23,7 +23,9 @@ from __future__ import annotations
 import os
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -45,20 +47,74 @@ KEY_COLS = ("repo", "path", "commit")
 _SEG_RE = re.compile(r"seg-(\d+)-(\d+)\.parquet$")
 
 
+# Identity of the persisted bucket partitioner. Bucket assignment is durable
+# table layout: a key's stored row and its future events must land in the
+# same bucket FOREVER, so the hash must be pinned to an algorithm this repo
+# owns (library hashes — polars/pandas — do not guarantee cross-version
+# stability). The id is recorded in every lake manifest; LakeTable refuses
+# to open a table written with a different partitioner.
+PARTITIONER_ID = "poly64-v1"
+
+_POLY_B = np.uint64(1099511628211)  # FNV-64 prime as the polynomial base
+
+
+@lru_cache(maxsize=None)
+def _poly_pows(k: int) -> "np.ndarray":
+    out = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wrap-around IS the modulus
+        for i in range(k):
+            out[i] = acc
+            acc = acc * _POLY_B
+    return out
+
+
+def _splitmix64(h: "np.ndarray") -> "np.ndarray":
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def stable_hash64(arr: pa.Array | pa.ChunkedArray) -> "np.ndarray":
+    """Version-stable vectorized string hash (the ``poly64-v1`` partitioner):
+    polynomial rolling hash over the utf-8 bytes (base = FNV-64 prime,
+    modulus 2^64) finalized with a splitmix64 mixer. Implemented with
+    numpy segment ops — no per-row Python — and owned by this repo, so the
+    mapping key->bucket can never drift under a library upgrade."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = arr.cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lengths = np.diff(offs)
+    start, stop = int(offs[0]), int(offs[-1])
+    if stop == start:  # all rows empty
+        return _splitmix64(np.zeros(n, dtype=np.uint64))
+    seg = data[start:stop].astype(np.uint64)
+    # exponent of byte at global position g in row r: offs[r+1]-1-g
+    ends = np.repeat(offs[1:], lengths)
+    g = np.arange(start, stop, dtype=np.int64)
+    terms = seg * _poly_pows(int(lengths.max()))[ends - 1 - g]
+    h = np.add.reduceat(terms, offs[:-1] - start)
+    h[lengths == 0] = 0  # reduceat repeats the next segment for empty rows
+    return _splitmix64(h.astype(np.uint64) + lengths.astype(np.uint64))
+
+
 def fast_hash_bucket(repo: pa.Array, path: pa.Array, num_buckets: int) -> pa.Array:
-    """Vectorized key-hash partitioner.
-
-    Uses polars' seeded string hash: value-pure (the hash of a value never
-    depends on its neighbors) and stable across processes — both required
-    for a shuffle key. (pandas.util.hash_array is NOT value-pure through
-    its categorize path and must not be used here.)
-    """
-    import numpy as np
-    import polars as pl
-
+    """Vectorized key-hash partitioner (``poly64-v1``): value-pure (the
+    hash of a value never depends on its neighbors), stable across
+    processes AND library versions — all required for a durable shuffle
+    key. (pandas.util.hash_array is NOT value-pure through its categorize
+    path; polars' seeded hash is not guaranteed stable across versions.)"""
     joined = pc.binary_join_element_wise(repo, path, "\x00")
-    arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
-    h = pl.from_arrow(arr).hash(seed=42).to_numpy()
+    h = stable_hash64(joined)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 

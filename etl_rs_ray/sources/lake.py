@@ -26,6 +26,7 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..sources.event_log import PARTITIONER_ID
 from ..state.manifest import ManifestStore
 
 
@@ -37,6 +38,16 @@ class LakeTable:
         m = self.manifests.read()
         if m is not None:
             self.num_buckets = int(m["num_buckets"])
+            # bucket layout is durable: refuse to merge into a table laid
+            # out by a different key-hash (silent cross-bucket duplicates
+            # otherwise — ADVICE r1)
+            stored = m.get("partitioner", PARTITIONER_ID)
+            if stored != PARTITIONER_ID:
+                raise ValueError(
+                    f"table {table_dir} was written with partitioner "
+                    f"{stored!r}; this engine uses {PARTITIONER_ID!r} — "
+                    "rewrite the table (overwrite replay) before upserting"
+                )
         else:
             self.num_buckets = num_buckets
 
@@ -288,6 +299,7 @@ class LakeTable:
         shutil.rmtree(staging, ignore_errors=True)
         manifest = {
             "num_buckets": self.num_buckets,
+            "partitioner": PARTITIONER_ID,
             "mode": mode,
             "buckets": buckets,
             "hwm_lsn": int(hwm_lsn),

@@ -86,10 +86,47 @@ class PartitionMerger:
         return {"applied": applied, "hwm": self.hwm, "keys": self._keys()}
 
     def take_dirty(self) -> pa.Table:
-        """Return-and-clear the change set since the last delta flush."""
+        """Return-and-clear the change set since the last delta flush.
+
+        DANGER: clearing before the manifest commit loses the changes if
+        the commit fails — use peek_dirty()/confirm_flush() (two-phase)
+        for durable flushes. Kept for tests/ad-hoc inspection."""
         d = self.dirty if self.dirty is not None else pa.table({})
         self.dirty = None
         return d
+
+    def peek_dirty(self) -> pa.Table:
+        """Phase 1 of a durable flush: return the change set WITHOUT
+        clearing it, remembering what was handed out."""
+        d = self.dirty if self.dirty is not None else pa.table({})
+        self._pending_flush = d
+        return d
+
+    def confirm_flush(self) -> int:
+        """Phase 2, called only after the lake manifest commit succeeded:
+        drop the peeked rows from the dirty set. Rows that arrived (or
+        were LWW-overwritten to a newer LSN) between peek and confirm
+        stay dirty — identified by their (key, lsn) not being in the
+        flushed set. Returns rows still dirty."""
+        pending = getattr(self, "_pending_flush", None)
+        self._pending_flush = None
+        if pending is None or pending.num_rows == 0 or self.dirty is None:
+            return self.dirty.num_rows if self.dirty is not None else 0
+        cols = [*self.key_cols, self.lsn_col]
+
+        def tag(t: pa.Table) -> pa.Array:
+            parts = [pc.cast(t.column(c), pa.string()) for c in cols]
+            joined = parts[0]
+            for p in parts[1:]:
+                joined = pc.binary_join_element_wise(joined, p, "\x00", null_handling="replace", null_replacement="\x01")
+            return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+
+        flushed = pc.is_in(tag(self.dirty), value_set=tag(pending))
+        self.dirty = self.dirty.filter(pc.invert(flushed))
+        if self.dirty.num_rows == 0:
+            self.dirty = None
+            return 0
+        return self.dirty.num_rows
 
     def _keys(self) -> int:
         return self.state.num_rows if self.state is not None else 0
@@ -203,7 +240,10 @@ class StreamingMerge:
         lake = LakeTable(table_dir, self.num_partitions)
         epoch = lake.current_epoch() + 1
         staging = lake.staging_dir(epoch)
-        dirties = ray.get([a.take_dirty.remote() for a in self.actors])
+        # two-phase: peek (state kept in the actors), stage + commit, and
+        # only clear the actors' dirty sets once the manifest commit
+        # succeeded — a crash in between re-flushes instead of losing rows
+        dirties = ray.get([a.peek_dirty.remote() for a in self.actors])
         stats = ray.get([a.stats.remote() for a in self.actors])
         written = {}
         import os
@@ -223,9 +263,12 @@ class StreamingMerge:
         if not written:
             return False
         hwm = max((st["hwm"] for st in stats), default=-1)
-        return lake.commit_epoch(
+        committed = lake.commit_epoch(
             epoch, written, hwm, {"delta_flush": True}, {"source": "streaming-pool"}, mode="delta"
         )
+        if committed:
+            ray.get([a.confirm_flush.remote() for a in self.actors])
+        return committed
 
     def shutdown(self):
         for a in self.actors:
