@@ -364,6 +364,182 @@ def ngram_jaccard_dedup(
     return _filter_removed(ds, id_col, remove) if remove else ds
 
 
+# --- SQL-mirrorable pairwise-dominated variants ------------------------------
+#
+# The CC-based operators above use repo-internal hashes (poly64/crc32) and a
+# transitive union-find — fast, but not reproducible by a SQL engine, so the
+# driver can only run a rows-only check on them. These variants trade both
+# choices for full DuckDB-oracle checkability (CORRECTNESS hash match):
+#
+# - fingerprints built from md5 (DuckDB ``md5_number_lower`` == the upper 8
+#   digest bytes little-endian, pinned by test),
+# - 31-bit permutation constants so ``a*h + b`` stays inside int64 for both
+#   numpy and SQL BIGINT arithmetic,
+# - the removal rule is PAIRWISE-DOMINATED, not transitive: a doc is removed
+#   iff some bucket it occupies contains a smaller doc_id (equivalently: it
+#   has a direct smaller near-duplicate neighbor). No connected components,
+#   so the whole operator is one bands shuffle + one broadcast filter — and
+#   expressible as pure SQL. Chains (A~B, B~C, but A!~C) keep C's bucket-
+#   mates only; the transitive variants above collapse the whole component.
+
+
+def md5_u64(s: str) -> int:
+    """Matches DuckDB 's ``md5_number_lower``: upper 8 md5 digest bytes,
+    little-endian (pinned by tests/test_dedup_family.py)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+MINHASH_P31 = (1 << 61) - 1
+
+
+def minhash_perms31(num_perm: int = 64, seed: int = 7):
+    """Permutation constants bounded to 31/30 bits: a*h+b < 2^62 for 32-bit
+    shingle hashes, exact in both numpy int64 and SQL BIGINT."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 30, num_perm, dtype=np.int64)
+    b = rng.integers(0, 1 << 30, num_perm, dtype=np.int64)
+    return a, b
+
+
+def word_shingle_list(text: str, n: int = 3) -> list[str]:
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return []
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def make_minhash_bands_pairwise(text_col: str, id_col: str, num_perm: int, bands: int):
+    """map_batches fn: (band, sig, id) rows; sig is the '-'-joined band
+    chunk of the minhash signature (string — SQL string_agg mirrors it)."""
+    rows_per_band = num_perm // bands
+    a, b = minhash_perms31(num_perm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_band, out_sig, out_id = [], [], []
+        for doc_id, text in zip(ids, texts):
+            if text is None:
+                continue
+            hs = np.array([md5_u64(s) & 0xFFFFFFFF for s in word_shingle_list(text)], dtype=np.int64)
+            if len(hs) == 0:
+                continue  # no shingles -> no bands -> survives
+            sig = ((a[:, None] * hs[None, :] + b[:, None]) % MINHASH_P31).min(axis=1)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                out_band.append(bi)
+                out_sig.append("-".join(str(int(v)) for v in chunk))
+                out_id.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "sig": pa.array(out_sig, pa.string()),
+                id_col: pa.array(out_id),
+            }
+        )
+
+    return fn
+
+
+def _pairwise_removal(bands_ds, id_col: str, max_bucket: int = 1000) -> set:
+    """Removal set under the pairwise-dominated rule: every non-min member
+    of every (band, sig) bucket (bucket size capped against mega-buckets)."""
+
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column(id_col).to_pylist())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        return pa.table({id_col: pa.array(ids[1:], pa.int64())})
+
+    bands_ds = _hash_shuffle(bands_ds)
+    losers = bands_ds.groupby(["band", "sig"], num_partitions=_group_partitions()).map_groups(
+        bucket_losers, batch_format="pyarrow"
+    )
+    return {r[id_col] for r in losers.take_all()}
+
+
+def minhash_dedup_pairwise(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 8,
+):
+    """MinHash LSH dedup, pairwise-dominated removal (SQL-checkable)."""
+    bands_ds = ds.map_batches(
+        make_minhash_bands_pairwise(text_col, id_col, num_perm, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    remove = _pairwise_removal(bands_ds, id_col)
+    return _filter_removed(ds, id_col, remove) if remove else ds
+
+
+def simhash64_md5(text: str) -> int:
+    """64-bit token simhash over md5 token hashes (duplicates counted) —
+    vectorized bit spread, reproducible in SQL via md5_number_lower."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0
+    th = np.array([md5_u64(t) for t in toks], dtype=np.uint64)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)  # (64,)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def simhash_dedup_pairwise(
+    ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+):
+    """SimHash near-dup, pairwise-dominated removal: a doc is dropped iff
+    some smaller-id doc shares one of its 4 16-bit bands AND is within
+    ``max_hamming`` of its full signature (SQL-checkable)."""
+
+    def add_bands(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        ob, oh, oid, osig = [], [], [], []
+        for did, t in zip(ids, texts):
+            if t is None:
+                continue
+            toks = _TOKEN_RE.findall(t.lower())
+            if not toks:
+                continue  # no tokens -> no bands -> survives (SQL parity)
+            sig = simhash64_md5(t)
+            for bi in range(4):
+                ob.append(bi)
+                oh.append((sig >> (16 * bi)) & 0xFFFF)
+                oid.append(did)
+                osig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(ob, pa.int32()),
+                "band_hash": pa.array(oh, pa.int64()),
+                id_col: pa.array(oid),
+                "_sig": pa.array(osig, pa.uint64()),
+            }
+        )
+
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group.column(id_col).to_pylist(), group.column("_sig").to_pylist()))
+        out = []
+        for i in range(1, len(rows)):
+            for j in range(i):
+                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
+                    out.append(rows[i][0])
+                    break
+        return pa.table({id_col: pa.array(out, pa.int64())})
+
+    bands_ds = ds.map_batches(add_bands, batch_format="pyarrow", zero_copy_batch=True)
+    bands_ds = _hash_shuffle(bands_ds)
+    losers = bands_ds.groupby(["band", "band_hash"], num_partitions=_group_partitions()).map_groups(
+        bucket_losers, batch_format="pyarrow"
+    )
+    remove = {r[id_col] for r in losers.take_all()}
+    return _filter_removed(ds, id_col, remove) if remove else ds
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 

@@ -47,9 +47,37 @@ def synthesize_media(n: int = 64, seed: int = 17) -> pa.Table:
     )
 
 
-def _fake_dims(payload: bytes) -> tuple[int, int]:
-    h = hashlib.sha256(payload).digest()
-    return 16 + h[0] % 240, 16 + h[1] % 240
+def media_from_documents(sf_dir: str):
+    """Media table derived from the documents table: payload = utf-8 text
+    bytes, type cycles by doc_id. Derivation (and the md5-based stub
+    decode below) is chosen to be reproducible by a SQL oracle, so the
+    driver can hash-verify the actor-pool plumbing end to end."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        types = pa.array(["image", "audio", "video"], pa.string())
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = pa.array((ids % 3).astype("int32"))
+        return pa.table(
+            {
+                "media_id": b.column("doc_id"),
+                "media_type": types.take(idx),
+                "payload": pc.cast(b.column("text"), pa.binary()),
+                "source": b.column("source"),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, float]:
+    """Stub decode outputs from the payload's md5 digest — deterministic
+    AND mirrorable in SQL (md5 hex bytes), unlike a real codec."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, float(h[2])
 
 
 class DecodeImage:
@@ -70,10 +98,10 @@ class DecodeImage:
             )
         widths, heights, lumas = [], [], []
         for payload in batch.column("payload").to_pylist():
-            w, h = _fake_dims(payload)
+            w, h, luma = _fake_dims(payload)
             widths.append(w)
             heights.append(h)
-            lumas.append(float(np.frombuffer(payload, dtype=np.uint8).mean()))
+            lumas.append(luma)
         batch = batch.append_column("width", pa.array(widths, pa.int32()))
         batch = batch.append_column("height", pa.array(heights, pa.int32()))
         batch = batch.append_column("mean_luma", pa.array(lumas, pa.float64()))

@@ -142,3 +142,37 @@ def test_embedding_dedup():
         assert i in ids
         assert 40 + i not in ids
     assert len(ids) >= 35
+
+
+def test_md5_u64_matches_duckdb():
+    """The SQL-checkable dedup variants depend on md5_u64 ==
+    DuckDB md5_number_lower (upper 8 digest bytes, little-endian)."""
+    import duckdb
+
+    from etl_rs_ray.stages.dedup import md5_u64
+
+    for s in ["hello", "", "a b c", "naïve ünïcode"]:
+        want = duckdb.sql("SELECT md5_number_lower(?)", params=[s]).fetchone()[0]
+        assert md5_u64(s) == want, s
+
+
+def test_pairwise_dedup_variants(ray_docs_corpus=None):
+    """Pairwise-dominated variants: exact duplicate texts always collapse
+    to the min id; survivors are a subset of the input."""
+    import ray.data
+
+    from etl_rs_ray.stages.dedup import minhash_dedup_pairwise, simhash_dedup_pairwise
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog again and again"},
+        {"doc_id": 3, "text": "a completely different document about ray data pipelines"},
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog again and again today"},
+        {"doc_id": 5, "text": "another unrelated text mentioning arrow batches and shuffles"},
+    ]
+    ds = ray.data.from_items(rows)
+    for fn in (minhash_dedup_pairwise, simhash_dedup_pairwise):
+        out = {r["doc_id"] for r in fn(ds).take_all()}
+        assert 1 in out and 2 not in out, fn.__name__  # exact dup collapses
+        assert out <= {1, 2, 3, 4, 5}
+        assert {3, 5} <= out  # unrelated docs survive
