@@ -99,12 +99,21 @@ def connected_components(
     )
 
 
-def removal_set_distributed(edges, num_partitions: int = 8) -> set:
-    """Nodes to drop: every node that is not its component's min id."""
+def removal_ds(edges, num_partitions: int = 8) -> "ray.data.Dataset":
+    """Nodes to drop — every node that is not its component's min id — as
+    a DATASET: nothing is collected to the driver, so the duplicate graph
+    can exceed driver memory. Consume via an anti join against the corpus
+    (``Dataset.join(..., "left_anti")``) or collect when known-small."""
     cc = connected_components(edges, num_partitions)
-    out = cc.map_batches(
-        lambda b: b.filter(pc.not_equal(b.column("node"), b.column("root"))),
+    return cc.map_batches(
+        lambda b: pa.table(
+            {"node": b.filter(pc.not_equal(b.column("node"), b.column("root"))).column("node")}
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return {r["node"] for r in out.take_all()}
+
+
+def removal_set_distributed(edges, num_partitions: int = 8) -> set:
+    """Driver-side view of :func:`removal_ds` (small graphs / tests)."""
+    return {r["node"] for r in removal_ds(edges, num_partitions).take_all()}

@@ -175,8 +175,9 @@ class _UnionFind:
             self.parent[hi] = lo
 
 
-def _edges_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000) -> list[tuple]:
-    """Per (band, band_hash) bucket: chain the members into edges."""
+def _edges_ds_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000):
+    """Per (band, band_hash) bucket: chain the members into candidate
+    edges, as a DATASET (nothing collected — the scale path)."""
 
     def bucket_edges(group: pa.Table) -> pa.Table:
         ids = sorted(group.column(id_col).to_pylist())
@@ -187,10 +188,14 @@ def _edges_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000) -> list[t
         )
 
     bands_ds = _hash_shuffle(bands_ds)
-    edges = bands_ds.groupby(
+    return bands_ds.groupby(
         ["band", "band_hash"], num_partitions=_group_partitions()
     ).map_groups(bucket_edges, batch_format="pyarrow")
-    return [(r["a"], r["b"]) for r in edges.take_all()]
+
+
+def _edges_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000) -> list[tuple]:
+    """Driver-side candidate edges (small graphs: edges are O(duplicates))."""
+    return [(r["a"], r["b"]) for r in _edges_ds_from_buckets(bands_ds, id_col, max_bucket).take_all()]
 
 
 def _removal_set(edges: list[tuple]) -> set:
@@ -230,29 +235,29 @@ def minhash_lsh_dedup(
     """Near-dup removal: shingle -> minhash -> banded LSH buckets ->
     connected components -> keep the smallest id per cluster.
 
-    ``distributed_cc=True`` runs the component fold as Ray-native
-    min-label propagation (stages/cc.py) instead of the driver union-find
-    — for corpora whose duplicate graph itself is too big to collect."""
+    ``distributed_cc=True`` is the scale path: candidate edges stay a
+    Dataset end-to-end — Ray-native min-label propagation (stages/cc.py)
+    computes the removal set as a Dataset and the survivors come from a
+    hash-partitioned ANTI JOIN, so neither the duplicate graph nor the
+    removal set ever lands on the driver."""
     bands_ds = ds.map_batches(
         make_minhash_bands(text_col, id_col, num_perm, bands, shingle_k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     if distributed_cc:
-        import pyarrow as _pa
+        from .cc import removal_ds
 
-        from .cc import removal_set_distributed
-
-        edges = _edges_from_buckets(bands_ds, id_col)
-        if not edges:
-            return ds
-        t = _pa.table(
-            {"a": _pa.array([e[0] for e in edges], _pa.int64()),
-             "b": _pa.array([e[1] for e in edges], _pa.int64())}
+        edges_ds = _edges_ds_from_buckets(bands_ds, id_col)
+        removal = removal_ds(edges_ds, num_partitions=_group_partitions(8))
+        return ds.join(
+            removal,
+            join_type="left_anti",
+            num_partitions=_group_partitions(8),
+            on=(id_col,),
+            right_on=("node",),
         )
-        remove = removal_set_distributed(t)
-    else:
-        remove = _removal_set(_edges_from_buckets(bands_ds, id_col))
+    remove = _removal_set(_edges_from_buckets(bands_ds, id_col))
     return _filter_removed(ds, id_col, remove) if remove else ds
 
 
@@ -334,32 +339,45 @@ def ngram_jaccard_dedup(
     bands: int = 16,
 ):
     """MinHash-LSH candidates verified by TRUE word-n-gram Jaccard —
-    removes only pairs >= threshold (no LSH false positives)."""
+    removes only pairs >= threshold (no LSH false positives).
+
+    The verify step is DISTRIBUTED: candidate edges stay a Dataset and the
+    texts are hash-joined onto them (two keyed joins), so the per-pair
+    Jaccard runs inside tasks — driver memory never holds a text. Only the
+    verified edge list (true near-duplicate pairs, tiny by definition)
+    reaches the driver for the union-find."""
     bands_ds = ds.map_batches(
         make_minhash_bands(text_col, id_col, num_perm, bands, shingle_k=5),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    candidate_edges = _edges_from_buckets(bands_ds, id_col)
-    if not candidate_edges:
-        return ds
-    # verify candidates against true n-gram sets (edges are tiny vs corpus)
-    need = sorted({x for e in candidate_edges for x in e})
-    need_arr = pa.array(need)
+    edges_ds = _edges_ds_from_buckets(bands_ds, id_col)
+    docs = ds.select_columns([id_col, text_col])
+    nparts = _group_partitions(8)
+    e1 = edges_ds.join(
+        docs, join_type="inner", num_partitions=nparts, on=("a",), right_on=(id_col,),
+        right_suffix="_l",
+    )
+    e2 = e1.join(
+        docs, join_type="inner", num_partitions=nparts, on=("b",), right_on=(id_col,),
+        right_suffix="_r",
+    )
+    tl, tr = text_col, f"{text_col}_r"
 
-    def grab(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column(id_col), value_set=need_arr)).select(
-            [id_col, text_col]
-        )
+    def verify(batch: pa.Table) -> pa.Table:
+        la = batch.column("a").to_pylist()
+        lb = batch.column("b").to_pylist()
+        xa = batch.column(tl).to_pylist()
+        xb = batch.column(tr).to_pylist()
+        ea, eb = [], []
+        for a_, b_, x, y in zip(la, lb, xa, xb):
+            if jaccard(word_ngrams(x or "", n), word_ngrams(y or "", n)) >= threshold:
+                ea.append(a_)
+                eb.append(b_)
+        return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
 
-    texts = {}
-    for r in ds.map_batches(grab, batch_format="pyarrow", zero_copy_batch=True).take_all():
-        texts[r[id_col]] = word_ngrams(r[text_col] or "", n)
-    verified = [
-        (a, b)
-        for a, b in candidate_edges
-        if a in texts and b in texts and jaccard(texts[a], texts[b]) >= threshold
-    ]
+    verified_ds = e2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    verified = [(r["a"], r["b"]) for r in verified_ds.take_all()]
     remove = _removal_set(verified)
     return _filter_removed(ds, id_col, remove) if remove else ds
 
