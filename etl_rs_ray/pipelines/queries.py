@@ -55,6 +55,12 @@ def _table_rows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
+def _docs_small(sf_dir: str, threshold: int = 200_000) -> bool:
+    # below ~200k docs the LSH bands table fits one block: gather it into
+    # a single task instead of spinning up hash-shuffle aggregators
+    return _table_rows(sf_dir, "documents") < threshold
+
+
 # --- aggregates --------------------------------------------------------------
 
 
@@ -246,7 +252,14 @@ def customers_without_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
         expr="o_totalprice > 300000"
     )
-    buyer_keys = pa.array(sorted({r["o_custkey"] for r in orders.take_all()}))
+    # distinct-aggregate the key DATASET-side first (per-batch unique is the
+    # combiner), so the driver only ever collects distinct keys, not rows
+    keys_ds = orders.map_batches(
+        lambda b: pa.table({"o_custkey": pc.unique(b.column("o_custkey"))}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).unique("o_custkey")
+    buyer_keys = pa.array(sorted(keys_ds))
     ref = ray.put(buyer_keys)
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -262,20 +275,19 @@ def nation_region_join(sf_dir: str):
     task as a lookup dict — no shuffle at all."""
     import ray
 
-    region = {
-        r["r_regionkey"]: r["r_name"]
-        for r in _read(sf_dir, "region").take_all()
-    }
-    ref = ray.put(region)
+    region = pa.Table.from_pylist(_read(sf_dir, "region").take_all())
+    ref = ray.put((region.column("r_regionkey").combine_chunks(), region.column("r_name").combine_chunks()))
 
     def join_fn(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        r_names = [lookup.get(k) for k in batch.column("n_regionkey").to_pylist()]
+        # vectorized broadcast lookup: index_in against the dimension key
+        # array, then take — no per-row Python (misses become nulls)
+        keys, names = ray.get(ref)
+        pos = pc.index_in(batch.column("n_regionkey"), value_set=keys)
         return pa.table(
             {
                 "n_nationkey": batch.column("n_nationkey"),
                 "n_name": batch.column("n_name"),
-                "r_name": pa.array(r_names, pa.string()),
+                "r_name": names.take(pos),
             }
         )
 
@@ -363,7 +375,9 @@ def docs_minhash_dedup(sf_dir: str):
     from ..stages.dedup import minhash_dedup_pairwise
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = minhash_dedup_pairwise(ds, "text", "doc_id", num_perm=64, bands=8)
+    out = minhash_dedup_pairwise(
+        ds, "text", "doc_id", num_perm=64, bands=8, small_input=_docs_small(sf_dir)
+    )
     return out.select_columns(["doc_id"])
 
 
@@ -373,7 +387,9 @@ def docs_minhash_cc_dedup(sf_dir: str):
     from ..stages.dedup import minhash_lsh_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(ds, "text", "doc_id", num_perm=64, bands=8)
+    return minhash_lsh_dedup(
+        ds, "text", "doc_id", num_perm=64, bands=8, small_input=_docs_small(sf_dir)
+    )
 
 
 def docs_lang_quality(sf_dir: str):
@@ -423,26 +439,28 @@ def supplier_nation_region(sf_dir: str):
     small dimension tables ride into every task as dicts."""
     import ray
 
-    nation = {
-        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
-        for r in _read(sf_dir, "nation").take_all()
-    }
-    region = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
-    ref = ray.put((nation, region))
+    # pre-join the two tiny dimensions ONCE on the driver (nation ⋈ region),
+    # broadcast the denormalized arrays; each task does one index_in + takes
+    nation = pa.Table.from_pylist(_read(sf_dir, "nation").take_all())
+    region = pa.Table.from_pylist(_read(sf_dir, "region").take_all())
+    rpos = pc.index_in(nation.column("n_regionkey"), value_set=region.column("r_regionkey").combine_chunks())
+    ref = ray.put(
+        (
+            nation.column("n_nationkey").combine_chunks(),
+            nation.column("n_name").combine_chunks(),
+            region.column("r_name").combine_chunks().take(rpos),
+        )
+    )
 
     def join_fn(batch: pa.Table) -> pa.Table:
-        nat, reg = ray.get(ref)
-        n_names, r_names = [], []
-        for k in batch.column("s_nationkey").to_pylist():
-            n_name, r_key = nat.get(k, (None, None))
-            n_names.append(n_name)
-            r_names.append(reg.get(r_key))
+        nkeys, n_names, r_names = ray.get(ref)
+        pos = pc.index_in(batch.column("s_nationkey"), value_set=nkeys)
         return pa.table(
             {
                 "s_suppkey": batch.column("s_suppkey"),
                 "s_name": batch.column("s_name"),
-                "n_name": pa.array(n_names, pa.string()),
-                "r_name": pa.array(r_names, pa.string()),
+                "n_name": n_names.take(pos),
+                "r_name": r_names.take(pos),
             }
         )
 
@@ -468,7 +486,9 @@ def docs_simhash_dedup(sf_dir: str):
     from ..stages.dedup import simhash_dedup_pairwise
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = simhash_dedup_pairwise(ds, "text", "doc_id", max_hamming=3)
+    out = simhash_dedup_pairwise(
+        ds, "text", "doc_id", max_hamming=3, small_input=_docs_small(sf_dir)
+    )
     return out.select_columns(["doc_id"])
 
 
@@ -478,7 +498,7 @@ def docs_simhash_cc_dedup(sf_dir: str):
     from ..stages.dedup import simhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup(ds, "text", "doc_id", max_hamming=3)
+    return simhash_dedup(ds, "text", "doc_id", max_hamming=3, small_input=_docs_small(sf_dir))
 
 
 def embeddings_ann_ivf(sf_dir: str):

@@ -105,6 +105,48 @@ def word_ngrams(text: str, n: int = 3) -> set:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+# --- batch-vectorized signature helpers --------------------------------------
+
+
+def _minhash_segments(
+    flat: np.ndarray, starts: np.ndarray, a: np.ndarray, b: np.ndarray, modulus
+) -> np.ndarray:
+    """Minhash signatures for MANY docs at once: ``flat`` concatenates all
+    docs' shingle hashes, ``starts`` marks each doc's first index. One
+    (num_perm x chunk) vectorized pass + ``np.minimum.reduceat`` per doc —
+    no per-doc Python. Chunked so the temp matrix stays ~25 MB."""
+    num_perm, n = len(a), len(flat)
+    ndocs = len(starts)
+    out = np.empty((ndocs, num_perm), dtype=flat.dtype)
+    chunk = max(1, 50_000 // 1)  # shingle positions per chunk
+    # chunk boundaries must align to doc starts so reduceat segments stay whole
+    doc_of = np.arange(ndocs)
+    lo = 0
+    with np.errstate(over="ignore"):
+        while lo < ndocs:
+            hi = lo + 1
+            while hi < ndocs and (starts[hi] - starts[lo]) < chunk:
+                hi += 1
+            s, e = starts[lo], starts[hi] if hi < ndocs else n
+            seg = flat[s:e]
+            terms = (a[:, None] * seg[None, :] + b[:, None]) % modulus  # (perm, seg)
+            out[lo:hi] = np.minimum.reduceat(terms, starts[lo:hi] - s, axis=1).T
+            lo = hi
+    return out
+
+
+def _flatten_hash_lists(hash_lists: list[np.ndarray]):
+    """(flat, starts) for a list of per-doc hash arrays, dropping empties.
+    Returns (flat, starts, keep_idx)."""
+    keep = [i for i, h in enumerate(hash_lists) if len(h)]
+    if not keep:
+        return None, None, []
+    arrs = [hash_lists[i] for i in keep]
+    lens = np.array([len(x) for x in arrs])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.concatenate(arrs), starts.astype(np.int64), keep
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -125,24 +167,51 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return prod.min(axis=1)
 
 
+# Per-worker-process hash memo (module global == once per worker, like the
+# reference's lazy_static lookup maps): natural-language token/shingle
+# frequencies are Zipfian, so memoization collapses most hash calls.
+_HASH_MEMO: dict[str, dict] = {}
+
+
+def _memo_hashes(strings: list[str], kind: str, hasher) -> np.ndarray:
+    memo = _HASH_MEMO.setdefault(kind, {})
+    out = np.empty(len(strings), dtype=np.uint64)
+    get = memo.get
+    for i, s in enumerate(strings):
+        h = get(s)
+        if h is None:
+            if len(memo) > 2_000_000:  # bound worker memory
+                memo.clear()
+            h = hasher(s)
+            memo[s] = h
+        out[i] = h
+    return out
+
+
 def make_minhash_bands(text_col: str, id_col: str, num_perm: int, bands: int, shingle_k: int):
-    """map_batches fn: one (band, band_hash, id) row per doc per band."""
+    """map_batches fn: one (band, band_hash, id) row per doc per band.
+    Signatures for the whole batch come from ONE vectorized pass
+    (_minhash_segments), not a per-doc loop."""
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
+        live = [(i, t) for i, t in enumerate(texts) if t is not None]
+        hlists = [char_shingles(t, shingle_k) for _, t in live]
+        flat, starts, keep = _flatten_hash_lists(hlists)
+        sigs = np.zeros((len(live), num_perm), dtype=np.uint64)  # empty docs: sig 0
+        if flat is not None:
+            sigs[keep] = _minhash_segments(flat, starts, a, b, _MERSENNE)
         out_band, out_hash, out_id = [], [], []
-        for doc_id, text in zip(ids, texts):
-            if text is None:
-                continue
-            sig = minhash_signature(char_shingles(text, shingle_k), a, b)
+        for row, (i, _t) in enumerate(live):
+            sig = sigs[row]
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 out_band.append(bi)
                 out_hash.append(zlib.crc32(chunk.tobytes()))
-                out_id.append(doc_id)
+                out_id.append(ids[i])
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
@@ -175,9 +244,43 @@ class _UnionFind:
             self.parent[hi] = lo
 
 
-def _edges_ds_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000):
+def _bucket_edges_table(batch: pa.Table, keys, id_col: str, max_bucket: int) -> pa.Table:
+    """Single-task vectorized star-edge extraction over ALL buckets: edge
+    (bucket-min id -> member) for every bucket of size 2..max_bucket."""
+    if batch.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    idx = pc.sort_indices(
+        batch, sort_keys=[(k, "ascending") for k in keys] + [(id_col, "ascending")]
+    )
+    t = batch.take(idx)
+    from ..stages.merge_apply import _first_per_key_mask
+
+    first = _first_per_key_mask(t, tuple(keys)).to_numpy(zero_copy_only=False)
+    gidx = np.cumsum(first) - 1
+    sizes = np.bincount(gidx)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    bucket_min = ids[first][gidx]
+    pick = (~first) & (sizes[gidx] >= 2) & (sizes[gidx] <= max_bucket)
+    return pa.table(
+        {"a": pa.array(bucket_min[pick], pa.int64()), "b": pa.array(ids[pick], pa.int64())}
+    )
+
+
+def _gather(bands_ds, fn):
+    """Run ``fn`` once over the whole (small) bands table in one task —
+    avoids the hash-shuffle aggregator spin-up that dominates wall time
+    when the input is far below a block. The groupby path is the scale
+    path; callers choose via ``small_input``."""
+    return bands_ds.repartition(1).map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _edges_ds_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000, small_input: bool = False):
     """Per (band, band_hash) bucket: chain the members into candidate
     edges, as a DATASET (nothing collected — the scale path)."""
+    if small_input:
+        return _gather(
+            bands_ds, lambda b: _bucket_edges_table(b, ("band", "band_hash"), id_col, max_bucket)
+        )
 
     def bucket_edges(group: pa.Table) -> pa.Table:
         ids = sorted(group.column(id_col).to_pylist())
@@ -231,6 +334,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     distributed_cc: bool = False,
+    small_input: bool = False,
 ):
     """Near-dup removal: shingle -> minhash -> banded LSH buckets ->
     connected components -> keep the smallest id per cluster.
@@ -248,7 +352,7 @@ def minhash_lsh_dedup(
     if distributed_cc:
         from .cc import removal_ds
 
-        edges_ds = _edges_ds_from_buckets(bands_ds, id_col)
+        edges_ds = _edges_ds_from_buckets(bands_ds, id_col, small_input=small_input)
         removal = removal_ds(edges_ds, num_partitions=_group_partitions(8))
         return ds.join(
             removal,
@@ -257,36 +361,74 @@ def minhash_lsh_dedup(
             on=(id_col,),
             right_on=("node",),
         )
-    remove = _removal_set(_edges_from_buckets(bands_ds, id_col))
+    remove = _removal_set(
+        [(r["a"], r["b"]) for r in _edges_ds_from_buckets(bands_ds, id_col, small_input=small_input).take_all()]
+    )
     return _filter_removed(ds, id_col, remove) if remove else ds
 
 
 # --- SimHash -----------------------------------------------------------------
 
 
+def _crc_token_hash(tok: str) -> int:
+    return zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode() + b"#") << 32)
+
+
 def simhash64(text: str) -> int:
-    """64-bit token-weight simhash (crc32 token hashes spread to 64 bits)."""
+    """64-bit token-weight simhash (crc32 token hashes spread to 64 bits).
+    Scalar reference; the batch path is :func:`simhash_batch`."""
     v = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for tok in _TOKEN_RE.findall(text.lower()):
-        h = np.uint64(zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode() + b"#") << 32))
+        h = np.uint64(_crc_token_hash(tok))
         bits = (h >> shifts) & np.uint64(1)
         v += np.where(bits == 1, 1, -1)
     return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
 
 
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_batch(texts: list[str | None], kind: str, hasher) -> list[tuple[int, bool] | None]:
+    """Whole-batch simhash: memoized token hashes, ONE bit-spread matrix +
+    per-doc segment sum (reduceat) — no per-token Python in the hot path.
+    Returns, aligned with ``texts``: None for null text, else
+    (signature, has_tokens)."""
+    tok_lists = [None if t is None else _TOKEN_RE.findall(t.lower()) for t in texts]
+    live = [(i, tl) for i, tl in enumerate(tok_lists) if tl is not None]
+    nonempty = [(i, tl) for i, tl in live if tl]
+    out: list[tuple[int, bool] | None] = [None] * len(texts)
+    for i, tl in live:
+        out[i] = (0, bool(tl))  # token-less docs: sig 0
+    if nonempty:
+        flat_tokens = [t for _, tl in nonempty for t in tl]
+        lens = np.array([len(tl) for _, tl in nonempty])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        th = _memo_hashes(flat_tokens, kind, hasher)
+        shifts = np.arange(64, dtype=np.uint64)
+        # (ntok, 64) ±1 contributions; int16 is safe for docs < 16k tokens
+        pm = (((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int16) * 2 - 1)
+        v = np.add.reduceat(pm.astype(np.int32), starts, axis=0)  # (ndocs, 64)
+        weights = np.uint64(1) << shifts
+        sigs = ((v > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        for row, (i, _tl) in enumerate(nonempty):
+            out[i] = (int(sigs[row]), True)
+    return out
+
+
+def simhash_dedup(
+    ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    small_input: bool = False,
+):
     """SimHash near-dup: 4x16-bit bands (two same-band docs within
     hamming<=3 must share at least one exact band)."""
 
     def add_bands(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
+        sigs = simhash_batch(texts, "crc64", _crc_token_hash)
         ob, oh, oid, osig = [], [], [], []
-        for did, t in zip(ids, texts):
-            if t is None:
+        for did, s in zip(ids, sigs):
+            if s is None:
                 continue
-            sig = simhash64(t)
+            sig = s[0]  # token-less docs keep sig 0 (legacy behavior)
             for bi in range(4):
                 ob.append(bi)
                 oh.append((sig >> (16 * bi)) & 0xFFFF)
@@ -312,10 +454,35 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
         return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
 
     bands_ds = ds.map_batches(add_bands, batch_format="pyarrow", zero_copy_batch=True)
-    bands_ds = _hash_shuffle(bands_ds)
-    edges_ds = bands_ds.groupby(
-        ["band", "band_hash"], num_partitions=_group_partitions()
-    ).map_groups(bucket_edges, batch_format="pyarrow")
+    if small_input:
+        def all_buckets(batch: pa.Table) -> pa.Table:
+            # one gathered task: sort into buckets, hamming-scan each
+            idx = pc.sort_indices(
+                batch,
+                sort_keys=[("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")],
+            )
+            t = batch.take(idx)
+            from ..stages.merge_apply import _first_per_key_mask
+
+            first = _first_per_key_mask(t, ("band", "band_hash")).to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(first).tolist() + [t.num_rows]
+            ids = t.column(id_col).to_pylist()
+            sigs = t.column("_sig").to_pylist()
+            ea, eb = [], []
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                for i in range(s0, s1):
+                    for j in range(i + 1, s1):
+                        if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
+                            ea.append(ids[i])
+                            eb.append(ids[j])
+            return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
+
+        edges_ds = _gather(bands_ds, all_buckets)
+    else:
+        bands_ds = _hash_shuffle(bands_ds)
+        edges_ds = bands_ds.groupby(
+            ["band", "band_hash"], num_partitions=_group_partitions()
+        ).map_groups(bucket_edges, batch_format="pyarrow")
     remove = _removal_set([(r["a"], r["b"]) for r in edges_ds.take_all()])
     return _filter_removed(ds, id_col, remove) if remove else ds
 
@@ -437,19 +604,26 @@ def make_minhash_bands_pairwise(text_col: str, id_col: str, num_perm: int, bands
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        out_band, out_sig, out_id = [], [], []
+        live_ids, hlists = [], []
         for doc_id, text in zip(ids, texts):
             if text is None:
                 continue
-            hs = np.array([md5_u64(s) & 0xFFFFFFFF for s in word_shingle_list(text)], dtype=np.int64)
-            if len(hs) == 0:
+            sh = word_shingle_list(text)
+            if not sh:
                 continue  # no shingles -> no bands -> survives
-            sig = ((a[:, None] * hs[None, :] + b[:, None]) % MINHASH_P31).min(axis=1)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                out_band.append(bi)
-                out_sig.append("-".join(str(int(v)) for v in chunk))
-                out_id.append(doc_id)
+            live_ids.append(doc_id)
+            hlists.append(_memo_hashes(sh, "md5u32", lambda s: md5_u64(s) & 0xFFFFFFFF).astype(np.int64))
+        flat, starts, keep = _flatten_hash_lists(hlists)
+        out_band, out_sig, out_id = [], [], []
+        if flat is not None:
+            sigs = _minhash_segments(flat, starts, a, b, MINHASH_P31)
+            for row, doc_id in enumerate(live_ids):
+                sig = sigs[row]
+                for bi in range(bands):
+                    chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                    out_band.append(bi)
+                    out_sig.append("-".join(str(int(v)) for v in chunk))
+                    out_id.append(doc_id)
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
@@ -461,9 +635,17 @@ def make_minhash_bands_pairwise(text_col: str, id_col: str, num_perm: int, bands
     return fn
 
 
-def _pairwise_removal(bands_ds, id_col: str, max_bucket: int = 1000) -> set:
+def _pairwise_removal(bands_ds, id_col: str, max_bucket: int = 1000, small_input: bool = False) -> set:
     """Removal set under the pairwise-dominated rule: every non-min member
     of every (band, sig) bucket (bucket size capped against mega-buckets)."""
+    if small_input:
+        losers_ds = _gather(
+            bands_ds,
+            lambda b: pa.table(
+                {id_col: _bucket_edges_table(b, ("band", "sig"), id_col, max_bucket).column("b")}
+            ),
+        )
+        return {r[id_col] for r in losers_ds.take_all()}
 
     def bucket_losers(group: pa.Table) -> pa.Table:
         ids = sorted(group.column(id_col).to_pylist())
@@ -484,14 +666,17 @@ def minhash_dedup_pairwise(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 8,
+    small_input: bool = False,
 ):
-    """MinHash LSH dedup, pairwise-dominated removal (SQL-checkable)."""
+    """MinHash LSH dedup, pairwise-dominated removal (SQL-checkable).
+    ``small_input=True`` gathers the (tiny) bands table into one task
+    instead of spinning up hash-shuffle aggregators."""
     bands_ds = ds.map_batches(
         make_minhash_bands_pairwise(text_col, id_col, num_perm, bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    remove = _pairwise_removal(bands_ds, id_col)
+    remove = _pairwise_removal(bands_ds, id_col, small_input=small_input)
     return _filter_removed(ds, id_col, remove) if remove else ds
 
 
@@ -508,7 +693,8 @@ def simhash64_md5(text: str) -> int:
 
 
 def simhash_dedup_pairwise(
-    ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    small_input: bool = False,
 ):
     """SimHash near-dup, pairwise-dominated removal: a doc is dropped iff
     some smaller-id doc shares one of its 4 16-bit bands AND is within
@@ -517,14 +703,12 @@ def simhash_dedup_pairwise(
     def add_bands(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
+        sigs = simhash_batch(texts, "md5u64", md5_u64)
         ob, oh, oid, osig = [], [], [], []
-        for did, t in zip(ids, texts):
-            if t is None:
-                continue
-            toks = _TOKEN_RE.findall(t.lower())
-            if not toks:
-                continue  # no tokens -> no bands -> survives (SQL parity)
-            sig = simhash64_md5(t)
+        for did, s in zip(ids, sigs):
+            if s is None or not s[1]:
+                continue  # null text / no tokens -> no bands -> survives (SQL parity)
+            sig = s[0]
             for bi in range(4):
                 ob.append(bi)
                 oh.append((sig >> (16 * bi)) & 0xFFFF)
@@ -550,10 +734,35 @@ def simhash_dedup_pairwise(
         return pa.table({id_col: pa.array(out, pa.int64())})
 
     bands_ds = ds.map_batches(add_bands, batch_format="pyarrow", zero_copy_batch=True)
-    bands_ds = _hash_shuffle(bands_ds)
-    losers = bands_ds.groupby(["band", "band_hash"], num_partitions=_group_partitions()).map_groups(
-        bucket_losers, batch_format="pyarrow"
-    )
+    if small_input:
+        def all_buckets(batch: pa.Table) -> pa.Table:
+            # one task: sort into buckets, run the per-bucket hamming scan
+            idx = pc.sort_indices(
+                batch,
+                sort_keys=[("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")],
+            )
+            t = batch.take(idx)
+            from ..stages.merge_apply import _first_per_key_mask
+
+            first = _first_per_key_mask(t, ("band", "band_hash")).to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(first).tolist() + [t.num_rows]
+            ids = t.column(id_col).to_pylist()
+            sigs = t.column("_sig").to_pylist()
+            out = []
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                for i in range(s0 + 1, s1):
+                    for j in range(s0, i):
+                        if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
+                            out.append(ids[i])
+                            break
+            return pa.table({id_col: pa.array(out, pa.int64())})
+
+        losers = _gather(bands_ds, all_buckets)
+    else:
+        bands_ds = _hash_shuffle(bands_ds)
+        losers = bands_ds.groupby(["band", "band_hash"], num_partitions=_group_partitions()).map_groups(
+            bucket_losers, batch_format="pyarrow"
+        )
     remove = {r[id_col] for r in losers.take_all()}
     return _filter_removed(ds, id_col, remove) if remove else ds
 

@@ -176,3 +176,68 @@ def test_pairwise_dedup_variants(ray_docs_corpus=None):
         assert 1 in out and 2 not in out, fn.__name__  # exact dup collapses
         assert out <= {1, 2, 3, 4, 5}
         assert {3, 5} <= out  # unrelated docs survive
+
+
+def test_batch_kernels_match_scalar_reference():
+    """Batch-vectorized signature kernels == scalar reference paths."""
+    import numpy as np
+
+    from etl_rs_ray.stages.dedup import (
+        MINHASH_P31,
+        _crc_token_hash,
+        _flatten_hash_lists,
+        _minhash_segments,
+        _perm_params,
+        char_shingles,
+        md5_u64,
+        minhash_perms31,
+        minhash_signature,
+        simhash64,
+        simhash64_md5,
+        simhash_batch,
+        word_shingle_list,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs today",
+        None,
+        "",
+        "one",
+        "the quick brown fox jumps over the lazy dog again and again and again",
+    ]
+    # simhash: crc and md5 flavors
+    got = simhash_batch(texts, "t_crc", _crc_token_hash)
+    for t, g in zip(texts, got):
+        if t is None:
+            assert g is None
+        else:
+            assert g == (simhash64(t), bool(t.split()))
+    got_md5 = simhash_batch(texts, "t_md5", md5_u64)
+    for t, g in zip(texts, got_md5):
+        if t is not None and t.split():
+            assert g[0] == simhash64_md5(t)
+
+    # minhash: uint64 wrap flavor (CC variant)
+    a, b = _perm_params(16)
+    hlists = [char_shingles(t, 5) for t in texts if t]
+    flat, starts, keep = _flatten_hash_lists(hlists)
+    sigs = _minhash_segments(flat, starts, a, b, np.uint64((1 << 61) - 1))
+    live = [t for t in texts if t]
+    for row, t in enumerate([live[i] for i in keep]):
+        want = minhash_signature(char_shingles(t, 5), a, b)
+        assert (sigs[row] == want).all(), t
+
+    # minhash: int64 31-bit flavor (SQL-compatible variant)
+    a2, b2 = minhash_perms31(16)
+    hl2 = [
+        np.array([md5_u64(s) & 0xFFFFFFFF for s in word_shingle_list(t)], dtype=np.int64)
+        for t in texts
+        if t
+    ]
+    flat2, starts2, keep2 = _flatten_hash_lists(hl2)
+    sigs2 = _minhash_segments(flat2, starts2, a2, b2, MINHASH_P31)
+    for row, i in enumerate(keep2):
+        h = hl2[i]
+        want = ((a2[:, None] * h[None, :] + b2[:, None]) % MINHASH_P31).min(axis=1)
+        assert (sigs2[row] == want).all()
