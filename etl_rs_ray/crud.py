@@ -93,15 +93,30 @@ class CrudStore:
         return LakeTable(self.table_dir).snapshot_table()
 
     def get(self, key: tuple[str, str, str]) -> dict | None:
-        t = self._snapshot()
+        """Point read: the key hash routes to its single owning bucket, so
+        only that bucket's file set is opened — with a parquet predicate
+        (row-group stats pushdown; bucket files are key-sorted) — instead
+        of materializing the table (crud_fns.rs:72-97 ≙ WHERE id = $1)."""
+        import pyarrow.parquet as pq
+
+        from .sources.event_log import fast_hash_bucket
+        from .stages.merge_apply import lww_reduce
+
+        lake = LakeTable(self.table_dir)
+        b = fast_hash_bucket(
+            pa.array([key[0]]), pa.array([key[1]]), lake.num_buckets
+        )[0].as_py()
+        files = lake.bucket_file_sets().get(b)
+        if not files:
+            return None
+        flt = [("repo", "==", key[0]), ("path", "==", key[1]), ("commit", "==", key[2])]
+        parts = [pq.read_table(f, filters=flt) for f in files]
+        t = pa.concat_tables(parts, promote_options="permissive")
         if t.num_rows == 0:
             return None
-        m = pc.and_(
-            pc.and_(pc.equal(t.column("repo"), key[0]), pc.equal(t.column("path"), key[1])),
-            pc.equal(t.column("commit"), key[2]),
-        )
-        sel = t.filter(m)
-        return sel.to_pylist()[0] if sel.num_rows else None
+        # bucket may hold base + delta files: fold LWW, drop tombstones
+        t = lww_reduce(t, ("repo", "path", "commit"), drop_tombstones=True)
+        return t.to_pylist()[0] if t.num_rows else None
 
     def first(self, filters: dict | None = None, order_bys: list[str] | None = None) -> dict | None:
         rows = self.list(filters=filters, order_bys=order_bys, limit=1)

@@ -236,18 +236,51 @@ def _merge_xpart_task(
 
     ``delta=True`` (LSM mode) writes just the window's LWW winners —
     tombstones INCLUDED so merge-on-read can delete base rows — without
-    touching the stored base."""
+    touching the stored base.
+
+    The spilled files are folded INCREMENTALLY: one file in memory at a
+    time, per-bucket accumulations LWW-compacted whenever they exceed
+    ``fold_rows``. Worker heap is bounded by (winners so far + one spill
+    file), not the partition's total event count — a hot exchange
+    partition (skewed key) streams through instead of loading whole.
+    ``ETL_RS_RAY_FOLD_ROWS`` overrides the threshold (tests)."""
     files = sorted(
         os.path.join(xpart_dir, f) for f in os.listdir(xpart_dir) if f.endswith(".parquet")
     )
     from ..state.schema_evolution import unify_tables
 
-    data = unify_tables([pq.read_table(f) for f in files])
+    fold_rows = int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024))
+    acc: dict[int, list[pa.Table]] = {}
+    pending: dict[int, int] = {}
+    events_in: dict[int, int] = {}
+
+    def fold(b: int) -> pa.Table:
+        tabs = acc[b]
+        t = tabs[0] if len(tabs) == 1 else unify_tables(tabs)
+        t = lww_reduce(t, key_cols, lsn_col, op_col)
+        acc[b] = [t]
+        pending[b] = 0
+        return t
+
+    for f in files:
+        data = pq.read_table(f)
+        for b in pc.unique(data.column("bucket")).to_pylist():
+            part = data.filter(pc.equal(data.column("bucket"), b)).drop_columns(["bucket"])
+            acc.setdefault(b, []).append(part)
+            events_in[b] = events_in.get(b, 0) + part.num_rows
+            pending[b] = pending.get(b, 0) + part.num_rows
+            if pending[b] >= fold_rows:
+                fold(b)
+        del data
+
     entries = []
-    for b in pc.unique(data.column("bucket")).to_pylist():
-        incoming = data.filter(pc.equal(data.column("bucket"), b)).drop_columns(["bucket"])
-        stats = LwwStats()
-        incoming = lww_reduce(incoming, key_cols, lsn_col, op_col, stats=stats)
+    for b in sorted(acc):
+        incoming = fold(b)
+        stats = LwwStats(events_in=events_in[b], rows_out=incoming.num_rows)
+        stats.superseded_dropped = events_in[b] - incoming.num_rows
+        if op_col in incoming.column_names:
+            for item in incoming.column(op_col).combine_chunks().value_counts():
+                stats.ops[item["values"].as_py()] = item["counts"].as_py()
         if delta:
             merged = incoming
         else:

@@ -154,32 +154,71 @@ def ids_to_remove(clusters: dict[str, dict]) -> set[str]:
     return out
 
 
-# Pair detection is O(n²) within a Nom group — faithful to the reference's
-# per-partition cross join (transform_hdd_deduplication.rs:24-66). A
-# pathological hot key (e.g. 100k rows sharing one Nom) would stall a
-# reducer for hours in EITHER engine; beyond this cap the group passes
-# through un-deduplicated instead of hanging the job.
-MAX_GROUP_SIZE = 10_000
+# Above this size the cross-join pair scan (faithful to the reference's
+# per-partition cross join, transform_hdd_deduplication.rs:24-66) switches
+# to attribute-bucketed detection: candidate pairs can only exist between
+# rows sharing a PCE / Email / Telephone VALUE, so indexing those values
+# restores ~O(n + pairs) detection for skewed Nom groups instead of O(n²).
+PAIRWISE_THRESHOLD = 512
+
+
+def detect_pairs_indexed(rows: list[dict]) -> list[tuple[dict, dict]]:
+    """Skew-safe pair detection: bucket row indices by each join-attribute
+    value, enumerate within-bucket pairs only, then apply the FULL pair
+    predicate. Emits pairs in the same (left-position, right-position)
+    order as :func:`detect_pairs`, so downstream cluster merging is
+    byte-identical."""
+    from collections import defaultdict
+
+    cand: set[tuple[int, int]] = set()
+    for attr in (PCE, EMAIL, TELEPHONE):
+        buckets: dict = defaultdict(list)
+        for i, r in enumerate(rows):
+            v = r[attr]
+            if v is not None:
+                buckets[v].append(i)
+        for idxs in buckets.values():
+            for x in range(len(idxs) - 1):
+                for y in range(x + 1, len(idxs)):
+                    cand.add((idxs[x], idxs[y]))
+    pairs = []
+    for i, j in cand:
+        a, b = rows[i], rows[j]
+        if a[ID] is None or b[ID] is None:
+            continue
+        if not a[ID] < b[ID]:
+            a, b, i, j = b, a, j, i
+            if not a[ID] < b[ID]:
+                continue
+        if a[SIRET] is not None:
+            continue
+        if a[NOM] is None or b[NOM] is None or a[NOM] != b[NOM]:
+            continue
+        if not (a[PRENOM] == b[PRENOM] or a[PRENOM] is None or b[PRENOM] is None):
+            continue
+        if not (
+            (a[PCE] is not None and a[PCE] == b[PCE])
+            or (a[EMAIL] is not None and a[EMAIL] == b[EMAIL])
+            or (a[TELEPHONE] is not None and a[TELEPHONE] == b[TELEPHONE])
+        ):
+            continue
+        pairs.append((i, j, a, b))
+    pairs.sort(key=lambda p: (p[0], p[1]))  # detect_pairs emission order
+    return [(a, b) for _i, _j, a, b in pairs]
 
 
 def dedup_group(group: pa.Table) -> pa.Table:
-    """map_groups body: pass through singleton / null-Nom / oversized
-    groups; otherwise replace clustered rows with merged rows (D3-D8 +
-    reconciliation D11)."""
+    """map_groups body: pass through singleton / null-Nom groups;
+    otherwise replace clustered rows with merged rows (D3-D8 +
+    reconciliation D11). Large groups use indexed pair detection."""
     rows = [dict(r) for r in group.select([c for c in OUTPUT_COLUMNS if c != IDS]).to_pylist()]
     out_rows: list[dict]
     nom = rows[0][NOM] if rows else None
-    if nom is None or len(rows) <= 1 or len(rows) > MAX_GROUP_SIZE:
-        if len(rows) > MAX_GROUP_SIZE:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "dedup: Nom group %r has %d rows (> %d cap) — passing through",
-                nom, len(rows), MAX_GROUP_SIZE,
-            )
+    if nom is None or len(rows) <= 1:
         out_rows = [dict(r, **{IDS: None}) for r in rows]
     else:
-        pairs = detect_pairs(rows)
+        detect = detect_pairs if len(rows) <= PAIRWISE_THRESHOLD else detect_pairs_indexed
+        pairs = detect(rows)
         clusters = eliminate_subsets(merge_pairs(pairs))
         removed = ids_to_remove(clusters)
         out_rows = [dict(r, **{IDS: None}) for r in rows if r[ID] not in removed]

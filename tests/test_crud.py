@@ -78,3 +78,48 @@ def test_lsn_orders_writes(store):
 
 def test_list_limit_default(store):
     assert LIST_LIMIT_DEFAULT == 1000
+
+
+def test_get_is_point_read(tmp_path, monkeypatch):
+    """get() must open only the owning bucket's file set (bucket pruning),
+    never the whole table."""
+    from etl_rs_ray.crud import CrudStore
+
+    store = CrudStore(str(tmp_path / "log"), str(tmp_path / "table"), num_partitions=2, num_buckets=8)
+    rows = [
+        {"repo": f"r{i%5}", "path": f"p{i}", "commit": "c", "lang": "py", "content": f"x{i}"}
+        for i in range(200)
+    ]
+    store.create_many(rows)
+    store.flush()
+    from etl_rs_ray.sources.lake import LakeTable
+
+    lake = LakeTable(str(tmp_path / "table"))
+    n_buckets_present = len(lake.bucket_file_sets())
+    assert n_buckets_present > 1
+
+    import pyarrow.parquet as pq
+
+    opened = []
+    orig = pq.read_table
+
+    def counting(path, *a, **k):
+        opened.append(path)
+        return orig(path, *a, **k)
+
+    monkeypatch.setattr(pq, "read_table", counting)
+    got = store.get(("r3", "p13", "c"))
+    assert got is not None and got["content"] == "x13"
+    # only ONE bucket's files were touched
+    assert len(opened) == len(lake.bucket_file_sets()[_bucket_of(lake, "r3", "p13")])
+    assert len(opened) < n_buckets_present
+    opened.clear()
+    assert store.get(("nope", "nope", "c")) is None
+
+
+def _bucket_of(lake, repo, path):
+    import pyarrow as pa
+
+    from etl_rs_ray.sources.event_log import fast_hash_bucket
+
+    return fast_hash_bucket(pa.array([repo]), pa.array([path]), lake.num_buckets)[0].as_py()

@@ -52,3 +52,93 @@ def test_hot_key_replay(tmp_path):
     hot = got[("hot/repo", "src/hot.py", "h" * 40)]
     assert hot[1] == f"v{hot[0]}"
     assert res.metrics["superseded_dropped"] > 1000
+
+
+def test_hot_key_replay_streamed_fold(tmp_path, monkeypatch):
+    """Streamed xpart folding: with a tiny fold threshold the reducer
+    compacts per-bucket accumulations incrementally (many folds) and still
+    produces the exact oracle state — a hot partition never needs the whole
+    event window in one heap."""
+    monkeypatch.setenv("ETL_RS_RAY_FOLD_ROWS", "64")
+    events = _skewed_events(n=3000, hot_frac=0.6, seed=9)
+    log_dir = str(tmp_path / "log")
+    write_event_log(events, log_dir, num_partitions=3, events_per_segment=200)
+    table_dir = str(tmp_path / "table")
+    res = replay(log_dir, table_dir, num_buckets=4)
+    assert res.committed
+    oracle = oracle_replay(events)
+    snap = LakeTable(table_dir).snapshot_table()
+    got = {
+        (r["repo"], r["path"], r["commit"]): (r["lsn"], r["content"])
+        for r in snap.to_pylist()
+    }
+    assert got == {k: (lsn, content) for k, (lsn, lang, content) in oracle.items()}
+    # stats survive the incremental fold unchanged
+    assert res.metrics["superseded_dropped"] >= 1500
+    assert res.metrics["events_read"] == events.num_rows
+
+
+def _hdd_rows(n, seed=11, dup_frac=0.1):
+    """Single-Nom contact rows: dup_frac of rows share a PCE/Email/Tel with
+    an earlier row (real clusters); the rest have distinct attributes."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    from etl_rs_ray.stages.dedup_hdd import (
+        EMAIL, ID, ID_SOURCE, NOM, PCE, PRENOM, RAISON_SOCIALE, SIRET, SIRET_SUCC, TELEPHONE,
+    )
+    for i in range(n):
+        r = {
+            ID: f"{i:07d}", NOM: "MARTIN", PRENOM: "JEAN" if i % 3 else None,
+            PCE: f"pce{i}", EMAIL: f"e{i}@x.fr", TELEPHONE: f"+33 {i:09d}",
+            SIRET: None if i % 7 else f"{i:014d}", SIRET_SUCC: None,
+            RAISON_SOCIALE: f"rs{i}", ID_SOURCE: f"s{i}",
+        }
+        if i and rng.random() < dup_frac:
+            j = int(rng.integers(0, i))
+            attr = (PCE, EMAIL, TELEPHONE)[int(rng.integers(0, 3))]
+            r[attr] = rows[j][attr]
+        rows.append(r)
+    return rows
+
+
+def test_indexed_pair_detection_matches_cross_join():
+    """detect_pairs_indexed == detect_pairs (pairs, order, clusters)."""
+    from etl_rs_ray.stages.dedup_hdd import (
+        detect_pairs, detect_pairs_indexed, eliminate_subsets, merge_pairs,
+    )
+
+    rows = _hdd_rows(400, seed=13, dup_frac=0.25)
+    p1, p2 = detect_pairs(rows), detect_pairs_indexed(rows)
+    assert p1 == p2 and len(p1) > 10
+    c1 = eliminate_subsets(merge_pairs(p1))
+    c2 = eliminate_subsets(merge_pairs(p2))
+    assert c1 == c2
+
+
+def test_50k_single_nom_group_dedups(tmp_path):
+    """A 50k-row single-Nom group (the reference's pathological case) now
+    DEDUPS via attribute bucketing instead of passing through, and matches
+    the O(n²) path on a subsample."""
+    import time
+
+    from etl_rs_ray.stages.dedup_hdd import (
+        dedup_group, detect_pairs, detect_pairs_indexed,
+    )
+
+    rows = _hdd_rows(50_000, seed=17, dup_frac=0.05)
+    t0 = time.perf_counter()
+    pairs = detect_pairs_indexed(rows)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30, f"indexed detection too slow: {elapsed:.1f}s"
+    assert len(pairs) > 500
+
+    # subsample equivalence against the O(n²) reference shape
+    sub = rows[:2000]
+    assert detect_pairs_indexed(sub) == detect_pairs(sub)
+
+    # end-to-end group dedup actually removes clustered rows now
+    t = pa.Table.from_pylist(rows)
+    out = dedup_group(t)
+    assert out.num_rows < len(rows)
+    ids_col = out.column("IDS").to_pylist()
+    assert any(v is not None and "/" in v for v in ids_col)  # merged clusters exist
