@@ -222,6 +222,40 @@ def col_telephone_vec(arr: pa.Array) -> pa.Array:
     return out
 
 
+def col_prenom_expr_vec(arr: pa.Array) -> pa.Array:
+    """Vectorized transform_prenom_expr (prenom.rs:88-144): the per-part
+    Title-Case runs on FLATTENED list arrays — split by '-', split parts
+    by ' ', case every sub-part in four Arrow kernel calls, then
+    binary_join back up through the preserved offsets. No per-row Python."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    orig_null = pc.is_null(arr)
+    a = pc.fill_null(arr, "")
+    a = pc.replace_substring_regex(a, pattern=rf"^{_WS}+|{_WS}+$", replacement="")
+    a = pc.replace_substring_regex(
+        a, pattern=rf"[^À-ÿa-zA-Z\t\n\x0b\f\r \x{{85}}\p{{Z}}\-'’&]", replacement=""
+    )
+    a = pc.replace_substring_regex(a, pattern=r"&+", replacement=" ")
+    a = pc.replace_substring_regex(a, pattern=rf"{_WS}+", replacement=" ")
+
+    l1 = pc.split_pattern(a, pattern="-")  # rows -> parts
+    f1 = pc.list_flatten(l1)
+    # Python part.split() drops edge empties: trim part-edge spaces first
+    parts = pc.replace_substring_regex(f1, pattern=r"^ +| +$", replacement="")
+    l2 = pc.split_pattern(parts, pattern=" ")  # parts -> sub-parts
+    f2 = pc.list_flatten(l2)
+    first = _fold_accents(_upper_full(pc.utf8_slice_codeunits(f2, 0, 1)))
+    rest = pc.utf8_lower(pc.utf8_slice_codeunits(f2, 1, 2_147_483_647))
+    sub = pc.binary_join_element_wise(first, rest, "")
+
+    def _plain(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    j2 = pc.binary_join(pa.ListArray.from_arrays(_plain(l2).offsets, _plain(sub)), " ")
+    j1 = pc.binary_join(pa.ListArray.from_arrays(_plain(l1).offsets, _plain(j2)), "-")
+    return pc.if_else(orig_null, pa.scalar(None, pa.string()), j1)
+
+
 # case-preserving accent folds (strip_accent semantics, utils.rs:13-68)
 _CASE_FOLDS = [
     ("àáâãäå", "a"), ("èéêë", "e"), ("ìíîï", "i"), ("òóôõö", "o"), ("ùúûü", "u"), ("ç", "c"), ("ñ", "n"),
@@ -291,11 +325,10 @@ col_civilite = col_civilite_vec  # RE2-vectorized, hypothesis-checked vs scalar
 col_email = _scalar(T.transform_email)
 col_telephone = col_telephone_vec  # RE2-vectorized, hypothesis-checked vs scalar
 col_raison_sociale = col_raison_sociale_vec  # RE2-vectorized, hypothesis-checked vs scalar
-# nom_expr / email_expr use the RE2-vectorized kernels (hypothesis-checked
-# equivalent to the scalars); prenom_expr's per-part Title-Case needs the
-# scalar path
+# nom_expr / email_expr / prenom_expr use the RE2/list-kernel vectorized
+# paths (hypothesis-checked equivalent to the scalars)
 col_nom_expr = col_nom_expr_vec
-col_prenom_expr = _scalar(T.transform_prenom_expr)
+col_prenom_expr = col_prenom_expr_vec
 col_email_expr = col_email_expr_vec
 
 TRANSFORMS: dict[str, ColumnFn] = {

@@ -110,3 +110,24 @@ def test_telephone_vec_fixed():
 @given(st.lists(st.text(alphabet="0123456789 .-ab38+’é", max_size=16), min_size=1, max_size=8))
 def test_telephone_vec_random(values):
     _check(col_telephone_vec, T.transform_telephone, values)
+
+
+PRENOM_FIXED = [
+    None, "", " ", "jean-pierre", "  marie claire  ", "JEAN--luc", "élodie",
+    "a&b", "j&&k-l m", "x- -y", "ßtest", "o'neill-MC donald", "émile-  zola ",
+    "a", "-", "--", "Jean  Pierre-Anne marie", "çaça-ÉTÉ", "漢字 abc", "d’arc",
+]
+
+
+def test_prenom_expr_vec_fixed():
+    from etl_rs_ray.functions.registry import col_prenom_expr_vec
+
+    _check(col_prenom_expr_vec, T.transform_prenom_expr, PRENOM_FIXED)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.text(alphabet=ALPHABET + "ßœ'’-", max_size=24), min_size=1, max_size=8))
+def test_prenom_expr_vec_random(values):
+    from etl_rs_ray.functions.registry import col_prenom_expr_vec
+
+    _check(col_prenom_expr_vec, T.transform_prenom_expr, values)
