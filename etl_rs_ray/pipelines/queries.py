@@ -66,36 +66,63 @@ def _docs_small(sf_dir: str, threshold: int = 200_000) -> bool:
 
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-style groupby aggregate over lineitem (columns pruned at
-    the read; Ray's groupby.aggregate does partial aggregation per block
-    before the shuffle)."""
+    the read). The group domain is BOUNDED (returnflag x linestatus ≈ 6
+    groups), so this is partial-aggregate-then-gather: each batch folds to
+    ≤6 partial rows (sums + counts, Mean decomposed as sum/count), and one
+    final block merges them — no keyed shuffle at any scale."""
     ds = _read(
         sf_dir,
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
-    )
+    keys = ["l_returnflag", "l_linestatus"]
 
-    def round_floats(batch: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, keys).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("l_discount", "sum"),
+                # avg() skips nulls (valid count) but count(*) doesn't
+                ("l_discount", "count"),
+                ("l_discount", "count", pc.CountOptions(mode="all")),
+            ]
+        )
+        return g.rename_columns(
+            keys + ["sum_qty", "sum_base_price", "sum_disc", "n_disc", "count_order"]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, keys).aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_base_price", "sum"),
+                ("sum_disc", "sum"),
+                ("n_disc", "sum"),
+                ("count_order", "sum"),
+            ]
+        )
+        n = g.column("n_disc_sum")
         # parallel float reduction order differs from DuckDB's by ~1e-6 on
         # 1e9-magnitude sums; round to cents / 6dp on BOTH sides so the
         # driver's value hash compares stably
-        batch = batch.set_column(
-            batch.schema.get_field_index("sum_base_price"),
-            "sum_base_price",
-            pc.round(batch.column("sum_base_price"), ndigits=2),
-        )
-        return batch.set_column(
-            batch.schema.get_field_index("avg_disc"),
-            "avg_disc",
-            pc.round(batch.column("avg_disc"), ndigits=6),
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("sum_qty_sum"),
+                "sum_base_price": pc.round(g.column("sum_base_price_sum"), ndigits=2),
+                "avg_disc": pc.round(
+                    pc.divide(g.column("sum_disc_sum"), pc.cast(n, pa.float64())), ndigits=6
+                ),
+                "count_order": g.column("count_order_sum"),
+            }
         )
 
-    return agg.map_batches(round_floats, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def lineitem_revenue_filter(sf_dir: str):
@@ -217,29 +244,74 @@ def orders_topk(sf_dir: str):
 
 
 def customer_order_revenue(sf_dir: str):
-    """Inner hash join + aggregate: revenue per customer."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = cust.join(
-        orders,
-        join_type="inner",
-        num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
-    agg = joined.groupby(["c_custkey", "c_name"]).aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="order_count"),
-    )
+    """Inner join + aggregate: revenue per customer.
 
-    def round_rev(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("revenue"),
-            "revenue",
-            pc.round(batch.column("revenue"), ndigits=2),
+    Eager aggregation below the join: orders are partial-aggregated per
+    batch down to one row per custkey FIRST, so whatever join mechanism
+    follows moves ~|customers| rows, never |orders| rows. The join itself
+    is a tagged union: customer rows and order-partials share one schema,
+    and a single grouped pass merges them (Max picks the name, Sum folds
+    the partials); inner-join semantics = keep keys seen on both sides.
+    Small inputs take the partial-aggregate-then-gather path (one final
+    merge block, no keyed shuffle — same gate as the events queries); big
+    inputs run the same union through one hash-shuffle groupby.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(b, "o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": pa.nulls(t.num_rows, pa.string()),
+                "revenue": t.column("o_totalprice_sum"),
+                "order_count": t.column("o_totalprice_count").cast(pa.int64()),
+            }
         )
 
-    return agg.map_batches(round_rev, batch_format="pyarrow", zero_copy_batch=True)
+    def c_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "revenue": pa.nulls(b.num_rows, pa.float64()),
+                "order_count": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "c_custkey").aggregate(
+            [("c_name", "max"), ("revenue", "sum"), ("order_count", "sum")]
+        )
+        keep = pc.and_(
+            pc.is_valid(g.column("c_name_max")), pc.greater(g.column("order_count_sum"), 0)
+        )
+        g = g.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "c_name": g.column("c_name_max"),
+                "revenue": pc.round(g.column("revenue_sum"), ndigits=2),
+                "order_count": g.column("order_count_sum"),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    u = orders.map_batches(o_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        cust.map_batches(c_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        # union fits one merge block: gather, no keyed shuffle
+        return u.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    u = _hash_shuffle(u)
+    nparts = _partitions(rows=_table_rows(sf_dir, "customer"))
+    return u.groupby("c_custkey", num_partitions=nparts).map_groups(
+        merge, batch_format="pyarrow"
+    )
 
 
 def customers_without_orders(sf_dir: str):
@@ -298,24 +370,35 @@ def nation_region_join(sf_dir: str):
 # --- documents: dedup / transforms / stats -----------------------------------
 
 
+def _keep_min_per_md5(t: pa.Table) -> pa.Table:
+    idx = pc.sort_indices(t, sort_keys=[("text_md5", "ascending"), ("doc_id", "ascending")])
+    g = t.take(idx)
+    return g.filter(_first_per_key_mask(g, ("text_md5",)))
+
+
 def docs_exact_dedup(sf_dir: str):
-    """Exact content dedup on documents: min doc_id per md5(text)."""
+    """Exact content dedup on documents: min doc_id per md5(text).
+
+    The text column is dropped at the hash step, so only (doc_id, 32-char
+    md5) rows move after the map — ~40 bytes/doc. Below the `_docs_small`
+    gate that union fits one merge block (gather, no keyed shuffle); above
+    it the same rows go through one hash-shuffle groupby on the digest."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_md5(batch: pa.Table) -> pa.Table:
         h = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch.column("doc_id"), "text_md5": pa.array(h, pa.string())})
+        t = pa.table({"doc_id": batch.column("doc_id"), "text_md5": pa.array(h, pa.string())})
+        # within-batch combiner: keep min doc_id per digest before any move
+        return _keep_min_per_md5(t)
 
     ds = ds.map_batches(add_md5, batch_format="pyarrow", zero_copy_batch=True)
+    if _docs_small(sf_dir):
+        return ds.repartition(1).map_batches(
+            _keep_min_per_md5, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
     ds = _hash_shuffle(ds)
-
-    def keep_min(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("text_md5", "ascending"), ("doc_id", "ascending")])
-        g = group.take(idx)
-        return g.filter(_first_per_key_mask(g, ("text_md5",)))
-
     return ds.groupby("text_md5", num_partitions=_partitions(rows=_table_rows(sf_dir, "documents"))).map_groups(
-        keep_min, batch_format="pyarrow"
+        _keep_min_per_md5, batch_format="pyarrow"
     )
 
 
