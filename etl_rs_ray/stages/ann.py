@@ -73,30 +73,7 @@ def brute_force_topk(
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True).take_all()
     # driver-side merge: nq * k * num_batches rows, tiny
-    best: dict[int, list] = {}
-    for r in partials:
-        heap = best.setdefault(r["query_id"], [])
-        item = (r["cos_sim"], -r[id_col])
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-    out_q, out_id, out_s, out_rank = [], [], [], []
-    for qi in sorted(best):
-        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
-        for rank, (s, neg_id) in enumerate(ranked, 1):
-            out_q.append(qi)
-            out_id.append(-neg_id)
-            out_s.append(s)
-            out_rank.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            id_col: pa.array(out_id, pa.int64()),
-            "cos_sim": pa.array(out_s, pa.float64()),
-            "rank": pa.array(out_rank, pa.int64()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)
 
 
 def train_centroids(ds, emb_col: str = "embedding", n_centroids: int = 16,
@@ -114,6 +91,152 @@ def train_centroids(ds, emb_col: str = "embedding", n_centroids: int = 16,
                 cent[c] = members.mean(axis=0)
         cent = _normalize(cent)
     return cent
+
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 5,
+) -> np.ndarray:
+    """Physically route rows to their IVF list: one hive partition
+    directory per coarse centroid (``lists/ivf_list=<c>/``), so a search
+    READS only the probed lists — at 100 TB the other lists never leave
+    storage. Centroids are trained on a driver sample, broadcast once,
+    and persisted next to the lists for searches in later sessions.
+
+    ``ivf_list`` is kept as a real column in the files too (hive strips
+    partition columns from leaf files; searches read leaf dirs directly)."""
+    import json
+    import os
+
+    cent = train_centroids(ds, emb_col, n_centroids, sample_rows=sample_rows, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        embs = _normalize(_as_matrix(batch.column(emb_col)))
+        lists = (embs @ C.T).argmax(axis=1).astype(np.int64)
+        batch = batch.append_column("ivf_list", pa.array(lists))
+        return batch.append_column("list_id", pa.array(lists))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["ivf_list"]
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_centroids": int(len(cent)), "emb_col": emb_col, "id_col": id_col}, f)
+    return cent
+
+
+def ivf_search_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> tuple[pa.Table, list[str]]:
+    """Search a build_ivf_index directory: compute each query's nprobe
+    nearest lists, read ONLY the union of probed list directories, score
+    each row for exactly the queries that probed its list, then the same
+    tiny partial-top-k driver merge as brute_force_topk. Returns
+    (results, probed_paths) — the path list is the I/O-pruning evidence."""
+    import json
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(p.tolist()) for p in probes]
+    union = sorted(set().union(*probe_sets)) if probe_sets else []
+    paths = [
+        p
+        for c in union
+        if os.path.isdir(p := os.path.join(index_dir, "lists", f"ivf_list={c}"))
+    ]
+    if not paths:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        return empty, paths
+
+    import glob
+
+    import ray.data
+
+    # a path LIST is treated as files by the reader: expand each probed
+    # list dir to its parquet leaves
+    files = [f for p in paths for f in sorted(glob.glob(os.path.join(p, "*.parquet")))]
+    ds = ray.data.read_parquet(files, columns=[id_col, emb_col, "list_id"])
+    q_ref = ray.put(q)
+    probes_ref = ray.put(probe_sets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q = ray.get(q_ref)
+        P = ray.get(probes_ref)
+        embs = _normalize(_as_matrix(batch.column(emb_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lists = batch.column("list_id").to_numpy(zero_copy_only=False)
+        sims = Q @ embs.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(Q.shape[0]):
+            mask = np.isin(lists, list(P[qi]))
+            if not mask.any():
+                continue
+            cand = np.where(mask)[0]
+            take = min(k, len(cand))
+            top = cand[np.argpartition(-sims[qi, cand], take - 1)[:take]]
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_s.extend(sims[qi, top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return _merge_topk(partials, k, id_col), paths
+
+
+def _merge_topk(partials: list[dict], k: int, id_col: str) -> pa.Table:
+    """Driver-side merge of per-batch partial top-k rows (nq*k*batches)."""
+    best: dict[int, list] = {}
+    for r in partials:
+        heap = best.setdefault(r["query_id"], [])
+        item = (r["cos_sim"], -r[id_col])
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    out = {"query_id": [], id_col: [], "cos_sim": [], "rank": []}
+    for qi in sorted(best):
+        for rank, (s, neg_id) in enumerate(sorted(best[qi], key=lambda t: (-t[0], -t[1])), 1):
+            out["query_id"].append(qi)
+            out[id_col].append(-neg_id)
+            out["cos_sim"].append(s)
+            out["rank"].append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            id_col: pa.array(out[id_col], pa.int64()),
+            "cos_sim": pa.array(out["cos_sim"], pa.float64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        }
+    )
 
 
 def ivf_topk(
@@ -163,26 +286,4 @@ def ivf_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    best: dict[int, list] = {}
-    for r in partials:
-        heap = best.setdefault(r["query_id"], [])
-        item = (r["cos_sim"], -r[id_col])
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-    out = {"query_id": [], id_col: [], "cos_sim": [], "rank": []}
-    for qi in sorted(best):
-        for rank, (s, neg_id) in enumerate(sorted(best[qi], key=lambda t: (-t[0], -t[1])), 1):
-            out["query_id"].append(qi)
-            out[id_col].append(-neg_id)
-            out["cos_sim"].append(s)
-            out["rank"].append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], pa.int64()),
-            id_col: pa.array(out[id_col], pa.int64()),
-            "cos_sim": pa.array(out["cos_sim"], pa.float64()),
-            "rank": pa.array(out["rank"], pa.int64()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)
