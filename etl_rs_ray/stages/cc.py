@@ -99,12 +99,177 @@ def connected_components(
     )
 
 
-def removal_ds(edges, num_partitions: int = 8) -> "ray.data.Dataset":
+def _canonical(ds) -> "ray.data.Dataset":
+    """(a, b) -> (min, max), self-loops dropped, exact-dup edges kept
+    (they collapse in the next groupby anyway)."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").cast(pa.int64())
+        b = batch.column("b").cast(pa.int64())
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t.column("a"), t.column("b")))
+
+    return ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _materialize_edges(ds) -> "ray.data.Dataset":
+    """Materialize and drop zero-row blocks. Hash-shuffled stages can emit
+    empty blocks with an EMPTY schema; map_batches skips empty blocks (so
+    a UDF can't re-schema them) and the next keyed shuffle then fails to
+    find its key column. Blocks stay in the object store (from_arrow_refs
+    is zero-copy)."""
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
+def _distinct_edges(ds, num_partitions: int) -> "ray.data.Dataset":
+    """Exact per-round dedup of the edge multiset. Without it, duplicate
+    edges duplicate adjacency rows which duplicate next-round emits —
+    multiplicative growth across rounds."""
+    from ray.data.aggregate import Count
+
+    return (
+        _hash_shuffle(ds)
+        .groupby(["a", "b"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda b: b.select(["a", "b"]), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def connected_components_star(
+    edges, num_partitions: int = 8, max_rounds: int = 24
+) -> "ray.data.Dataset":
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log d) rounds instead of min-label's O(d), so a long
+    chain that min-label cannot finish inside its round budget resolves
+    here. Each half-round is one grouped pass: hash-shuffle adjacency by
+    node, compute m and emit rewired edges inside map_groups (no join
+    operator), then an exact edge-distinct; returns (node, root).
+
+    large-star: every neighbor v > u rewires to m = min({u} ∪ N(u));
+    small-star: every neighbor v ≤ u (and u) rewires to
+    m = min({u} ∪ {v ∈ N(u), v ≤ u}). Fixpoint = star graphs rooted at
+    each component's min id.
+    """
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+    cur = _materialize_edges(_distinct_edges(_canonical(edges), num_partitions))
+
+    def adj_of(e):
+        def both(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").combine_chunks()
+            b = batch.column("b").combine_chunks()
+            return pa.table({"node": pa.concat_arrays([a, b]), "nbr": pa.concat_arrays([b, a])})
+
+        return e.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+
+    def checksum(e) -> tuple:
+        t = pa.Table.from_pylist(
+            e.map_batches(
+                lambda b: pa.table(
+                    {
+                        "n": pa.array([b.num_rows], pa.int64()),
+                        "sa": pa.array([pc.sum(b.column("a")).as_py() or 0], pa.int64()),
+                        "sb": pa.array([pc.sum(b.column("b")).as_py() or 0], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).take_all()
+        )
+        if t.num_rows == 0:
+            return (0, 0, 0)
+        return tuple(pc.sum(t.column(c)).as_py() or 0 for c in ("n", "sa", "sb"))
+
+    def large_star(group: pa.Table) -> pa.Table:
+        # one node's whole neighborhood per call: m = min({u} ∪ N(u)),
+        # every neighbor v > u rewires to (m, v)
+        node = group.column("node")[0].as_py()
+        nbrs = group.column("nbr")
+        m = min(node, pc.min(nbrs).as_py())
+        out = pc.unique(nbrs.filter(pc.greater(nbrs, node)).combine_chunks())
+        out = out.filter(pc.not_equal(out, m))
+        return pa.table({"a": pa.array([m] * len(out), pa.int64()), "b": out})
+
+    def small_star(group: pa.Table) -> pa.Table:
+        # m = min over the ≤-side ∪ {u}; every v in N≤(u) ∪ {u} rewires
+        node = group.column("node")[0].as_py()
+        nbrs = group.column("nbr")
+        le = nbrs.filter(pc.less_equal(nbrs, node)).combine_chunks()
+        if len(le) == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        m = min(node, pc.min(le).as_py())
+        out = pc.unique(pa.concat_arrays([le, pa.array([node], pa.int64())]))
+        out = out.filter(pc.not_equal(out, m))
+        return pa.table({"a": pa.array([m] * len(out), pa.int64()), "b": out})
+
+    prev = None
+    for _round in range(max_rounds):
+        for fn in (large_star, small_star):
+            cur = _materialize_edges(
+                _distinct_edges(
+                    _canonical(
+                        _hash_shuffle(adj_of(cur))
+                        .groupby("node", num_partitions=num_partitions)
+                        .map_groups(fn, batch_format="pyarrow")
+                    ),
+                    num_partitions,
+                )
+            )
+        sig = checksum(cur)
+        if sig == prev:
+            break
+        prev = sig
+
+    # fixpoint: stars (root=a, child=b). assignments = children + roots
+    def assigns(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("b").combine_chunks(), batch.column("a").combine_chunks()]
+                ),
+                "root": pa.concat_arrays(
+                    [batch.column("a").combine_chunks(), batch.column("a").combine_chunks()]
+                ),
+            }
+        )
+
+    out = cur.map_batches(assigns, batch_format="pyarrow", zero_copy_batch=True)
+    # roots appear once per child edge: collapse to one row per node
+    return (
+        _hash_shuffle(out)
+        .groupby("node", num_partitions=num_partitions)
+        .aggregate(Min("root", alias_name="root"))
+    )
+
+
+def removal_ds(edges, num_partitions: int = 8, algorithm: str = "label") -> "ray.data.Dataset":
     """Nodes to drop — every node that is not its component's min id — as
     a DATASET: nothing is collected to the driver, so the duplicate graph
     can exceed driver memory. Consume via an anti join against the corpus
-    (``Dataset.join(..., "left_anti")``) or collect when known-small."""
-    cc = connected_components(edges, num_partitions)
+    (``Dataset.join(..., "left_anti")``) or collect when known-small.
+
+    ``algorithm``: "label" (min-label, O(diameter) rounds — right for the
+    shallow clusters near-dup graphs produce) or "star" (large-star/
+    small-star, O(log d) rounds — right when components may be long
+    chains)."""
+    fn = {"label": connected_components, "star": connected_components_star}[algorithm]
+    cc = fn(edges, num_partitions)
     return cc.map_batches(
         lambda b: pa.table(
             {"node": b.filter(pc.not_equal(b.column("node"), b.column("root"))).column("node")}
@@ -114,6 +279,6 @@ def removal_ds(edges, num_partitions: int = 8) -> "ray.data.Dataset":
     )
 
 
-def removal_set_distributed(edges, num_partitions: int = 8) -> set:
+def removal_set_distributed(edges, num_partitions: int = 8, algorithm: str = "label") -> set:
     """Driver-side view of :func:`removal_ds` (small graphs / tests)."""
-    return {r["node"] for r in removal_ds(edges, num_partitions).take_all()}
+    return {r["node"] for r in removal_ds(edges, num_partitions, algorithm=algorithm).take_all()}

@@ -95,3 +95,59 @@ def test_distributed_cc_dedup_no_driver_edge_collection(monkeypatch):
     want = {r["doc_id"] for r in minhash_lsh_dedup(ds, "text", "doc_id").take_all()}
     assert got == want  # matches the driver union-find result
     assert 201 not in got and 200 in got
+
+
+# --- large-star / small-star -------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (10, 11)],
+        [(5, 1), (1, 9), (9, 5), (2, 7)],
+        [(i, i + 1) for i in range(0, 20, 2)],
+        [(i, i + 1) for i in range(7)],
+        [(0, 1), (0, 2), (1, 2), (3, 4)],  # triangle + pair (dup-edge paths)
+    ],
+)
+def test_star_matches_union_find(edges):
+    from etl_rs_ray.stages.cc import connected_components_star
+
+    t = pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    got = {r["node"]: r["root"] for r in connected_components_star(t, num_partitions=4).take_all()}
+    assert got == _uf_roots(edges)
+
+
+def test_star_long_chain_beats_label_round_budget():
+    """A 32-node path has diameter 31: min-label cannot converge in its
+    default 12 rounds (labels walk one hop per round), but the star
+    algorithm contracts in O(log d) rounds and still resolves to root 0."""
+    from etl_rs_ray.stages.cc import connected_components_star
+
+    edges = [(i, i + 1) for i in range(31)]
+    t = pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    got = {r["node"]: r["root"] for r in connected_components_star(t, num_partitions=4, max_rounds=10).take_all()}
+    assert got == {i: 0 for i in range(32)}
+    # label propagation with the same graph does NOT finish in 12 rounds
+    partial = {r["node"]: r["root"] for r in connected_components(t, num_partitions=4, max_rounds=3).take_all()}
+    assert partial != got
+
+
+def test_star_random_graph_and_removal():
+    from etl_rs_ray.stages.cc import removal_set_distributed as rsd
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 50, (70, 2)) if a != b]
+    t = pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    want = {n for n, r in _uf_roots(edges).items() if n != r}
+    assert rsd(t, 4, algorithm="star") == want
+    assert rsd(t, 4, algorithm="label") == want
