@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..sources.event_log import fast_hash_bucket, read_event_log_table
+from ..sources.event_log import fast_hash_bucket
 from ..stages.merge_apply import DEFAULT_KEY
 
 
@@ -169,10 +169,17 @@ class StreamingMerge:
 
     def tail(self, log_dir: str, lsn_from: int | None = None, lsn_to: int | None = None,
              micro_batch_rows: int = 50_000) -> dict:
-        """Bounded tail of the log in LSN order through the pool."""
-        events = read_event_log_table(log_dir, lsn_from, lsn_to).sort_by("lsn")
-        for start in range(0, events.num_rows, micro_batch_rows):
-            self.apply_batch(events.slice(start, micro_batch_rows))
+        """Bounded tail of the log, streamed micro-batch by micro-batch —
+        the driver never holds more than one micro-batch, so a long
+        catch-up window costs O(micro_batch) driver memory. No global
+        LSN sort is needed: PartitionMerger is LWW by LSN per key and
+        drops stale/duplicate LSNs regardless of arrival order."""
+        from ..sources.event_log import read_event_log
+
+        ds = read_event_log(log_dir, lsn_from, lsn_to)
+        for batch in ds.iter_batches(batch_size=micro_batch_rows, batch_format="pyarrow"):
+            if batch.num_rows:
+                self.apply_batch(batch)
         return self.stats()
 
     def snapshot(self) -> pa.Table:
