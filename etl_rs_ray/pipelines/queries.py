@@ -465,14 +465,17 @@ def docs_minhash_dedup(sf_dir: str):
 
 
 def docs_minhash_cc_dedup(sf_dir: str):
-    """Transitive MinHash LSH dedup (union-find over LSH candidate edges,
-    distributed CC path) — approximate clustering, rows-only check."""
+    """Transitive MinHash LSH dedup (connected components over the LSH
+    bucket-star candidate edges) — SQL-oracle-checked: the DuckDB side
+    recomputes the bands and closes the candidate graph with a recursive
+    reachability CTE (_minhash_cc_sql)."""
     from ..stages.dedup import minhash_lsh_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(
+    out = minhash_lsh_dedup(
         ds, "text", "doc_id", num_perm=64, bands=8, small_input=_docs_small(sf_dir)
     )
+    return out.select_columns(["doc_id"])
 
 
 def docs_lang_quality(sf_dir: str):
@@ -576,12 +579,14 @@ def docs_simhash_dedup(sf_dir: str):
 
 
 def docs_simhash_cc_dedup(sf_dir: str):
-    """Transitive SimHash dedup (union-find over candidate edges) —
-    rows-only check."""
+    """Transitive SimHash dedup (connected components over the in-bucket
+    hamming<=3 pairs) — SQL-oracle-checked via the recursive closure
+    (_simhash_cc_sql)."""
     from ..stages.dedup import simhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup(ds, "text", "doc_id", max_hamming=3, small_input=_docs_small(sf_dir))
+    out = simhash_dedup(ds, "text", "doc_id", max_hamming=3, small_input=_docs_small(sf_dir))
+    return out.select_columns(["doc_id"])
 
 
 def embeddings_ann_ivf(sf_dir: str):
@@ -868,6 +873,46 @@ def _minhash_sql() -> str:
     """
 
 
+# transitive-closure suffix shared by the CC-dedup oracles: undirected
+# reachability via a recursive CTE (the candidate graph at oracle scale is
+# tiny), then keep each component's min id — exactly the union-find /
+# distributed-CC rule (stages/cc.py).
+_CC_CLOSURE_SQL = """
+    adj AS (
+      SELECT a, b FROM cand_edges UNION SELECT b AS a, a AS b FROM cand_edges
+    ), reach AS (
+      SELECT a AS node, a AS r FROM adj
+      UNION
+      SELECT reach.node, adj.b AS r FROM reach JOIN adj ON reach.r = adj.a
+    ), roots AS (
+      SELECT node, min(r) AS root FROM reach GROUP BY node
+    ), removed AS (
+      SELECT node AS doc_id FROM roots WHERE root < node
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+def _minhash_cc_sql() -> str:
+    """Transitive variant: same shingle/minhash/band/bucket pipeline, but
+    the removal rule is connected components over the bucket-star edges
+    (bucket-min -> member, buckets of size 2..1000 — the same edge set
+    _bucket_edges_table emits), closed recursively."""
+    base = _minhash_sql()
+    head, _sep, _tail = base.partition("), removed AS (")
+    return (
+        "WITH RECURSIVE"
+        + head.split("WITH", 1)[1]
+        + """), cand_edges AS (
+      SELECT DISTINCT k.keep AS a, bd.doc_id AS b
+      FROM bands bd JOIN buckets k ON bd.band = k.band AND bd.sig = k.sig
+      WHERE k.n BETWEEN 2 AND 1000 AND bd.doc_id > k.keep
+    ),"""
+        + _CC_CLOSURE_SQL
+    )
+
+
 def _simhash_sql() -> str:
     return """
     WITH tk AS (
@@ -900,9 +945,31 @@ def _simhash_sql() -> str:
     """
 
 
+def _simhash_cc_sql() -> str:
+    """Transitive variant: edges are the in-bucket pairs within
+    hamming<=3 (the same pairs bucket_edges emits), closed recursively."""
+    base = _simhash_sql()
+    head, _sep, _tail = base.partition("), removed AS (")
+    return (
+        "WITH RECURSIVE"
+        + head.split("WITH", 1)[1]
+        + """), cand_edges AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.s, y.s)) <= 3
+    ),"""
+        + _CC_CLOSURE_SQL
+    )
+
+
 ORACLE_SQL["docs_lang_quality"] = _lang_quality_sql()
 ORACLE_SQL["docs_minhash_dedup"] = _minhash_sql()
 ORACLE_SQL["docs_simhash_dedup"] = _simhash_sql()
+# transitive CC variants: survivors after connected components over the
+# candidate graph, computed in SQL with a recursive reachability closure
+ORACLE_SQL["docs_minhash_cc_dedup"] = _minhash_cc_sql()
+ORACLE_SQL["docs_simhash_cc_dedup"] = _simhash_cc_sql()
 # Invariant oracle: the Ray side measures IVF recall against the exact
 # brute-force top-k; the SQL states the required invariants as constants.
 ORACLE_SQL["embeddings_ann_ivf"] = """

@@ -274,12 +274,15 @@ def _gather(bands_ds, fn):
     return bands_ds.repartition(1).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-def _edges_ds_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000, small_input: bool = False):
-    """Per (band, band_hash) bucket: chain the members into candidate
+def _edges_ds_from_buckets(
+    bands_ds, id_col: str, max_bucket: int = 1000, small_input: bool = False,
+    keys: tuple = ("band", "band_hash"),
+):
+    """Per bucket (keyed by ``keys``): chain the members into candidate
     edges, as a DATASET (nothing collected — the scale path)."""
     if small_input:
         return _gather(
-            bands_ds, lambda b: _bucket_edges_table(b, ("band", "band_hash"), id_col, max_bucket)
+            bands_ds, lambda b: _bucket_edges_table(b, keys, id_col, max_bucket)
         )
 
     def bucket_edges(group: pa.Table) -> pa.Table:
@@ -292,7 +295,7 @@ def _edges_ds_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000, small_
 
     bands_ds = _hash_shuffle(bands_ds)
     return bands_ds.groupby(
-        ["band", "band_hash"], num_partitions=_group_partitions()
+        list(keys), num_partitions=_group_partitions()
     ).map_groups(bucket_edges, batch_format="pyarrow")
 
 
@@ -332,12 +335,13 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 8,
-    shingle_k: int = 5,
     distributed_cc: bool = False,
     small_input: bool = False,
 ):
-    """Near-dup removal: shingle -> minhash -> banded LSH buckets ->
-    connected components -> keep the smallest id per cluster.
+    """Near-dup removal: word-trigram shingle -> minhash (perms31, the
+    same signature pipeline as the pairwise variant and its SQL oracle)
+    -> banded LSH buckets -> connected components -> keep the smallest id
+    per cluster.
 
     ``distributed_cc=True`` is the scale path: candidate edges stay a
     Dataset end-to-end — Ray-native min-label propagation (stages/cc.py)
@@ -345,14 +349,16 @@ def minhash_lsh_dedup(
     hash-partitioned ANTI JOIN, so neither the duplicate graph nor the
     removal set ever lands on the driver."""
     bands_ds = ds.map_batches(
-        make_minhash_bands(text_col, id_col, num_perm, bands, shingle_k),
+        make_minhash_bands_pairwise(text_col, id_col, num_perm, bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     if distributed_cc:
         from .cc import removal_ds
 
-        edges_ds = _edges_ds_from_buckets(bands_ds, id_col, small_input=small_input)
+        edges_ds = _edges_ds_from_buckets(
+            bands_ds, id_col, small_input=small_input, keys=("band", "sig")
+        )
         removal = removal_ds(edges_ds, num_partitions=_group_partitions(8))
         return ds.join(
             removal,
@@ -362,7 +368,12 @@ def minhash_lsh_dedup(
             right_on=("node",),
         )
     remove = _removal_set(
-        [(r["a"], r["b"]) for r in _edges_ds_from_buckets(bands_ds, id_col, small_input=small_input).take_all()]
+        [
+            (r["a"], r["b"])
+            for r in _edges_ds_from_buckets(
+                bands_ds, id_col, small_input=small_input, keys=("band", "sig")
+            ).take_all()
+        ]
     )
     return _filter_removed(ds, id_col, remove) if remove else ds
 
@@ -423,12 +434,15 @@ def simhash_dedup(
     def add_bands(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        sigs = simhash_batch(texts, "crc64", _crc_token_hash)
+        # md5 token hashes — the same signature pipeline as the pairwise
+        # variant and its SQL oracle (md5_number_lower); token-less docs
+        # get no bands and survive (SQL parity)
+        sigs = simhash_batch(texts, "md5u64", md5_u64)
         ob, oh, oid, osig = [], [], [], []
         for did, s in zip(ids, sigs):
-            if s is None:
+            if s is None or not s[1]:
                 continue
-            sig = s[0]  # token-less docs keep sig 0 (legacy behavior)
+            sig = s[0]
             for bi in range(4):
                 ob.append(bi)
                 oh.append((sig >> (16 * bi)) & 0xFFFF)
