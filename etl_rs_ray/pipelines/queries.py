@@ -656,6 +656,63 @@ def media_features(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_asof_join(sf_dir: str):
+    """As-of join: each purchase event picks up the user's latest click
+    at-or-before it (backward as-of, LEFT semantics) — oracle is DuckDB's
+    native ASOF LEFT JOIN. One tagged-union hash shuffle co-partitions by
+    user, then a vectorized binary search per group (stages/temporal.py)."""
+    from ..stages.temporal import asof_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    left = ds.filter(expr="event_type == 'purchase'")
+    right = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]).filter(
+        expr="event_type == 'click'"
+    )
+    out = asof_join(
+        left,
+        right,
+        key_col="user_id",
+        time_col="ts",
+        left_cols=["event_id", "user_id", "ts", "value"],
+        right_cols=["ts", "value"],
+        num_partitions=_partitions(rows=_table_rows(sf_dir, "events")),
+    )
+
+    # no rounding: every output value is a stored double passed through
+    # untouched on both sides, so the bits compare exactly
+    return out
+
+
+def events_windowed_agg(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event_type: count + sum +
+    mean of value — oracle is DuckDB time_bucket. Bounded domain (hours x
+    5 types), so partial-aggregate-then-gather (stages/temporal.py)."""
+    from ..stages.temporal import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = tumbling_window_agg(
+        ds, "ts", ["event_type"], "value", width_seconds=3600, small_domain=True
+    )
+
+    def quantize(b: pa.Table) -> pa.Table:
+        # parallel float reduction order differs from DuckDB's in the last
+        # ulp; integer micro-unit quantization compares hash-stably
+        def micros(col):
+            return pc.cast(pc.round(pc.multiply(col, 1e6)), pa.int64())
+
+        return pa.table(
+            {
+                "window_start": b.column("window_start"),
+                "event_type": b.column("event_type"),
+                "n_events": b.column("n_events"),
+                "sum_value_micros": micros(b.column("sum_value")),
+                "avg_value_micros": micros(b.column("avg_value")),
+            }
+        )
+
+    return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -680,6 +737,8 @@ QUERIES = {
     "docs_simhash_dedup": docs_simhash_dedup,
     "embeddings_ann_ivf": embeddings_ann_ivf,
     "media_features": media_features,
+    "events_asof_join": events_asof_join,
+    "events_windowed_agg": events_windowed_agg,
 }
 
 ORACLE_SQL = {
@@ -970,6 +1029,21 @@ ORACLE_SQL["docs_simhash_dedup"] = _simhash_sql()
 # candidate graph, computed in SQL with a recursive reachability closure
 ORACLE_SQL["docs_minhash_cc_dedup"] = _minhash_cc_sql()
 ORACLE_SQL["docs_simhash_cc_dedup"] = _simhash_cc_sql()
+ORACLE_SQL["events_asof_join"] = """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS ts_r, r.value AS value_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+ORACLE_SQL["events_windowed_agg"] = """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_micros,
+           CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_value_micros
+    FROM events
+    GROUP BY 1, 2
+"""
 # Invariant oracle: the Ray side measures IVF recall against the exact
 # brute-force top-k; the SQL states the required invariants as constants.
 ORACLE_SQL["embeddings_ann_ivf"] = """

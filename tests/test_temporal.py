@@ -1,0 +1,145 @@
+"""As-of join and tumbling window aggregation (stages/temporal.py)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from etl_rs_ray.stages.temporal import asof_join, tumbling_window_agg
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def _left():
+    return pa.table(
+        {
+            "lid": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([10, 10, 20, 30], pa.int64()),
+            "ts": pa.array([_ts(5), _ts(9), _ts(7), _ts(8)], pa.timestamp("us")),
+            "lv": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+
+
+def _right():
+    return pa.table(
+        {
+            "rid": pa.array([100, 101, 102, 103], pa.int64()),
+            "k": pa.array([10, 10, 10, 20], pa.int64()),
+            "ts": pa.array([_ts(4), _ts(6), _ts(9), _ts(7, 30)], pa.timestamp("us")),
+            "rv": pa.array([9.0, 8.0, 7.0, 6.0]),
+        }
+    )
+
+
+def test_asof_join_backward_latest_and_nulls():
+    out = asof_join(
+        ray.data.from_arrow(_left()).repartition(2),
+        ray.data.from_arrow(_right()).repartition(2),
+        key_col="k",
+        time_col="ts",
+        left_cols=["lid", "k", "ts", "lv"],
+        right_cols=["rid", "ts", "rv"],
+        num_partitions=2,
+    )
+    rows = {r["lid"]: r for r in out.take_all()}
+    assert rows[1]["rid_r"] == 100  # ts 5 -> latest right at 4
+    assert rows[2]["rid_r"] == 102  # ts 9 -> right AT 9 matches (<=)
+    assert rows[3]["rid_r"] is None  # right k=20 is at 7:30 > 7: no match
+    assert rows[4]["rid_r"] is None  # no right rows for k=30 at all
+    assert rows[1]["rv_r"] == 9.0 and rows[2]["rv_r"] == 7.0
+
+
+def test_asof_join_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("l", _left())
+    con.register("r", _right())
+    want = con.sql(
+        """SELECT l.lid, r.rid AS rid_r FROM l
+           ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+           ORDER BY l.lid"""
+    ).fetchall()
+    out = asof_join(
+        ray.data.from_arrow(_left()),
+        ray.data.from_arrow(_right()),
+        key_col="k",
+        time_col="ts",
+        left_cols=["lid", "k", "ts", "lv"],
+        right_cols=["rid", "ts", "rv"],
+        num_partitions=2,
+    )
+    got = sorted((r["lid"], r["rid_r"]) for r in out.take_all())
+    assert got == [tuple(w) for w in want]
+
+
+def _events():
+    rows = []
+    for i in range(100):
+        rows.append(
+            {
+                "ts": dt.datetime(2024, 1, 1, i % 12, (i * 7) % 60),
+                "typ": "a" if i % 2 == 0 else "b",
+                "v": float(i),
+            }
+        )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema([("ts", pa.timestamp("us")), ("typ", pa.string()), ("v", pa.float64())])
+    )
+
+
+def _window_oracle(width_s):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("e", _events())
+    return {
+        (w, t): (n, s)
+        for w, t, n, s in con.sql(
+            f"""SELECT time_bucket(INTERVAL {width_s} SECOND, ts), typ,
+                       count(*), sum(v)
+                FROM e GROUP BY 1, 2"""
+        ).fetchall()
+    }
+
+
+def test_tumbling_window_agg_both_paths():
+    want = _window_oracle(3600)
+    for small in (True, False):
+        out = tumbling_window_agg(
+            ray.data.from_arrow(_events()).repartition(3),
+            "ts",
+            ["typ"],
+            "v",
+            width_seconds=3600,
+            small_domain=small,
+            num_partitions=2,
+        )
+        got = {
+            (r["window_start"], r["typ"]): (r["n_events"], r["sum_value"])
+            for r in out.take_all()
+        }
+        assert got == want, f"small_domain={small}"
+
+
+def test_tumbling_window_null_values():
+    t = pa.table(
+        {
+            "ts": pa.array([_ts(1), _ts(1, 30), _ts(2)], pa.timestamp("us")),
+            "typ": pa.array(["a", "a", "a"]),
+            "v": pa.array([1.0, None, 5.0]),
+        }
+    )
+    out = tumbling_window_agg(
+        ray.data.from_arrow(t), "ts", ["typ"], "v", width_seconds=3600
+    ).take_all()
+    by_win = {r["window_start"].hour: r for r in out}
+    # null value still counts toward n_events, not toward sum/avg
+    assert by_win[1]["n_events"] == 2
+    assert by_win[1]["sum_value"] == 1.0
+    assert by_win[1]["avg_value"] == 1.0
+    assert by_win[2]["n_events"] == 1 and by_win[2]["sum_value"] == 5.0
