@@ -398,7 +398,21 @@ def replay(
 
         if shuffle_partitions is None:
             shuffle_partitions = max(2, min(lake.num_buckets, cpus))
-        shuffle_dir = os.path.join(staging, "_shuffle")
+        # The exchange spill is TRANSIENT (wiped before and after the
+        # epoch; commit atomicity lives in the manifest, not here), so it
+        # can sit on node-local fast storage instead of the table's
+        # filesystem: set ETL_RS_RAY_SHUFFLE_BASE (e.g. /dev/shm or a
+        # local NVMe mount) to take lake-directory disk out of the
+        # shuffle path. Unique per staging dir so concurrent replays of
+        # different tables/epochs never collide.
+        base = os.environ.get("ETL_RS_RAY_SHUFFLE_BASE")
+        if base:
+            import hashlib as _hashlib
+
+            tag = _hashlib.sha1(staging.encode()).hexdigest()[:16]
+            shuffle_dir = os.path.join(base, f"etl_rs_ray_shuffle_{tag}")
+        else:
+            shuffle_dir = os.path.join(staging, "_shuffle")
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         os.makedirs(shuffle_dir, exist_ok=True)
         spill_ds = ds.map_batches(
