@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``strict=True`` raises NotImplementedError at the exact point a real
-codec (Pillow / libsndfile / pyav) would be called; the default
-deterministic fake derives metadata from the payload bytes so the Ray
-plumbing — schema, actor-pool lifecycle, batch sizing, output layout —
-is real and tested end-to-end.
+Decode strategy, by format:
+
+- REAL decoders for the formats parseable with numpy + the stdlib alone:
+  uncompressed 24-bit BMP (header parse + pixel array), PCM WAV (stdlib
+  ``wave``), and YUV4MPEG2 (Y4M) raw video (plain-text header + raw
+  planar frames). These produce true width/height/mean-luma, true sample
+  rate/duration/RMS, and true frame counts/offsets.
+- Compressed formats (JPEG/PNG/MP3/MP4…) need codec libraries this
+  container doesn't have: ``strict=True`` raises NotImplementedError at
+  the exact point Pillow/libsndfile/pyav would be called; the default
+  falls back to a deterministic md5-derived fake (mirrorable in SQL, so
+  the driver's oracle can still hash-verify the actor-pool plumbing).
 
 Shapes: each stage is a callable CLASS passed to
 ``map_batches(Cls, concurrency=N, batch_size=B)`` — expensive setup in
@@ -18,6 +24,8 @@ the worker heap.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -32,11 +40,30 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media(n: int = 64, seed: int = 17) -> pa.Table:
-    """Deterministic fake payloads (seeded bytes) for plumbing tests."""
+def synthesize_media(n: int = 64, seed: int = 17, real: bool = False) -> pa.Table:
+    """Deterministic payloads for plumbing tests. ``real=True`` emits
+    actual BMP / PCM-WAV / Y4M bytes (seeded pixels/samples/frames) so the
+    REAL decode paths run; default keeps the cheap seeded-bytes fakes."""
     rng = np.random.default_rng(seed)
     types = ["image", "audio", "video"]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads = []
+    for i in range(n):
+        if not real:
+            payloads.append(
+                rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+            )
+            continue
+        t = types[i % 3]
+        if t == "image":
+            w, h = int(rng.integers(4, 33)), int(rng.integers(4, 33))
+            payloads.append(encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+        elif t == "audio":
+            rate = 8_000
+            samples = (rng.standard_normal(int(rng.integers(100, 2000))) * 8000).astype(np.int16)
+            payloads.append(encode_wav(samples, rate))
+        else:
+            frames = rng.integers(0, 256, (int(rng.integers(3, 30)), 8, 8), dtype=np.uint8)
+            payloads.append(encode_y4m(frames))
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
@@ -73,6 +100,131 @@ def media_from_documents(sf_dir: str):
     return ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- real codecs (numpy + stdlib only) ---------------------------------------
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Minimal uncompressed 24-bit BMP (BITMAPINFOHEADER) from an
+    (h, w, 3) uint8 RGB array — rows bottom-up, 4-byte padded, BGR."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    buf = io.BytesIO()
+    buf.write(header)
+    buf.write(info)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    padding = b"\x00" * pad
+    for r in range(h):
+        buf.write(bgr[r].tobytes())
+        buf.write(padding)
+    return buf.getvalue()
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Real decode of an uncompressed 24-bit BMP: (width, height,
+    mean luma) with luma = ITU-R BT.601 from the actual pixels."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    h_abs = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h_abs, offset=data_offset)
+    rows = raw.reshape(h_abs, stride)[:, :row].reshape(h_abs, w, 3)
+    if h > 0:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float64)
+    luma = 0.299 * bgr[..., 2] + 0.587 * bgr[..., 1] + 0.114 * bgr[..., 0]
+    return w, h_abs, float(luma.mean())
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 16_000) -> bytes:
+    """PCM-16 mono WAV from an int16 sample array (stdlib wave)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, float, float]:
+    """Real decode of a PCM WAV: (sample_rate, duration_s, rms)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        raw = f.readframes(n)
+    if width != 2:
+        raise ValueError(f"unsupported sample width {width}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return rate, n / rate if rate else 0.0, rms
+
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames_y: "np.ndarray", fps: int = 25) -> bytes:
+    """YUV4MPEG2 (C420) from an (n, h, w) uint8 luma array; chroma planes
+    are flat 128 (gray)."""
+    n, h, w = frames_y.shape
+    buf = io.BytesIO()
+    buf.write(_Y4M_MAGIC + f"W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode())
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for i in range(n):
+        buf.write(b"FRAME\n")
+        buf.write(frames_y[i].tobytes())
+        buf.write(uv)
+        buf.write(uv)
+    return buf.getvalue()
+
+
+def decode_y4m_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a Y4M stream header + stream length into
+    (width, height, fps, n_frames) — no per-frame scan needed: frame size
+    is fixed (C420: 1.5 * w * h plus the FRAME marker)."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    w = h = fps = None
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            fps = int(tok[1:].split(b":")[0])
+    frame_bytes = len(b"FRAME\n") + w * h * 3 // 2
+    n_frames = (len(payload) - nl - 1) // frame_bytes
+    return w, h, fps or 25, n_frames
+
+
+def y4m_frame_luma(payload: bytes, frame_idx: int) -> float:
+    """Mean luma of one frame (real pixels, zero-copy slice)."""
+    w, h, _fps, n = decode_y4m_meta(payload)
+    if not 0 <= frame_idx < n:
+        raise IndexError(frame_idx)
+    nl = payload.index(b"\n")
+    frame_bytes = len(b"FRAME\n") + w * h * 3 // 2
+    start = nl + 1 + frame_idx * frame_bytes + len(b"FRAME\n")
+    y = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=start)
+    return float(y.mean())
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, float]:
     """Stub decode outputs from the payload's md5 digest — deterministic
     AND mirrorable in SQL (md5 hex bytes), unlike a real codec."""
@@ -83,22 +235,27 @@ def _fake_dims(payload: bytes) -> tuple[int, int, float]:
 class DecodeImage:
     """Actor-pool stage: binary payload -> (width, height, mean_luma).
 
-    __init__ loads the (stub) codec once per actor; __call__ decodes a
-    batch. strict=True raises where `PIL.Image.open` would run.
+    __init__ resolves codecs once per actor; __call__ decodes a batch.
+    BMP payloads get a REAL decode (header + pixel array, BT.601 luma);
+    other formats raise under strict=True (where `PIL.Image.open` would
+    run) or fall back to the deterministic md5 stub.
     """
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        self.codec = "stub-codec-v1"  # real impl: import PIL here, once
+        self.codec = "bmp-numpy-v1"  # real impl would also: import PIL here, once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "real image decode requires Pillow; not available in this environment"
-            )
         widths, heights, lumas = [], [], []
         for payload in batch.column("payload").to_pylist():
-            w, h, luma = _fake_dims(payload)
+            if payload[:2] == b"BM":
+                w, h, luma = decode_bmp(payload)
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-BMP image decode requires Pillow; not available in this environment"
+                )
+            else:
+                w, h, luma = _fake_dims(payload)
             widths.append(w)
             heights.append(h)
             lumas.append(luma)
@@ -106,6 +263,36 @@ class DecodeImage:
         batch = batch.append_column("height", pa.array(heights, pa.int32()))
         batch = batch.append_column("mean_luma", pa.array(lumas, pa.float64()))
         return batch
+
+
+class DecodeAudio:
+    """Actor-pool stage: audio payload -> (sample_rate, duration_s, rms).
+    PCM WAV decodes for REAL via the stdlib; other formats raise under
+    strict=True (where libsndfile would run) or emit typed nulls."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, durs, rmss = [], [], []
+        for mt, payload in zip(
+            batch.column("media_type").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            if mt != "audio":
+                rates.append(None), durs.append(None), rmss.append(None)
+                continue
+            if payload[:4] == b"RIFF":
+                rate, dur, rms = decode_wav(payload)
+                rates.append(rate), durs.append(dur), rmss.append(rms)
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-WAV audio decode requires libsndfile; not available here"
+                )
+            else:
+                rates.append(None), durs.append(None), rmss.append(None)
+        batch = batch.append_column("sample_rate", pa.array(rates, pa.int32()))
+        batch = batch.append_column("duration_s", pa.array(durs, pa.float64()))
+        return batch.append_column("rms", pa.array(rmss, pa.float64()))
 
 
 class ExtractFeatures:
@@ -138,31 +325,50 @@ class SampleFrames:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("real frame sampling requires pyav/ffmpeg")
-        offsets = []
+        offsets, frame_lumas = [], []
         for mt, payload in zip(
             batch.column("media_type").to_pylist(), batch.column("payload").to_pylist()
         ):
             if mt != "video":
                 offsets.append(None)
+                frame_lumas.append(None)
                 continue
-            n_frames = 1 + len(payload) % 97
-            offsets.append(list(range(0, n_frames, self.every_n)))
-        return batch.append_column("frame_offsets", pa.array(offsets, pa.list_(pa.int64())))
+            if payload.startswith(_Y4M_MAGIC):
+                # REAL frame sampling: fixed-size C420 frames, each sampled
+                # frame's luma computed from the actual pixels
+                _w, _h, _fps, n_frames = decode_y4m_meta(payload)
+                idx = list(range(0, n_frames, self.every_n))
+                offsets.append(idx)
+                frame_lumas.append([y4m_frame_luma(payload, i) for i in idx])
+            elif self.strict:
+                raise NotImplementedError("non-Y4M frame sampling requires pyav/ffmpeg")
+            else:
+                n_frames = 1 + len(payload) % 97
+                offsets.append(list(range(0, n_frames, self.every_n)))
+                frame_lumas.append(None)
+        batch = batch.append_column("frame_offsets", pa.array(offsets, pa.list_(pa.int64())))
+        return batch.append_column("frame_lumas", pa.array(frame_lumas, pa.list_(pa.float64())))
 
 
-def media_pipeline(ds, concurrency: int = 2, batch_size: int = 16, num_cpus: float = 0.5):
-    """decode -> features -> frame-sample, each an actor pool.
+def media_pipeline(ds, concurrency: int = 2, batch_size: int = 16, num_cpus: float = 0.25,
+                   audio: bool = False):
+    """decode -> [audio] -> features -> frame-sample, each an actor pool.
 
-    num_cpus is fractional so the three concurrent pools can all schedule
+    num_cpus is fractional so the concurrent pools can all schedule
     on small clusters (streaming execution keeps every stage's pool alive
-    at once; 3 stages x concurrency actors must fit the CPU budget).
+    at once; stages x concurrency actors must fit the CPU budget WITH
+    headroom left over for the data tasks — pools that exactly consume
+    the whole budget deadlock the stream).
     """
     ds = ds.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus,
     )
+    if audio:
+        ds = ds.map_batches(
+            DecodeAudio, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=num_cpus,
+        )
     ds = ds.map_batches(
         ExtractFeatures, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus,

@@ -162,3 +162,83 @@ def test_ivf_index_search_matches_in_memory_ivf(tmp_path):
         a = {r["vec_id"] for r in mem.to_pylist() if r["query_id"] == qi}
         b = {r["vec_id"] for r in routed.to_pylist() if r["query_id"] == qi}
         assert a == b
+
+
+# --- real multimodal decoders (numpy/stdlib formats) -------------------------
+
+
+def test_bmp_roundtrip_real_decode():
+    from etl_rs_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)  # odd width: padding path
+    w, h, luma = decode_bmp(encode_bmp(px))
+    assert (w, h) == (7, 13)
+    bgr = px.astype(np.float64)
+    want = (0.299 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.114 * bgr[..., 2]).mean()
+    assert abs(luma - want) < 1e-9
+
+
+def test_wav_roundtrip_real_decode():
+    from etl_rs_ray.stages.multimodal import decode_wav, encode_wav
+
+    samples = (np.sin(np.linspace(0, 40, 8000)) * 10000).astype(np.int16)
+    rate, dur, rms = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert abs(dur - 1.0) < 1e-9
+    x = samples.astype(np.float64) / 32768.0
+    assert abs(rms - np.sqrt((x * x).mean())) < 1e-9
+
+
+def test_y4m_meta_and_frame_luma():
+    from etl_rs_ray.stages.multimodal import decode_y4m_meta, encode_y4m, y4m_frame_luma
+
+    frames = np.stack([np.full((6, 8), v, dtype=np.uint8) for v in (0, 100, 200)])
+    payload = encode_y4m(frames, fps=30)
+    assert decode_y4m_meta(payload) == (8, 6, 30, 3)
+    assert y4m_frame_luma(payload, 0) == 0.0
+    assert y4m_frame_luma(payload, 1) == 100.0
+    assert y4m_frame_luma(payload, 2) == 200.0
+
+
+def test_media_pipeline_real_payloads():
+    """End-to-end actor-pool run over REAL BMP/WAV/Y4M payloads: every
+    stage decodes actual bytes, strict mode included (no stub fallback
+    should be needed)."""
+    from etl_rs_ray.stages.multimodal import (
+        DecodeAudio,
+        DecodeImage,
+        SampleFrames,
+        media_pipeline,
+        synthesize_media,
+    )
+
+    t = synthesize_media(n=24, real=True)
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = media_pipeline(ds, concurrency=2, batch_size=8, audio=True).take_all()
+    assert len(out) == 24
+    for r in out:
+        if r["media_type"] == "image":
+            assert 4 <= r["width"] <= 32 and 4 <= r["height"] <= 32
+            assert 0.0 <= r["mean_luma"] <= 255.0
+        elif r["media_type"] == "audio":
+            assert r["sample_rate"] == 8000
+            assert r["duration_s"] > 0 and 0 < r["rms"] < 1
+        else:
+            assert r["frame_offsets"] is not None and len(r["frame_offsets"]) >= 1
+            assert len(r["frame_lumas"]) == len(r["frame_offsets"])
+            assert all(0.0 <= v <= 255.0 for v in r["frame_lumas"])
+        assert len(r["features"]) == 32
+
+    # strict mode over real payloads must NOT raise (real decoders used);
+    # strict over non-parseable payloads must raise
+    import pyarrow as pa_
+    import pytest as pytest_
+
+    strict_img = DecodeImage(strict=True)
+    bmp_rows = t.filter(pa_.compute.equal(t.column("media_type"), "image"))
+    strict_img(bmp_rows)  # BMP rows decode for real
+    with pytest_.raises(NotImplementedError):
+        strict_img(
+            pa_.table({"payload": pa_.array([b"\x89PNG fake"], pa_.binary())})
+        )
