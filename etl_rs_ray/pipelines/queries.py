@@ -713,6 +713,63 @@ def events_windowed_agg(sf_dir: str):
     return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _micros(col):
+    # integer micro-unit quantization: hash-stable under parallel float
+    # reduction order (see events_windowed_agg)
+    return pc.cast(pc.round(pc.multiply(col, 1e6)), pa.int64())
+
+
+def events_hopping_agg(sf_dir: str):
+    """Hopping windows (1h wide, 15min hop) per event_type — each event
+    lands in 4 windows, emitted vectorized; oracle is a generate_series
+    cross join over the hop offsets."""
+    from ..stages.temporal import hopping_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = hopping_window_agg(
+        ds, "ts", ["event_type"], "value", width_seconds=3600, hop_seconds=900,
+        small_domain=True,
+    )
+
+    def quantize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": b.column("window_start"),
+                "event_type": b.column("event_type"),
+                "n_events": b.column("n_events"),
+                "sum_value_micros": _micros(b.column("sum_value")),
+            }
+        )
+
+    return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_session_agg(sf_dir: str):
+    """Session windows per user (30min inactivity gap) — one hash shuffle
+    by user, vectorized gaps-and-islands per group; oracle is the classic
+    lag + running-sum SQL."""
+    from ..stages.temporal import session_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+    out = session_window_agg(
+        ds, "ts", "user_id", "value", gap_seconds=1800,
+        num_partitions=_partitions(rows=_table_rows(sf_dir, "events")),
+    )
+
+    def quantize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "session_start": b.column("session_start"),
+                "session_end": b.column("session_end"),
+                "n_events": b.column("n_events"),
+                "sum_value_micros": _micros(b.column("sum_value")),
+            }
+        )
+
+    return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -739,6 +796,8 @@ QUERIES = {
     "media_features": media_features,
     "events_asof_join": events_asof_join,
     "events_windowed_agg": events_windowed_agg,
+    "events_hopping_agg": events_hopping_agg,
+    "events_session_agg": events_session_agg,
 }
 
 ORACLE_SQL = {
@@ -1035,6 +1094,32 @@ ORACLE_SQL["events_asof_join"] = """
     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+ORACLE_SQL["events_hopping_agg"] = """
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - j.j * (INTERVAL 15 MINUTE)
+             AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_micros
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+    GROUP BY 1, 2
+"""
+ORACLE_SQL["events_session_agg"] = """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_micros
+    FROM y GROUP BY user_id, sid
 """
 ORACLE_SQL["events_windowed_agg"] = """
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,

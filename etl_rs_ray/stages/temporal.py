@@ -165,3 +165,116 @@ def tumbling_window_agg(
         .groupby(gkeys, num_partitions=num_partitions)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def hopping_window_agg(
+    ds,
+    time_col: str,
+    keys: list[str],
+    value_col: str,
+    width_seconds: int = 3600,
+    hop_seconds: int = 900,
+    small_domain: bool = True,
+    num_partitions: int = 8,
+):
+    """Hopping (sliding) event-time windows: width W advancing every H.
+    Each row lands in W/H windows — emitted VECTORIZED by looping the
+    small constant W/H per batch (column slices, no per-row Python),
+    then the same two-level aggregation as the tumbling case.
+    Output: window_start, *keys, n_events, sum_value."""
+    if width_seconds % hop_seconds:
+        raise ValueError("width_seconds must be a multiple of hop_seconds")
+    hops = width_seconds // hop_seconds
+    gkeys = ["window_start", *keys]
+
+    def partial(b: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(b.column(time_col), multiple=hop_seconds, unit="second")
+        parts = []
+        for j in range(hops):
+            start = pc.add(
+                pc.cast(base, pa.timestamp("us")),
+                pa.scalar(-j * hop_seconds * 1_000_000, pa.duration("us")),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": start,
+                        **{k: b.column(k) for k in keys},
+                        "_v": b.column(value_col),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        g = pa.TableGroupBy(t, gkeys).aggregate(
+            [("_v", "sum"), ("_v", "count", pc.CountOptions(mode="all"))]
+        )
+        return g.rename_columns(gkeys + ["sum_value", "n_events"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, gkeys).aggregate([("sum_value", "sum"), ("n_events", "sum")])
+        return pa.table(
+            {
+                **{k: g.column(k) for k in gkeys},
+                "n_events": g.column("n_events_sum"),
+                "sum_value": g.column("sum_value_sum"),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if small_domain:
+        return p.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    return (
+        _hash_shuffle(p)
+        .groupby(gkeys, num_partitions=num_partitions)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def session_window_agg(
+    ds,
+    time_col: str,
+    key_col: str,
+    value_col: str,
+    gap_seconds: int = 1800,
+    num_partitions: int = 8,
+):
+    """Session windows: per key, maximal runs of events whose successive
+    gaps are < gap. One hash shuffle by key, then a vectorized
+    gaps-and-islands pass per group (sort + diff + cumsum — no per-row
+    Python). Output: key, session_start, session_end, n_events, sum_value.
+
+    Partitioning assumption: all events of one key fit one group (session
+    state cannot span partitions)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(time_col, "ascending")])
+        g = group.take(idx)
+        ts = g.column(time_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)
+        key = g.column(key_col)[0].as_py()
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) >= gap_us
+        sid = np.cumsum(new_session) - 1
+        n_sessions = int(sid[-1]) + 1 if len(ts) else 0
+        starts = ts[new_session]
+        ends = np.maximum.reduceat(ts, np.flatnonzero(new_session))
+        counts = np.bincount(sid, minlength=n_sessions)
+        sums = np.bincount(sid, weights=np.nan_to_num(vals), minlength=n_sessions)
+        return pa.table(
+            {
+                key_col: pa.array([key] * n_sessions, group.schema.field(key_col).type),
+                "session_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(ends, pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array(counts, pa.int64()),
+                "sum_value": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return (
+        _hash_shuffle(ds)
+        .groupby(key_col, num_partitions=num_partitions)
+        .map_groups(sessions, batch_format="pyarrow")
+    )
