@@ -195,7 +195,7 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--only-cdc", action="store_true")
-    ap.add_argument("--scale-mult", type=int, default=8)
+    ap.add_argument("--scale-mult", type=int, default=16)
     ap.add_argument("--curate", action="store_true",
                     help="replay with the normalize/curate stage (full north-star pipeline)")
     ap.add_argument("--warmup", action="store_true",
@@ -210,8 +210,11 @@ def main():
     if args.scaling:
         # fresh process per CPU level (two-cluster-size proxy); the scaling
         # tier is scale_mult x the bench tier so the job is large enough to
-        # use the full CPU budget (pre-generate the shared log once,
-        # outside timing)
+        # use the full CPU budget AND amortize per-run fixed costs (driver
+        # accounting + manifest commit are ~1.5 s regardless of size: at
+        # 5M events they cost the 16-cpu level ~9% — scale_mult=16 / 10M
+        # events gets fixed cost under 5%, the honest proxy for the
+        # 10^10-event target). Log pre-generated once, outside timing.
         ensure_event_log(sf_dir, scale_mult=args.scale_mult)
         # N vs 4N with high = HALF the host cores: saturating every core
         # of one VM throttles per-core speed (measured hw ceiling ~0.87 at
