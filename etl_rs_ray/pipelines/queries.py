@@ -770,6 +770,44 @@ def events_session_agg(sf_dir: str):
     return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_sketch_stats(sf_dir: str):
+    """Mergeable-sketch statistics over the events stream: HLL distinct
+    users and fixed-histogram value quantiles, each ONE map_batches
+    partial pass + a driver merge of tiny states (no shuffle at any
+    scale). Invariant oracle: the Ray side ALSO computes the exact
+    answers (bounded-domain gather) and asserts the sketch errors are
+    inside their bounds; the SQL side recomputes the exact values and
+    states the bound flags as constants."""
+    from ..stages.sketches import approx_distinct, approx_quantiles
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    hll = approx_distinct(ds, "user_id", p=12)
+    quants = approx_quantiles(ds, "value", [0.5, 0.9], lo=0.0, hi=200.0, buckets=2000)
+
+    exact_users = len(
+        _read(sf_dir, "events", columns=["user_id"]).unique("user_id")
+    )
+    vals = np.sort(
+        _read(sf_dir, "events", columns=["value"])
+        .to_pandas()["value"]
+        .to_numpy(dtype=np.float64)
+    )
+    exact_p50 = float(np.quantile(vals, 0.5))
+    exact_p90 = float(np.quantile(vals, 0.9))
+
+    return pa.table(
+        {
+            "exact_distinct_users": pa.array([exact_users], pa.int64()),
+            # HLL standard error at p=12 is ~1.04/sqrt(4096) = 1.6%; 5%
+            # is the asserted deterministic margin
+            "hll_within_5pct": pa.array([abs(hll - exact_users) / exact_users <= 0.05]),
+            # histogram error bound = range/buckets = 0.1
+            "p50_within_bound": pa.array([abs(quants[0] - exact_p50) <= 0.1]),
+            "p90_within_bound": pa.array([abs(quants[1] - exact_p90) <= 0.1]),
+        }
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -798,6 +836,7 @@ QUERIES = {
     "events_windowed_agg": events_windowed_agg,
     "events_hopping_agg": events_hopping_agg,
     "events_session_agg": events_session_agg,
+    "events_sketch_stats": events_sketch_stats,
 }
 
 ORACLE_SQL = {
@@ -1094,6 +1133,13 @@ ORACLE_SQL["events_asof_join"] = """
     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+ORACLE_SQL["events_sketch_stats"] = """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           true AS hll_within_5pct,
+           true AS p50_within_bound,
+           true AS p90_within_bound
+    FROM events
 """
 ORACLE_SQL["events_hopping_agg"] = """
     SELECT time_bucket(INTERVAL 15 MINUTE, ts) - j.j * (INTERVAL 15 MINUTE)

@@ -1,0 +1,157 @@
+"""Mergeable sketches for unbounded-cardinality statistics at 100 TB.
+
+Exact distinct counts / quantiles over an unbounded key domain need a
+full shuffle of every distinct value. A MERGEABLE sketch replaces that
+with the engine's cheapest shape — per-batch partial (a few KB) ->
+gather -> merge — constant communication regardless of input size:
+
+- ``HyperLogLog``: distinct count, 2^p registers, standard bias-corrected
+  estimate (Flajolet et al.; the small-range linear-counting correction
+  included). Registers merge by element-wise max.
+- ``FixedHistogram``: quantiles over a known value range via a fixed
+  bucket grid; merges by vector addition, quantile by cumulative search.
+  Error is bounded by bucket width (range/#buckets) — the right tool
+  when the value domain is known (scores, ratios, sizes); see t-digest
+  for the unknown-range case.
+
+Both run as one ``map_batches`` partial pass + a driver merge of
+#blocks tiny states — no shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class HyperLogLog:
+    """Fixed-seed HLL. ``add_hashed`` takes uint64 hashes (use
+    sources.event_log.stable_hash64 for version-stable hashing)."""
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashed(self, hashes: "np.ndarray") -> None:
+        h = hashes.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # rank = leading zeros of the remaining 64-p bits, +1; the OR'd-in
+        # low p ones bound the rank at 64-p+1 so v is never zero
+        v = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        ranks = np.ones(len(h), dtype=np.uint8)
+        done = np.zeros(len(h), dtype=bool)
+        mask = np.uint64(1) << np.uint64(63)
+        # log2-free leading-zero loop (float64 log2 is unsafe past 2^53):
+        # each pass retires the rows whose current top bit is set
+        for _ in range(64 - self.p):
+            done |= (v & mask) != 0
+            if done.all():
+                break
+            ranks[~done] += 1
+            v = v << np.uint64(1)
+        np.maximum.at(self.registers, idx, ranks)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("mismatched precision")
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Distinct-count estimate over a column: per-batch HLL partial ->
+    tiny register blobs -> one driver merge. Communication is
+    #blocks * 2^p bytes no matter how many rows."""
+    from ..sources.event_log import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        col_arr = b.column(col)
+        if col_arr.null_count:
+            col_arr = pc.drop_null(col_arr)
+        if len(col_arr):
+            arr = col_arr.combine_chunks() if isinstance(col_arr, pa.ChunkedArray) else col_arr
+            if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+                arr = pc.cast(arr, pa.string())
+            h.add_hashed(stable_hash64(arr))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        merged.merge(HyperLogLog.from_bytes(r["sketch"], p))
+    return merged.estimate()
+
+
+class FixedHistogram:
+    def __init__(self, lo: float, hi: float, buckets: int = 1024):
+        if not hi > lo:
+            raise ValueError("hi must exceed lo")
+        self.lo, self.hi, self.n = float(lo), float(hi), int(buckets)
+        self.counts = np.zeros(buckets + 2, dtype=np.int64)  # under/overflow ends
+
+    def add(self, values: "np.ndarray") -> None:
+        v = values[~np.isnan(values)]
+        idx = np.floor((v - self.lo) / (self.hi - self.lo) * self.n).astype(np.int64)
+        idx = np.clip(idx + 1, 0, self.n + 1)
+        np.add.at(self.counts, idx, 1)
+
+    def merge(self, other: "FixedHistogram") -> "FixedHistogram":
+        self.counts += other.counts
+        return self
+
+    def quantile(self, q: float) -> float:
+        total = self.counts.sum()
+        if total == 0:
+            return float("nan")
+        target = q * total
+        cum = np.cumsum(self.counts)
+        i = int(np.searchsorted(cum, target, side="left"))
+        if i == 0:
+            return self.lo
+        if i >= self.n + 1:
+            return self.hi
+        width = (self.hi - self.lo) / self.n
+        return self.lo + (i - 1) * width + width / 2  # bucket midpoint
+
+    def to_array(self) -> "np.ndarray":
+        return self.counts
+
+
+def approx_quantiles(ds, col: str, qs: list[float], lo: float, hi: float,
+                     buckets: int = 1024) -> list[float]:
+    """Quantile estimates via mergeable fixed histograms: error bounded
+    by (hi-lo)/buckets. One map_batches pass + driver merge."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = FixedHistogram(lo, hi, buckets)
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h.add(v)
+        return pa.table({"counts": pa.array([h.to_array().tolist()], pa.list_(pa.int64()))})
+
+    merged = FixedHistogram(lo, hi, buckets)
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        merged.counts += np.array(r["counts"], dtype=np.int64)
+    return [merged.quantile(q) for q in qs]

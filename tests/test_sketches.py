@@ -1,0 +1,85 @@
+"""Mergeable sketches: HyperLogLog + fixed-histogram quantiles."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from etl_rs_ray.sources.event_log import stable_hash64
+from etl_rs_ray.stages.sketches import (
+    FixedHistogram,
+    HyperLogLog,
+    approx_distinct,
+    approx_quantiles,
+)
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(7)
+    keys = [f"user-{i}" for i in range(20_000)]
+    h_all = HyperLogLog(p=12)
+    h_all.add_hashed(stable_hash64(pa.array(keys)))
+    est = h_all.estimate()
+    assert abs(est - 20_000) / 20_000 < 0.05
+
+    # merge of disjoint halves == sketch of the union
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    h1.add_hashed(stable_hash64(pa.array(keys[:10_000])))
+    h2.add_hashed(stable_hash64(pa.array(keys[10_000:])))
+    assert h1.merge(h2).estimate() == est
+
+    # duplicates don't inflate
+    h3 = HyperLogLog(12)
+    h3.add_hashed(stable_hash64(pa.array(keys * 3)))
+    assert h3.estimate() == est
+
+
+def test_hll_small_range_linear_counting():
+    h = HyperLogLog(p=12)
+    h.add_hashed(stable_hash64(pa.array([f"k{i}" for i in range(50)])))
+    assert abs(h.estimate() - 50) < 5
+
+
+def test_hll_serialization_roundtrip():
+    h = HyperLogLog(p=10)
+    h.add_hashed(stable_hash64(pa.array(["a", "b", "c"])))
+    h2 = HyperLogLog.from_bytes(h.to_bytes(), p=10)
+    assert h2.estimate() == h.estimate()
+
+
+def test_fixed_histogram_quantiles():
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0, 100, 50_000)
+    h = FixedHistogram(0, 100, buckets=1000)
+    h.add(vals)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(h.quantile(q) - np.quantile(vals, q)) <= 0.2  # 2 bucket widths
+
+    # merge equals union
+    h1, h2 = FixedHistogram(0, 100, 1000), FixedHistogram(0, 100, 1000)
+    h1.add(vals[:25_000])
+    h2.add(vals[25_000:])
+    h1.merge(h2)
+    assert (h1.counts == h.counts).all()
+
+    # out-of-range values clamp to the end buckets
+    h3 = FixedHistogram(0, 1, 10)
+    h3.add(np.array([-5.0, 0.5, 99.0]))
+    assert h3.counts[0] == 1 and h3.counts[-1] == 1
+
+
+def test_dataset_level_sketches():
+    rng = np.random.default_rng(11)
+    n = 30_000
+    t = pa.table(
+        {
+            "k": pa.array([f"id-{int(v)}" for v in rng.integers(0, 5_000, n)]),
+            "v": pa.array(rng.uniform(0, 10, n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - 5_000) / 5_000 < 0.05
+    p50, p90 = approx_quantiles(ds, "v", [0.5, 0.9], lo=0.0, hi=10.0, buckets=1000)
+    v = t.column("v").to_numpy()
+    assert abs(p50 - np.quantile(v, 0.5)) <= 0.02
+    assert abs(p90 - np.quantile(v, 0.9)) <= 0.02
