@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--keep-epochs", type=int, default=1)
 
+    q = sub.add_parser("query", help="run a named operator query over an sf dir")
+    q.add_argument("--name", help="query name (omit or use 'list' to list all)", default="list")
+    q.add_argument("--sf", default="/root/testdata/sf0.001", help="testdata sf directory")
+    q.add_argument("--limit", type=int, default=5, help="sample rows to print")
+    q.add_argument("--oracle", action="store_true",
+                   help="also run the DuckDB oracle and report row-count match")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "generate":
@@ -150,6 +157,51 @@ def main(argv: list[str] | None = None) -> int:
             import ray
 
             ray.shutdown()
+        return 0
+
+    if args.cmd == "query":
+        from .pipelines.queries import ORACLE_SQL, QUERIES
+
+        if args.name in ("list", None):
+            print(json.dumps({"queries": sorted(QUERIES), "oracles": len(ORACLE_SQL)}))
+            return 0
+        if args.name not in QUERIES:
+            print(json.dumps({"error": f"unknown query {args.name!r}", "queries": sorted(QUERIES)}))
+            return 1
+        _init_ray(args.num_cpus)
+        import time as _time
+
+        import pyarrow as _pa
+        import ray as _ray
+        import ray.data as _rd
+
+        t0 = _time.perf_counter()
+        res = QUERIES[args.name](args.sf)
+        if isinstance(res, _rd.Dataset):
+            tbl = _pa.Table.from_pylist(res.take_all())
+        elif isinstance(res, _pa.Table):
+            tbl = res
+        else:
+            tbl = _pa.Table.from_pandas(res)
+        out = {
+            "query": args.name,
+            "rows": tbl.num_rows,
+            "columns": tbl.column_names,
+            "wall_seconds": round(_time.perf_counter() - t0, 3),
+            "sample": tbl.slice(0, args.limit).to_pylist(),
+        }
+        if args.oracle and args.name in ORACLE_SQL:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in ("region nation customer supplier part orders lineitem "
+                      "events documents embeddings").split():
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{args.sf}/{t}.parquet')")
+            want = con.sql(ORACLE_SQL[args.name]).arrow()
+            out["oracle_rows"] = want.num_rows
+            out["rows_match"] = want.num_rows == tbl.num_rows
+        print(json.dumps(out, default=str))
+        _ray.shutdown()
         return 0
 
     if args.cmd == "snapshot":

@@ -4,6 +4,7 @@ O(n log n) (sort + neighbor mask), never the reference's O(n²) cross join."""
 
 import numpy as np
 import pyarrow as pa
+import ray.data
 
 from etl_rs_ray.datagen import EVENT_SCHEMA, oracle_replay, write_event_log
 from etl_rs_ray.pipelines.cdc import replay
@@ -142,3 +143,80 @@ def test_50k_single_nom_group_dedups(tmp_path):
     assert out.num_rows < len(rows)
     ids_col = out.column("IDS").to_pylist()
     assert any(v is not None and "/" in v for v in ids_col)  # merged clusters exist
+
+
+def test_asof_join_hot_key():
+    """One key owns 90% of both sides: the group-local binary search is
+    O((l+r) log r), so a hot key inflates one group but never goes
+    quadratic — verify correctness on the skewed group."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from etl_rs_ray.stages.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    n = 3000
+    left = pa.table(
+        {
+            "lid": pa.array(range(n), pa.int64()),
+            "k": pa.array([7] * (n * 9 // 10) + list(range(1, n // 10 + 1)), pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=i * 7) for i in range(n)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "k": pa.array([7] * (n * 9 // 10) + list(range(1, n // 10 + 1)), pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=i * 11) for i in range(n)], pa.timestamp("us")),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(4),
+        key_col="k", time_col="ts",
+        left_cols=["lid", "k", "ts"], right_cols=["rid", "ts"],
+        num_partitions=4,
+    ).take_all()
+    assert len(out) == n
+    # spot-check the hot key against a driver-side oracle
+    import numpy as np
+
+    l_hot = [(r["lid"], r["ts"], r["rid_r"]) for r in out if r["k"] == 7]
+    rt = sorted((right.column("ts")[i].as_py(), right.column("rid")[i].as_py())
+                for i in range(n) if right.column("k")[i].as_py() == 7)
+    rts = [t for t, _ in rt]
+    for lid, ts, rid_r in l_hot:
+        pos = np.searchsorted(rts, ts, side="right") - 1
+        want = rt[pos][1] if pos >= 0 else None
+        assert rid_r == want, (lid, ts, rid_r, want)
+
+
+def test_session_windows_hot_user():
+    """90% of events belong to one user: the vectorized islands pass is
+    O(n log n) per group; sessions still split correctly at gaps."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from etl_rs_ray.stages.temporal import session_window_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot user: 3 bursts of 600 events 10s apart, bursts separated by 2h
+    for burst in range(3):
+        for i in range(600):
+            rows.append({"ts": base + dt.timedelta(hours=3 * burst, seconds=10 * i), "uid": 7, "v": 1.0})
+    for u in range(1, 21):
+        rows.append({"ts": base + dt.timedelta(minutes=u), "uid": 100 + u, "v": 2.0})
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema([("ts", pa.timestamp("us")), ("uid", pa.int64()), ("v", pa.float64())])
+    )
+    out = session_window_agg(
+        ray.data.from_arrow(t).repartition(5), "ts", "uid", "v",
+        gap_seconds=1800, num_partitions=4,
+    ).take_all()
+    hot = [r for r in out if r["uid"] == 7]
+    assert len(hot) == 3
+    assert all(r["n_events"] == 600 and r["sum_value"] == 600.0 for r in hot)
+    assert sum(1 for r in out if r["uid"] != 7) == 20
