@@ -808,6 +808,17 @@ def events_sketch_stats(sf_dir: str):
     )
 
 
+def events_heavy_hitters(sf_dir: str):
+    """Exact top-10 users by event count via the two-pass heavy-hitter
+    operator (Misra-Gries candidates -> broadcast exact count — no
+    shuffle); output is exact, so plain SQL-checkable."""
+    from ..stages.heavy import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    t = heavy_hitters(ds, "user_id", k=10)
+    return pa.table({"user_id": t.column("key"), "n": t.column("n")})
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -837,6 +848,7 @@ QUERIES = {
     "events_hopping_agg": events_hopping_agg,
     "events_session_agg": events_session_agg,
     "events_sketch_stats": events_sketch_stats,
+    "events_heavy_hitters": events_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -1133,6 +1145,11 @@ ORACLE_SQL["events_asof_join"] = """
     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+ORACLE_SQL["events_heavy_hitters"] = """
+    SELECT user_id, count(*) AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 10
 """
 ORACLE_SQL["events_sketch_stats"] = """
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,

@@ -1,0 +1,89 @@
+"""Heavy hitters (top-k frequent keys) over an unbounded key domain —
+EXACT output from two streaming passes, no shuffle.
+
+Pass 1 — candidates: each batch folds to its exact per-key counts
+(np.unique, vectorized) and the driver merges them through a Misra-Gries
+summary of m counters. MG guarantees every key with true frequency
+> N/m survives the summary, so with m >= k * headroom the true top-k is
+a subset of the candidates (undercount error <= N/m).
+
+Pass 2 — exact: the candidate set (m keys) broadcasts into a filtered
+count pass; the emitted top-k counts are exact, so the result is
+SQL-hash-checkable despite the sketch in the middle.
+
+At 100 TB this replaces a full groupby shuffle of every key with
+2 map-only passes + O(m) driver state. Also useful operationally: run
+pass 1 alone to DETECT hot keys before choosing a salting strategy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _mg_merge(summary: dict, keys, counts, m: int) -> None:
+    """Merge exact (key, count) pairs into a Misra-Gries summary of at
+    most m counters (merge = add, then subtract the (m+1)-th largest
+    weight from all and drop non-positive — the standard mergeable MG)."""
+    for k, c in zip(keys, counts):
+        summary[k] = summary.get(k, 0) + int(c)
+    if len(summary) > m:
+        kth = sorted(summary.values(), reverse=True)[m]
+        for k in [k for k, v in summary.items() if v - kth <= 0]:
+            del summary[k]
+        for k in summary:
+            summary[k] -= kth
+
+
+def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
+    """Exact top-k keys by count. ``m`` (candidate budget, default 20*k)
+    controls the MG guarantee: exactness of the final top-k requires the
+    true top-k keys to each have frequency > N/m (holds for any
+    realistically skewed distribution at m=20k; raise m for near-uniform
+    data). Output: (key, n) sorted by n desc, key asc."""
+    m = m or 20 * k
+
+    def batch_counts(b: pa.Table) -> pa.Table:
+        vc = b.column(col).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"key": vc.field("values"), "n": vc.field("counts")})
+
+    partials = ds.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
+    summary: dict = {}
+    for r in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        _mg_merge(summary, r.column("key").to_pylist(), r.column("n").to_pylist(), m)
+    candidates = list(summary)
+    if not candidates:
+        return pa.table({"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    import ray
+
+    cand_ref = ray.put(pa.array(candidates))
+
+    def count_candidates(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        colv = b.column(col)
+        hit = b.filter(pc.is_in(colv, value_set=cand))
+        vc = hit.column(col).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"key": vc.field("values"), "n": vc.field("counts")})
+
+    exact: dict = {}
+    for r in ds.map_batches(
+        count_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for kk, nn in zip(r.column("key").to_pylist(), r.column("n").to_pylist()):
+            exact[kk] = exact.get(kk, 0) + int(nn)
+
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    key_type = ds.schema().types[ds.schema().names.index(col)]
+    return pa.table(
+        {
+            "key": pa.array([t[0] for t in top], key_type),
+            "n": pa.array([t[1] for t in top], pa.int64()),
+        }
+    )
