@@ -316,55 +316,33 @@ def customer_order_revenue(sf_dir: str):
 
 def customers_without_orders(sf_dir: str):
     """Anti join via broadcast membership — the reference's is_in +
-    JoinType::Anti reconciliation (transform_hdd_deduplication.rs:241-252):
-    the small side (distinct buyer keys) is collected once and shipped to
-    every filter task instead of shuffling the big side."""
-    import ray
+    JoinType::Anti reconciliation (transform_hdd_deduplication.rs:241-252).
+    The buyer-key side is distinct-aggregated DATASET-side (per-batch
+    unique combiner) before the broadcast, so the driver only ever holds
+    distinct keys, never order rows (stages/joins.broadcast_semi_join)."""
+    from ..stages.joins import broadcast_semi_join
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
         expr="o_totalprice > 300000"
     )
-    # distinct-aggregate the key DATASET-side first (per-batch unique is the
-    # combiner), so the driver only ever collects distinct keys, not rows
-    keys_ds = orders.map_batches(
-        lambda b: pa.table({"o_custkey": pc.unique(b.column("o_custkey"))}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).unique("o_custkey")
-    buyer_keys = pa.array(sorted(keys_ds))
-    ref = ray.put(buyer_keys)
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        return batch.filter(pc.invert(pc.is_in(batch.column("c_custkey"), value_set=keys)))
-
+    keys_ds = orders.select_columns(["o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return broadcast_semi_join(cust, keys_ds, on="c_custkey", anti=True)
 
 
 def nation_region_join(sf_dir: str):
     """Broadcast map-side join: the tiny region table rides into every
-    task as a lookup dict — no shuffle at all."""
-    import ray
+    task via the object store; each batch resolves it with one vectorized
+    index_in + take (stages/joins.broadcast_lookup_join)."""
+    from ..stages.joins import broadcast_lookup_join
 
     region = pa.Table.from_pylist(_read(sf_dir, "region").take_all())
-    ref = ray.put((region.column("r_regionkey").combine_chunks(), region.column("r_name").combine_chunks()))
-
-    def join_fn(batch: pa.Table) -> pa.Table:
-        # vectorized broadcast lookup: index_in against the dimension key
-        # array, then take — no per-row Python (misses become nulls)
-        keys, names = ray.get(ref)
-        pos = pc.index_in(batch.column("n_regionkey"), value_set=keys)
-        return pa.table(
-            {
-                "n_nationkey": batch.column("n_nationkey"),
-                "n_name": batch.column("n_name"),
-                "r_name": names.take(pos),
-            }
-        )
-
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
-    return nation.map_batches(join_fn, batch_format="pyarrow", zero_copy_batch=True)
+    out = broadcast_lookup_join(
+        nation, region, on="n_regionkey", dim_key="r_regionkey",
+        take_cols={"r_name": "r_name"},
+    )
+    return out.select_columns(["n_nationkey", "n_name", "r_name"])
 
 
 # --- documents: dedup / transforms / stats -----------------------------------
@@ -522,36 +500,29 @@ def events_type_stats(sf_dir: str):
 
 def supplier_nation_region(sf_dir: str):
     """Two broadcast joins chained (supplier -> nation -> region): the
-    small dimension tables ride into every task as dicts."""
-    import ray
+    two tiny dimensions pre-join ONCE on the driver into a denormalized
+    lookup, then one broadcast_lookup_join resolves both names per fact
+    batch (stages/joins.py)."""
+    from ..stages.joins import broadcast_lookup_join
 
-    # pre-join the two tiny dimensions ONCE on the driver (nation ⋈ region),
-    # broadcast the denormalized arrays; each task does one index_in + takes
     nation = pa.Table.from_pylist(_read(sf_dir, "nation").take_all())
     region = pa.Table.from_pylist(_read(sf_dir, "region").take_all())
-    rpos = pc.index_in(nation.column("n_regionkey"), value_set=region.column("r_regionkey").combine_chunks())
-    ref = ray.put(
-        (
-            nation.column("n_nationkey").combine_chunks(),
-            nation.column("n_name").combine_chunks(),
-            region.column("r_name").combine_chunks().take(rpos),
-        )
+    rpos = pc.index_in(
+        nation.column("n_regionkey"), value_set=region.column("r_regionkey").combine_chunks()
     )
-
-    def join_fn(batch: pa.Table) -> pa.Table:
-        nkeys, n_names, r_names = ray.get(ref)
-        pos = pc.index_in(batch.column("s_nationkey"), value_set=nkeys)
-        return pa.table(
-            {
-                "s_suppkey": batch.column("s_suppkey"),
-                "s_name": batch.column("s_name"),
-                "n_name": n_names.take(pos),
-                "r_name": r_names.take(pos),
-            }
-        )
-
+    denorm = pa.table(
+        {
+            "n_nationkey": nation.column("n_nationkey"),
+            "n_name": nation.column("n_name"),
+            "r_name": region.column("r_name").combine_chunks().take(rpos),
+        }
+    )
     sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
-    return sup.map_batches(join_fn, batch_format="pyarrow", zero_copy_batch=True)
+    out = broadcast_lookup_join(
+        sup, denorm, on="s_nationkey", dim_key="n_nationkey",
+        take_cols={"n_name": "n_name", "r_name": "r_name"},
+    )
+    return out.select_columns(["s_suppkey", "s_name", "n_name", "r_name"])
 
 
 def part_filter_like(sf_dir: str):
