@@ -790,6 +790,32 @@ def events_heavy_hitters(sf_dir: str):
     return pa.table({"user_id": t.column("key"), "n": t.column("n")})
 
 
+def docs_ngram_dedup(sf_dir: str):
+    """MinHash-LSH candidates verified by TRUE word-trigram Jaccard, then
+    connected components — SQL-oracle-checked end-to-end (the DuckDB side
+    recomputes the bands, verifies the exact Jaccard over the same
+    trigram sets, and closes the verified graph recursively)."""
+    from ..stages.dedup import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_dedup(ds, "text", "doc_id", n=3, threshold=0.5, num_perm=64, bands=8)
+    return out.select_columns(["doc_id"])
+
+
+def embeddings_cosine_dedup(sf_dir: str):
+    """Exact embedding-cosine near-dup removal (all-pairs float64 cosine,
+    union-find, keep min id) — SQL-oracle-checked via DuckDB
+    list_cosine_similarity + the recursive closure. 0.4 is the cluster
+    threshold for this synthetic corpus (its max off-diagonal cosine is
+    ~0.5); the production default (0.95+) and the hyperplane-LSH scale
+    path are exercised in tests/test_dedup_family.py."""
+    from ..stages.dedup import embedding_dedup_exact
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_dedup_exact(ds, "embedding", "vec_id", threshold=0.4)
+    return out.select_columns(["vec_id"])
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -820,6 +846,8 @@ QUERIES = {
     "events_session_agg": events_session_agg,
     "events_sketch_stats": events_sketch_stats,
     "events_heavy_hitters": events_heavy_hitters,
+    "docs_ngram_dedup": docs_ngram_dedup,
+    "embeddings_cosine_dedup": embeddings_cosine_dedup,
 }
 
 ORACLE_SQL = {
@@ -1017,7 +1045,8 @@ def _minhash_sql() -> str:
 # reachability via a recursive CTE (the candidate graph at oracle scale is
 # tiny), then keep each component's min id — exactly the union-find /
 # distributed-CC rule (stages/cc.py).
-_CC_CLOSURE_SQL = """
+def _cc_closure_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    return f"""
     adj AS (
       SELECT a, b FROM cand_edges UNION SELECT b AS a, a AS b FROM cand_edges
     ), reach AS (
@@ -1027,11 +1056,14 @@ _CC_CLOSURE_SQL = """
     ), roots AS (
       SELECT node, min(r) AS root FROM reach GROUP BY node
     ), removed AS (
-      SELECT node AS doc_id FROM roots WHERE root < node
+      SELECT node AS {id_col} FROM roots WHERE root < node
     )
-    SELECT doc_id FROM documents
-    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+    SELECT {id_col} FROM {table}
+    WHERE {id_col} NOT IN (SELECT {id_col} FROM removed)
 """
+
+
+_CC_CLOSURE_SQL = _cc_closure_sql()
 
 
 def _minhash_cc_sql() -> str:
@@ -1117,6 +1149,46 @@ ORACLE_SQL["events_asof_join"] = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
 """
+
+
+def _ngram_cc_sql(threshold: float = 0.5) -> str:
+    """Bands prefix + exact trigram-Jaccard verify + recursive closure —
+    mirrors ngram_jaccard_dedup(n=3, bands=8) exactly (the shingle lists
+    in `sh` ARE the verify's word-trigram sets)."""
+    base = _minhash_sql()
+    head, _sep, _tail = base.partition("), removed AS (")
+    return (
+        "WITH RECURSIVE"
+        + head.split("WITH", 1)[1]
+        + f"""), raw_edges AS (
+      SELECT DISTINCT k.keep AS a, bd.doc_id AS b
+      FROM bands bd JOIN buckets k ON bd.band = k.band AND bd.sig = k.sig
+      WHERE k.n BETWEEN 2 AND 1000 AND bd.doc_id > k.keep
+    ), cand_edges AS (
+      SELECT e.a, e.b
+      FROM raw_edges e
+      JOIN sh sa ON sa.doc_id = e.a
+      JOIN sh sb ON sb.doc_id = e.b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {threshold}
+    ),"""
+        + _cc_closure_sql()
+    )
+
+
+ORACLE_SQL["docs_ngram_dedup"] = _ngram_cc_sql(0.5)
+ORACLE_SQL["embeddings_cosine_dedup"] = (
+    """WITH RECURSIVE cand_edges AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(
+              CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])
+            ) >= 0.4
+    ),"""
+    + _cc_closure_sql("embeddings", "vec_id")
+)
+
 ORACLE_SQL["events_heavy_hitters"] = """
     SELECT user_id, count(*) AS n
     FROM events GROUP BY user_id

@@ -517,10 +517,12 @@ def ngram_jaccard_dedup(
     n: int = 3,
     threshold: float = 0.8,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
 ):
-    """MinHash-LSH candidates verified by TRUE word-n-gram Jaccard —
-    removes only pairs >= threshold (no LSH false positives).
+    """MinHash-LSH candidates (the same perms31/word-trigram signature
+    pipeline as the pairwise variant, so the SQL oracle can recompute
+    them) verified by TRUE word-n-gram Jaccard — removes only pairs >=
+    threshold (no LSH false positives).
 
     The verify step is DISTRIBUTED: candidate edges stay a Dataset and the
     texts are hash-joined onto them (two keyed joins), so the per-pair
@@ -528,11 +530,11 @@ def ngram_jaccard_dedup(
     verified edge list (true near-duplicate pairs, tiny by definition)
     reaches the driver for the union-find."""
     bands_ds = ds.map_batches(
-        make_minhash_bands(text_col, id_col, num_perm, bands, shingle_k=5),
+        make_minhash_bands_pairwise(text_col, id_col, num_perm, bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    edges_ds = _edges_ds_from_buckets(bands_ds, id_col)
+    edges_ds = _edges_ds_from_buckets(bands_ds, id_col, keys=("band", "sig"))
     docs = ds.select_columns([id_col, text_col])
     nparts = _group_partitions(8)
     e1 = edges_ds.join(
@@ -782,6 +784,37 @@ def simhash_dedup_pairwise(
 
 
 # --- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_dedup_exact(
+    ds,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+):
+    """EXACT cosine near-dup removal for small corpora: gather the
+    embeddings into one task, full float64 cosine matrix, union-find over
+    pairs >= threshold, keep each component's min id. O(n^2) by
+    definition — this is the oracle-able small-input path; the
+    hyperplane-LSH ``embedding_dedup`` is the scale path."""
+
+    def removal(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        E = np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        if len(ids) < 2:
+            return pa.table({"node": pa.array([], pa.int64())})
+        E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        S = E @ E.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = S[iu, ju] >= threshold
+        remove = _removal_set(list(zip(ids[iu[hit]].tolist(), ids[ju[hit]].tolist())))
+        return pa.table({"node": pa.array(sorted(remove), pa.int64())})
+
+    removed = {
+        r["node"]
+        for r in _gather(ds.select_columns([id_col, emb_col]), removal).take_all()
+    }
+    return _filter_removed(ds, id_col, removed) if removed else ds
 
 
 def embedding_dedup(
