@@ -51,6 +51,52 @@ def run_tail(log: str, table: str, partitions: int = 8, micro_batch_rows: int = 
         sm.shutdown()
 
 
+def run_pipeline(cfg, source: str | None = None) -> dict:
+    """Config-driven pipeline: CSV -> change events -> transform chain ->
+    lake (the reference's io-config example surface,
+    examples/csv_jdd_to_postgres.rs / kafka_jdd_to_mongo.rs). A CSV
+    without the repo key columns is keyed by ROW INDEX, the reference's
+    Kafka key for these rows (csv_jdd_to_kafka.rs); its other columns
+    flow through schema evolution in the merge."""
+    import pyarrow as _pa
+
+    from .functions.registry import TransformChain
+    from .pipelines.cdc import replay
+    from .sources.csv_source import read_csv_table
+    from .sources.event_log import ingest_table_as_inserts
+
+    name = source or next(iter(cfg.csv), None)
+    out = {"source": name}
+    if name is not None:
+        c = cfg.csv[name]
+        table = read_csv_table(c.file_path)
+        if c.number_of_rows >= 0:
+            table = table.slice(0, c.number_of_rows)
+        if "repo" not in table.column_names:
+            n = table.num_rows
+            table = table.add_column(0, "repo", _pa.array([c.table_name] * n))
+            table = table.add_column(1, "path", _pa.array([f"row-{i:08d}" for i in range(n)]))
+            table = table.add_column(2, "commit", _pa.array(["0" * 40] * n))
+        next_lsn = ingest_table_as_inserts(
+            table, cfg.event_log.log_dir, num_partitions=cfg.event_log.num_partitions
+        )
+        out |= {"ingested_rows": table.num_rows, "next_lsn": next_lsn}
+    normalize = TransformChain(cfg.transforms) if cfg.transforms else None
+    res = replay(
+        cfg.event_log.log_dir,
+        cfg.lake.table_dir,
+        num_buckets=cfg.lake.num_buckets,
+        normalize=normalize,
+        mode=cfg.lake.mode,
+    )
+    return out | {
+        "committed": res.committed,
+        "epoch": res.epoch,
+        "rows_total": res.rows_total,
+        "wall_seconds": round(res.wall_seconds, 3),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="etl_rs_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -92,6 +138,13 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum", help="remove unreferenced data files")
     v.add_argument("--table", required=True)
     v.add_argument("--keep-epochs", type=int, default=1)
+
+    pl = sub.add_parser(
+        "pipeline", help="run a config-driven pipeline: CSV -> change events -> "
+        "transform chain -> lake (the reference's io-config example surface)")
+    pl.add_argument("--config", required=True)
+    pl.add_argument("--source", default=None,
+                    help="csv source name from the config (default: first)")
 
     q = sub.add_parser("query", help="run a named operator query over an sf dir")
     q.add_argument("--name", help="query name (omit or use 'list' to list all)", default="list")
@@ -157,6 +210,18 @@ def main(argv: list[str] | None = None) -> int:
             import ray
 
             ray.shutdown()
+        return 0
+
+    if args.cmd == "pipeline":
+        _init_ray(args.num_cpus)
+        from .config import PipelineConfig
+
+        cfg = PipelineConfig.load(args.config)
+        out = {"config": args.config} | run_pipeline(cfg, args.source)
+        print(json.dumps(out))
+        import ray as _ray
+
+        _ray.shutdown()
         return 0
 
     if args.cmd == "query":

@@ -37,6 +37,10 @@ class PipelineConfig:
     event_log: EventLogConfig
     lake: LakeConfig
     csv: dict[str, CsvConfig] = field(default_factory=dict)
+    # column -> transform name (functions/registry.TRANSFORMS), the
+    # config-driven Transform chain (src/config.rs:50-65 maps columns to
+    # Transform enum variants the same way)
+    transforms: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def load(cls, file_path: str) -> "PipelineConfig":
@@ -46,4 +50,5 @@ class PipelineConfig:
             event_log=EventLogConfig(**raw["event_log"]),
             lake=LakeConfig(**raw["lake"]),
             csv={k: CsvConfig(**v) for k, v in raw.get("csv", {}).items()},
+            transforms=dict(raw.get("transforms", {})),
         )
