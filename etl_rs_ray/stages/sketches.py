@@ -105,6 +105,106 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+class TDigest:
+    """Mergeable t-digest (Dunning & Ertl) for quantiles over an UNKNOWN
+    value range — complements FixedHistogram (which needs the range up
+    front). Centroids are (mean, weight) pairs; compression keeps at most
+    ~delta centroids with the scale function k(q) = delta/2 * (2q - 1)
+    concentrating resolution at the tails. Merging = concatenate + re-
+    compress; per-batch state is O(delta) floats."""
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def add(self, values: "np.ndarray") -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.means = np.concatenate([self.means, v])
+        self.weights = np.concatenate([self.weights, np.ones(len(v))])
+        if len(self.means) > 8 * self.delta:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = m[0], w[0]
+        acc = 0.0  # weight before the current centroid
+        lim = self._k_limit
+        for i in range(1, len(m)):
+            q0 = acc / total
+            q1 = (acc + cur_w + w[i]) / total
+            if lim(q1) - lim(q0) <= 1.0:
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                acc += cur_w
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def _k_limit(self, q: float) -> float:
+        # k1 scale function: delta/(2*pi) * asin(2q-1)
+        return self.delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        self._compress()
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def to_arrays(self) -> tuple[list, list]:
+        self._compress()
+        return self.means.tolist(), self.weights.tolist()
+
+    @classmethod
+    def from_arrays(cls, means, weights, delta: int = 100) -> "TDigest":
+        t = cls(delta)
+        t.means = np.asarray(means, dtype=np.float64)
+        t.weights = np.asarray(weights, dtype=np.float64)
+        return t
+
+
+def tdigest_quantiles(ds, col: str, qs: list[float], delta: int = 100) -> list[float]:
+    """Quantiles with no prior knowledge of the value range: per-batch
+    t-digest partials (O(delta) floats each) -> driver merge."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = TDigest(delta)
+        t.add(b.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        m, w = t.to_arrays()
+        return pa.table(
+            {
+                "means": pa.array([m], pa.list_(pa.float64())),
+                "weights": pa.array([w], pa.list_(pa.float64())),
+            }
+        )
+
+    merged = TDigest(delta)
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        merged.merge(TDigest.from_arrays(r["means"], r["weights"], delta))
+    return [merged.quantile(q) for q in qs]
+
+
 class FixedHistogram:
     def __init__(self, lo: float, hi: float, buckets: int = 1024):
         if not hi > lo:

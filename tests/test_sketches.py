@@ -83,3 +83,54 @@ def test_dataset_level_sketches():
     v = t.column("v").to_numpy()
     assert abs(p50 - np.quantile(v, 0.5)) <= 0.02
     assert abs(p90 - np.quantile(v, 0.9)) <= 0.02
+
+
+def test_tdigest_quantiles_accuracy():
+    from etl_rs_ray.stages.sketches import TDigest
+
+    rng = np.random.default_rng(9)
+    vals = rng.lognormal(0, 1, 60_000)  # skewed, unknown range
+    t = TDigest(delta=100)
+    for chunk in np.array_split(vals, 13):
+        t.add(chunk)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        want = np.quantile(vals, q)
+        got = t.quantile(q)
+        assert abs(got - want) / max(want, 1e-9) < 0.05, (q, got, want)
+
+
+def test_tdigest_merge_equals_union():
+    from etl_rs_ray.stages.sketches import TDigest
+
+    rng = np.random.default_rng(2)
+    a, b = rng.normal(0, 1, 20_000), rng.normal(5, 2, 20_000)
+    t1, t2 = TDigest(100), TDigest(100)
+    t1.add(a)
+    t2.add(b)
+    t1.merge(t2)
+    allv = np.concatenate([a, b])
+    for q in (0.1, 0.5, 0.9):
+        assert abs(t1.quantile(q) - np.quantile(allv, q)) < 0.1
+
+
+def test_tdigest_dataset_level():
+    from etl_rs_ray.stages.sketches import tdigest_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(3.0, 40_000)
+    t = pa.table({"v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    p50, p95 = tdigest_quantiles(ds, "v", [0.5, 0.95])
+    assert abs(p50 - np.quantile(vals, 0.5)) / np.quantile(vals, 0.5) < 0.05
+    assert abs(p95 - np.quantile(vals, 0.95)) / np.quantile(vals, 0.95) < 0.05
+
+
+def test_tdigest_empty_and_serialization():
+    from etl_rs_ray.stages.sketches import TDigest
+
+    t = TDigest(50)
+    assert np.isnan(t.quantile(0.5))
+    t.add(np.array([1.0, 2.0, 3.0]))
+    m, w = t.to_arrays()
+    t2 = TDigest.from_arrays(m, w, 50)
+    assert t2.quantile(0.5) == t.quantile(0.5)
