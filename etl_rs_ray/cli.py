@@ -146,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--source", default=None,
                     help="csv source name from the config (default: first)")
 
+    cu = sub.add_parser(
+        "curate", help="end-to-end corpus curation: quality/lang filter -> "
+        "exact + near dedup -> token stats -> resumable partitioned export")
+    cu.add_argument("--docs", required=True, help="parquet file/dir with (doc_id, text)")
+    cu.add_argument("--out", default=None, help="output dir (omit for stats only)")
+    cu.add_argument("--min-quality", type=float, default=0.2)
+
     q = sub.add_parser("query", help="run a named operator query over an sf dir")
     q.add_argument("--name", help="query name (omit or use 'list' to list all)", default="list")
     q.add_argument("--sf", default="/root/testdata/sf0.001", help="testdata sf directory")
@@ -219,6 +226,22 @@ def main(argv: list[str] | None = None) -> int:
         cfg = PipelineConfig.load(args.config)
         out = {"config": args.config} | run_pipeline(cfg, args.source)
         print(json.dumps(out))
+        import ray as _ray
+
+        _ray.shutdown()
+        return 0
+
+    if args.cmd == "curate":
+        _init_ray(args.num_cpus)
+        import ray.data as _rd
+
+        from .pipelines.curation import curate_corpus
+
+        ds = _rd.read_parquet(args.docs, columns=["doc_id", "text"])
+        small = ds.count() < 200_000
+        stats = curate_corpus(ds, out_dir=args.out, min_quality=args.min_quality,
+                              small_input=small)
+        print(json.dumps(stats))
         import ray as _ray
 
         _ray.shutdown()

@@ -93,6 +93,17 @@ def export_partitioned(
             }
         )
 
+    from ..util import drop_empty_blocks
+
+    # upstream shuffled stages can leave schema-less empty blocks that
+    # break the keyed shuffle; strip them first (zero-copy). The real
+    # schema is the fallback so a fully-skipped run still groups cleanly.
+    rs = ds.schema(fetch_if_missing=True)
+    sch = pa.schema(list(zip(rs.names, rs.types))) if rs is not None else None
+    ds = drop_empty_blocks(ds, sch)
+    if ds.count() == 0:
+        # everything already exported (or empty input): nothing to shuffle
+        return {"written": 0, "skipped": skipped, "rows": 0}
     acct = (
         _hash_shuffle(ds)
         .groupby(partition_col, num_partitions=num_partitions)

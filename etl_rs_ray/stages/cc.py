@@ -118,20 +118,10 @@ _EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 
 def _materialize_edges(ds) -> "ray.data.Dataset":
-    """Materialize and drop zero-row blocks. Hash-shuffled stages can emit
-    empty blocks with an EMPTY schema; map_batches skips empty blocks (so
-    a UDF can't re-schema them) and the next keyed shuffle then fails to
-    find its key column. Blocks stay in the object store (from_arrow_refs
-    is zero-copy)."""
-    mat = ds.materialize()
-    refs = []
-    for bundle in mat.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows:
-                refs.append(ref)
-    if not refs:
-        return ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
-    return ray.data.from_arrow_refs(refs)
+    """Materialize edges with zero-row blocks stripped (util.drop_empty_blocks)."""
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(ds, _EDGE_SCHEMA)
 
 
 def _distinct_edges(ds, num_partitions: int) -> "ray.data.Dataset":
