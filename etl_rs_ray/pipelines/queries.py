@@ -755,6 +755,9 @@ def events_sketch_stats(sf_dir: str):
     hll = approx_distinct(ds, "user_id", p=12)
     quants = approx_quantiles(ds, "value", [0.5, 0.9], lo=0.0, hi=200.0, buckets=2000)
 
+    # the EXACT side exists only to judge the sketches and runs at the
+    # correctness tier (bounded rows); at scale you would ship the sketch
+    # alone — the sketch passes above are the scale path
     exact_users = len(
         _read(sf_dir, "events", columns=["user_id"]).unique("user_id")
     )
