@@ -289,11 +289,14 @@ def customer_order_revenue(sf_dir: str):
             pc.is_valid(g.column("c_name_max")), pc.greater(g.column("order_count_sum"), 0)
         )
         g = g.filter(keep)
+        # integer cents: immune to ulp-level differences in parallel float
+        # reduction order (sum of 2dp prices x100 sits ~1e-6 from an int)
+        cents = pc.cast(pc.round(pc.multiply(g.column("revenue_sum"), 100.0)), pa.int64())
         return pa.table(
             {
                 "c_custkey": g.column("c_custkey"),
                 "c_name": g.column("c_name_max"),
-                "revenue": pc.round(g.column("revenue_sum"), ndigits=2),
+                "revenue_cents": cents,
                 "order_count": g.column("order_count_sum"),
             }
         )
@@ -414,8 +417,10 @@ def docs_token_stats(sf_dir: str):
 
 
 def embeddings_topk(sf_dir: str):
-    """Brute-force cosine top-10 for the vec_id=0 embedding (rounded to 4
-    decimals so the float64 reduction order can't flip the value hash)."""
+    """Brute-force cosine top-10 for the vec_id=0 embedding. The
+    similarity is emitted as an INTEGER in 1e-4 units with both sides
+    computing in float64 — float32-vs-float64 representation and
+    reduction order cannot flip the value hash."""
     from ..stages.ann import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -424,8 +429,8 @@ def embeddings_topk(sf_dir: str):
         q_rows = [ds.take(1)[0]]
     q = np.array([q_rows[0]["embedding"]], dtype=np.float64)
     out = brute_force_topk(ds, q, k=10)
-    cos = pc.round(out.column("cos_sim"), ndigits=4)
-    return pa.table({"vec_id": out.column("vec_id"), "cos_sim": cos})
+    cos_e4 = pc.cast(pc.round(pc.multiply(out.column("cos_sim"), 1e4)), pa.int64())
+    return pa.table({"vec_id": out.column("vec_id"), "cos_sim_e4": cos_e4})
 
 
 def docs_minhash_dedup(sf_dir: str):
@@ -895,7 +900,7 @@ ORACLE_SQL = {
     """,
     "customer_order_revenue": """
         SELECT c.c_custkey, c.c_name,
-               round(sum(o.o_totalprice), 2) AS revenue,
+               CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_cents,
                count(*) AS order_count
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey, c.c_name
@@ -925,10 +930,14 @@ ORACLE_SQL = {
     """,
     "embeddings_topk": """
         SELECT e.vec_id,
-               round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+               CAST(round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])
+               ) * 10000) AS BIGINT) AS cos_sim_e4
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])
+               ) DESC, e.vec_id
         LIMIT 10
     """,
     "events_type_stats": """
