@@ -824,6 +824,54 @@ def embeddings_cosine_dedup(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def orders_topk_per_customer(sf_dir: str):
+    """Grouped top-k: each customer's 3 highest-price orders — the
+    per-key ranking every corpus pipeline needs (best doc per domain,
+    top spans per page). Combiner-first shape: each batch keeps at most
+    k rows per key it sees (vectorized sort + rank mask), the survivors
+    go through one keyed pass; ties broken by o_orderkey for a
+    deterministic, window-function-checkable result."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    k = 3
+
+    def topk_mask(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_custkey", "ascending"),
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        first = _first_per_key_mask(t, ("o_custkey",)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        pos = np.arange(len(first)) - np.flatnonzero(first)[gidx]
+        return t.filter(pa.array(pos < k))
+
+    # per-batch combiner leaves <= k rows per (key, batch); the final
+    # pass gathers when k x keys fits one block, else one keyed shuffle
+    ds = ds.map_batches(topk_mask, batch_format="pyarrow", zero_copy_batch=True)
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        out = ds.repartition(1).map_batches(
+            topk_mask, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        out = (
+            _hash_shuffle(ds)
+            .groupby("o_custkey", num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")))
+            .map_groups(topk_mask, batch_format="pyarrow")
+        )
+
+    def rank(t: pa.Table) -> pa.Table:
+        first = _first_per_key_mask(t, ("o_custkey",)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        pos = np.arange(len(first)) - np.flatnonzero(first)[gidx]
+        return t.append_column("rnk", pa.array(pos + 1, pa.int64()))
+
+    return out.map_batches(rank, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -856,6 +904,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "docs_ngram_dedup": docs_ngram_dedup,
     "embeddings_cosine_dedup": embeddings_cosine_dedup,
+    "orders_topk_per_customer": orders_topk_per_customer,
 }
 
 ORACLE_SQL = {
@@ -1201,6 +1250,14 @@ ORACLE_SQL["embeddings_cosine_dedup"] = (
     + _cc_closure_sql("embeddings", "vec_id")
 )
 
+ORACLE_SQL["orders_topk_per_customer"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+"""
 ORACLE_SQL["events_heavy_hitters"] = """
     SELECT user_id, count(*) AS n
     FROM events GROUP BY user_id
