@@ -89,6 +89,25 @@ class LakeTable:
         m = self.manifests.read(epoch)
         return bool(m) and any(e.get("delta_files") for e in m["buckets"].values())
 
+    def max_delta_depth(self, epoch: int | None = None) -> int:
+        """Longest per-bucket delta chain — the read-amplification factor
+        of a merge-on-read snapshot (each read folds base + that many
+        delta files)."""
+        m = self.manifests.read(epoch)
+        if not m:
+            return 0
+        return max((len(e.get("delta_files", [])) for e in m["buckets"].values()), default=0)
+
+    def maybe_compact(self, max_delta_depth: int = 4, key_cols=("repo", "path", "commit")) -> bool:
+        """Compaction policy: fold deltas into fresh bases once any
+        bucket's chain exceeds ``max_delta_depth`` — bounds snapshot read
+        amplification under a steady stream of delta epochs while keeping
+        delta appends cheap between compactions. Returns True if a
+        compaction ran."""
+        if self.max_delta_depth() <= max_delta_depth:
+            return False
+        return self.compact(key_cols=key_cols)
+
     def data_files(self, epoch: int | None = None) -> list[str]:
         return sorted(self.bucket_files(epoch).values())
 

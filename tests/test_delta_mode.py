@@ -116,3 +116,33 @@ def test_delta_tombstones_delete_base_rows(tmp_path):
     assert got == want
     # deletes happened: final key count below the insert-only count
     assert len(want) < 80 or before >= len(want)
+
+
+def test_maybe_compact_policy(tmp_path):
+    """Auto-compaction triggers only past the depth bound, and the
+    snapshot is identical before and after."""
+    from etl_rs_ray.datagen import generate_events, generate_repos, write_event_log
+    from etl_rs_ray.pipelines.cdc import replay
+    from etl_rs_ray.sources.lake import LakeTable
+
+    repos = generate_repos(n_files=300, seed=21)
+    events = generate_events(repos, seed=21)
+    log = str(tmp_path / "log")
+    write_event_log(events, log, num_partitions=2)
+    table = str(tmp_path / "table")
+    max_lsn = int(events.column("lsn")[len(events) - 1].as_py())
+    cuts = [int(max_lsn * f) for f in (0.3, 0.5, 0.65, 0.8, 0.9)] + [max_lsn]
+    replay(log, table, target_lsn=cuts[0], num_buckets=4)
+    lake = LakeTable(table)
+    for cut in cuts[1:]:
+        replay(log, table, target_lsn=cut, num_buckets=4, mode="delta")
+    depth = lake.max_delta_depth()
+    assert depth >= 5
+    # below the bound: no-op
+    assert lake.maybe_compact(max_delta_depth=depth) is False
+    before = lake.snapshot_table().sort_by([("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")])
+    # above the bound: compacts, snapshot unchanged, depth resets
+    assert lake.maybe_compact(max_delta_depth=2) is True
+    assert lake.max_delta_depth() == 0
+    after = lake.snapshot_table().sort_by([("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")])
+    assert before.select(sorted(before.column_names)).equals(after.select(sorted(after.column_names)))
