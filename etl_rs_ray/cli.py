@@ -29,7 +29,8 @@ def _init_ray(num_cpus: int | None):
         ray.init(address="local", **kwargs)
 
 
-def run_tail(log: str, table: str, partitions: int = 8, micro_batch_rows: int = 50_000) -> dict:
+def run_tail(log: str, table: str, partitions: int = 8, micro_batch_rows: int = 50_000,
+             max_delta_depth: int = 8) -> dict:
     """One bounded streaming tail: pool-merge new events (lsn > table HWM)
     and persist. Bootstrap (empty table) flushes the pool's full state as
     an overwrite epoch; incremental tails append a DELTA epoch — the
@@ -46,7 +47,10 @@ def run_tail(log: str, table: str, partitions: int = 8, micro_batch_rows: int = 
             sm.flush_delta_to_lake(table)
         else:
             sm.flush_to_lake(table)
-        return sm.stats() | {"table": table}
+        # bound merge-on-read amplification under a steady tail of delta
+        # epochs (no-op below the depth bound)
+        compacted = max_delta_depth > 0 and LakeTable(table).maybe_compact(max_delta_depth)
+        return sm.stats() | {"table": table, "compacted": bool(compacted)}
     finally:
         sm.shutdown()
 

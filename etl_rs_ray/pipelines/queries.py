@@ -872,6 +872,16 @@ def orders_topk_per_customer(sf_dir: str):
     return out.map_batches(rank, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+def docs_deterministic_sample(sf_dir: str):
+    """Reproducible 30% sample of documents selected by hash of
+    (seed, doc_id) — no shuffle, no RNG state; the oracle recomputes the
+    exact selected set with md5_number_lower."""
+    from ..stages.sampling import deterministic_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_sample(ds, "doc_id", frac=0.3, seed="s0")
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -905,6 +915,7 @@ QUERIES = {
     "docs_ngram_dedup": docs_ngram_dedup,
     "embeddings_cosine_dedup": embeddings_cosine_dedup,
     "orders_topk_per_customer": orders_topk_per_customer,
+    "docs_deterministic_sample": docs_deterministic_sample,
 }
 
 ORACLE_SQL = {
@@ -1257,6 +1268,11 @@ ORACLE_SQL["orders_topk_per_customer"] = """
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
       FROM orders
     ) WHERE rnk <= 3
+"""
+ORACLE_SQL["docs_deterministic_sample"] = f"""
+    SELECT doc_id FROM documents
+    WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR))
+          < CAST({int(0.3 * (1 << 64))} AS UHUGEINT)
 """
 ORACLE_SQL["events_heavy_hitters"] = """
     SELECT user_id, count(*) AS n

@@ -1,0 +1,61 @@
+"""Deterministic sampling / weighted mixture (stages/sampling.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from etl_rs_ray.stages.sampling import deterministic_sample, weighted_mixture
+
+
+def _docs(n=2000):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "src": pa.array(["web" if i % 3 else "books" for i in range(n)]),
+        }
+    )
+
+
+def test_sample_reproducible_and_layout_independent():
+    t = _docs()
+    a = sorted(r["doc_id"] for r in deterministic_sample(
+        ray.data.from_arrow(t).repartition(2), "doc_id", 0.25).take_all())
+    b = sorted(r["doc_id"] for r in deterministic_sample(
+        ray.data.from_arrow(t).repartition(7), "doc_id", 0.25).take_all())
+    assert a == b  # partition layout doesn't change the selected set
+    assert abs(len(a) / 2000 - 0.25) < 0.05
+
+
+def test_sample_seed_changes_selection_and_nesting():
+    t = _docs()
+    ds = ray.data.from_arrow(t)
+    a = {r["doc_id"] for r in deterministic_sample(ds, "doc_id", 0.3, seed="s0").take_all()}
+    b = {r["doc_id"] for r in deterministic_sample(ds, "doc_id", 0.3, seed="s1").take_all()}
+    assert a != b
+    # threshold sampling nests: a 10% sample is a subset of the 30% one
+    small = {r["doc_id"] for r in deterministic_sample(ds, "doc_id", 0.1, seed="s0").take_all()}
+    assert small <= a
+
+
+def test_sample_bounds():
+    ds = ray.data.from_arrow(_docs(100))
+    assert deterministic_sample(ds, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(ds, "doc_id", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        deterministic_sample(ds, "doc_id", 1.5)
+
+
+def test_weighted_mixture():
+    t = _docs(3000)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = weighted_mixture(ds, "src", "doc_id", {"web": 0.2, "books": 1.0}).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], set()).add(r["doc_id"])
+    n_books = sum(1 for i in range(3000) if i % 3 == 0)
+    assert len(by_src["books"]) == n_books  # frac 1.0 keeps everything
+    assert abs(len(by_src["web"]) / (3000 - n_books) - 0.2) < 0.06
+    # sources not listed default to dropped
+    out2 = weighted_mixture(ds, "src", "doc_id", {"books": 0.5}).take_all()
+    assert all(r["src"] == "books" for r in out2)
