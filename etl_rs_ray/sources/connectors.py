@@ -181,6 +181,8 @@ def read_kafka(
         batch_format="pyarrow",
         concurrency=min(concurrency, max(1, len(specs))),
         batch_size=1,
+        num_cpus=0.5,  # IO-bound; a pool that exactly consumes the CPU
+        # budget deadlocks the stream on small clusters
     )
 
 
@@ -288,6 +290,7 @@ def read_postgres(
         batch_format="pyarrow",
         concurrency=min(8, max(1, len(specs))),
         batch_size=1,
+        num_cpus=0.5,
     )
 
 
@@ -412,4 +415,7 @@ def read_mongo(
             return pa.Table.from_pylist(out)
 
     ds = ray.data.from_items(specs).repartition(num_partitions)
-    return ds.map_batches(_Reader, batch_format="pyarrow", concurrency=min(8, num_partitions), batch_size=1)
+    return ds.map_batches(
+        _Reader, batch_format="pyarrow", concurrency=min(8, num_partitions),
+        batch_size=1, num_cpus=0.5,
+    )

@@ -249,3 +249,78 @@ def test_missing_client_raises_with_analogue_pointer():
         with pytest.raises(ConnectorUnavailable) as ei:
             fn(arg)
         assert "analogue" in str(ei.value)
+
+
+class FakePgCursorRead:
+    """DB-API cursor over a fixed table, honoring the range WHERE clause."""
+
+    ROWS = [(i, f"name{i}") for i in range(100)]
+
+    def execute(self, sql):
+        import re
+
+        lo, hi = 0, 10**9
+        m = re.search(r">= (\d+) AND id < (\d+)", sql)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+        self._out = [r for r in self.ROWS if lo <= r[0] < hi]
+        self.description = [("id",), ("name",)]
+
+    def fetchall(self):
+        return self._out
+
+
+class FakePgConnRead:
+    def __init__(self, dsn):
+        self.dsn = dsn
+
+    def cursor(self):
+        return FakePgCursorRead()
+
+
+def test_read_postgres_range_partitioned():
+    from etl_rs_ray.sources.connectors import read_postgres
+
+    ds = read_postgres(
+        "dsn://x", "tbl", partition_col="id", bounds=(0, 99), num_partitions=4,
+        client_factory=FakePgConnRead,
+    )
+    rows = sorted(r["id"] for r in ds.take_all())
+    assert rows == list(range(100))  # every range slice covered exactly once
+
+
+def test_read_postgres_full_scan_without_partition_col():
+    from etl_rs_ray.sources.connectors import read_postgres
+
+    ds = read_postgres("dsn://x", "tbl", client_factory=FakePgConnRead)
+    assert len(ds.take_all()) == 100
+
+
+class FakeMongoCollRead:
+    DOCS = [{"_id": i, "x": i * 2} for i in range(60)]
+
+    def find(self, q):
+        # honor the $mod slice on the hashed _id the reader sends
+        expr = q.get("$expr", {})
+        mod = expr.get("$eq", [{}, 0])
+        n = mod[0].get("$mod", [None, 1])[1] if isinstance(mod[0], dict) else 1
+        i = mod[1]
+        # fake "hashed index key" = the _id itself
+        return [dict(d) for d in self.DOCS if d["_id"] % n == i]
+
+
+class FakeMongoClientRead:
+    def __init__(self, uri):
+        pass
+
+    def __getitem__(self, name):
+        return {"coll": FakeMongoCollRead(), "c": FakeMongoCollRead()}
+
+
+def test_read_mongo_partitioned():
+    from etl_rs_ray.sources.connectors import read_mongo
+
+    ds = read_mongo("mongodb://fake", "db", "coll", num_partitions=4,
+                    client_factory=FakeMongoClientRead)
+    rows = sorted(r["x"] for r in ds.take_all())
+    assert rows == [i * 2 for i in range(60)]  # slices disjoint + complete
