@@ -32,6 +32,7 @@ def curate_corpus(
     near_dup: bool = True,
     small_input: bool = False,
     resume: bool = True,
+    stage_counts: bool = False,
 ) -> dict:
     """Run the curation pipeline; write partitioned Parquet when
     ``out_dir`` is given, else just count the surviving corpus. Returns
@@ -40,8 +41,7 @@ def curate_corpus(
     from ..stages.text_stats import bpe_ish_token_count, lang_id, quality_score
 
     stats: dict = {}
-    n0 = ds.count()
-    stats["input_docs"] = n0
+    stats["input_docs"] = ds.count()  # parquet metadata — no execution
 
     def score(batch: pa.Table) -> pa.Table:
         return lang_id(quality_score(batch, text_col), text_col)
@@ -58,16 +58,22 @@ def curate_corpus(
         return batch.filter(mask)
 
     kept = scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    stats["after_quality_lang_filter"] = kept.count()
+    # per-stage counts each force a full extra execution of the prefix —
+    # diagnostics only (stage_counts=True); the fast path runs the
+    # pipeline once end to end
+    if stage_counts:
+        stats["after_quality_lang_filter"] = kept.count()
 
     deduped = exact_dedup(kept, text_col, id_col)
-    stats["after_exact_dedup"] = deduped.count()
+    if stage_counts:
+        stats["after_exact_dedup"] = deduped.count()
 
     if near_dup:
         deduped = minhash_lsh_dedup(
             deduped, text_col, id_col, num_perm=64, bands=8, small_input=small_input
         )
-        stats["after_near_dedup"] = deduped.count()
+        if stage_counts:
+            stats["after_near_dedup"] = deduped.count()
 
     def add_tokens(batch: pa.Table) -> pa.Table:
         # n_tokens already rode in from quality_stats; add the BPE-ish one

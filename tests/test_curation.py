@@ -15,7 +15,7 @@ def _docs():
 
 
 def test_curate_counts_monotone():
-    stats = curate_corpus(_docs(), small_input=True)
+    stats = curate_corpus(_docs(), small_input=True, stage_counts=True)
     assert stats["input_docs"] == 500
     assert (
         stats["input_docs"]
@@ -47,6 +47,6 @@ def test_curate_exports_partitioned_and_resumes(tmp_path):
 
 
 def test_curate_deterministic():
-    a = curate_corpus(_docs(), small_input=True)
-    b = curate_corpus(_docs(), small_input=True)
+    a = curate_corpus(_docs(), small_input=True, stage_counts=True)
+    b = curate_corpus(_docs(), small_input=True, stage_counts=True)
     assert a == b
