@@ -20,28 +20,42 @@ import pyarrow.compute as pc
 _U64 = 1 << 64
 
 
-def _select_mask(ids, seed: str, frac: float) -> pa.Array:
-    """Row kept iff md5_number_lower(seed || ':' || id) < frac * 2^64."""
-    from .dedup import md5_u64
+def _select_mask(ids, seed: str, frac: float, hash: str = "md5") -> pa.Array:
+    """Row kept iff hash(seed || ':' || id) < frac * 2^64.
 
+    ``hash="md5"`` matches DuckDB md5_number_lower (SQL-checkable, but a
+    per-row Python call); ``hash="fast"`` uses the engine's vectorized
+    stable 64-bit hash — same statistical/nesting/layout-independence
+    properties, ~100x faster, for production sampling where a SQL oracle
+    isn't needed."""
     threshold = int(frac * _U64)
     keys = pc.binary_join_element_wise(
         pa.array([seed] * len(ids), pa.string()),
         pc.cast(ids, pa.string()),
         ":",
     )
+    if hash == "fast":
+        import numpy as np
+
+        from ..sources.event_log import stable_hash64
+
+        k = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        return pa.array(stable_hash64(k) < np.uint64(min(threshold, _U64 - 1)))
+    from .dedup import md5_u64
+
     vals = [md5_u64(k) < threshold for k in keys.to_pylist()]
     return pa.array(vals, pa.bool_())
 
 
-def deterministic_sample(ds, id_col: str, frac: float, seed: str = "s0"):
+def deterministic_sample(ds, id_col: str, frac: float, seed: str = "s0", hash: str = "md5"):
     """Keep ~frac of rows, selected by hash of (seed, id): reproducible
-    across runs and cluster layouts, zero shuffle, SQL-mirrorable."""
+    across runs and cluster layouts, zero shuffle. hash="md5" is
+    SQL-mirrorable; hash="fast" is the vectorized scale path."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(frac)
 
     def flt(b: pa.Table) -> pa.Table:
-        return b.filter(_select_mask(b.column(id_col).combine_chunks(), seed, frac))
+        return b.filter(_select_mask(b.column(id_col).combine_chunks(), seed, frac, hash))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 

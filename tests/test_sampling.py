@@ -59,3 +59,18 @@ def test_weighted_mixture():
     # sources not listed default to dropped
     out2 = weighted_mixture(ds, "src", "doc_id", {"books": 0.5}).take_all()
     assert all(r["src"] == "books" for r in out2)
+
+
+def test_fast_hash_sampling_properties():
+    t = _docs(4000)
+    ds = ray.data.from_arrow(t)
+    a = sorted(r["doc_id"] for r in deterministic_sample(
+        ds, "doc_id", 0.25, hash="fast").take_all())
+    b = sorted(r["doc_id"] for r in deterministic_sample(
+        ray.data.from_arrow(t).repartition(5), "doc_id", 0.25, hash="fast").take_all())
+    assert a == b  # layout-independent
+    assert abs(len(a) / 4000 - 0.25) < 0.04
+    small = set(r["doc_id"] for r in deterministic_sample(ds, "doc_id", 0.1, hash="fast").take_all())
+    assert small <= set(a)  # nesting
+    assert deterministic_sample(ds, "doc_id", 1.0, hash="fast").count() == 4000
+    assert deterministic_sample(ds, "doc_id", 0.0, hash="fast").count() == 0
