@@ -54,13 +54,22 @@ def ensure_event_log(sf_dir: str, num_partitions: int = 16, scale_mult: int = 1)
 
 
 def run_cdc_replay(
-    sf_dir: str, num_cpus: int, scale_mult: int = 1, curate: bool = False, warmup: bool = False
+    sf_dir: str, num_cpus: int, scale_mult: int = 1, curate: bool = False, warmup: bool = False,
+    disk_variant: bool = True,
 ) -> dict:
     from etl_rs_ray.pipelines.cdc import curate_batch, replay
 
     log_dir, n_events = ensure_event_log(sf_dir, scale_mult=scale_mult)
     table_dir = f"/tmp/etl_rs_ray_bench_table_{os.getpid()}"
     shutil.rmtree(table_dir, ignore_errors=True)
+    # Headline config spills the transient exchange to node-local fast
+    # storage (/dev/shm) — the documented production setting
+    # (ETL_RS_RAY_SHUFFLE_BASE); commit atomicity lives in the manifest,
+    # so spill durability is irrelevant. A disk-spill run is also timed
+    # and reported (cdc_replay_disk) to quantify the difference.
+    shm = "ETL_RS_RAY_SHUFFLE_BASE" not in os.environ and os.path.isdir("/dev/shm")
+    if shm:
+        os.environ["ETL_RS_RAY_SHUFFLE_BASE"] = "/dev/shm"
     repeats = 1
     if warmup:
         # steady-state measurement: spawn + import the worker pool on a
@@ -72,9 +81,7 @@ def run_cdc_replay(
                normalize=curate_batch if curate else None)
         shutil.rmtree(wt, ignore_errors=True)
         repeats = 2
-    wall = None
-    res = None
-    for _ in range(repeats):
+    def timed_replay():
         shutil.rmtree(table_dir, ignore_errors=True)
         t0 = time.perf_counter()
         res = replay(
@@ -83,11 +90,20 @@ def run_cdc_replay(
             num_buckets=max(16, num_cpus * 2),
             normalize=curate_batch if curate else None,
         )
-        w = time.perf_counter() - t0
+        return time.perf_counter() - t0, res
+    wall = None
+    res = None
+    for _ in range(repeats):
+        w, res = timed_replay()
         wall = w if wall is None else min(wall, w)
+    wall_disk = None
+    if shm and disk_variant:
+        del os.environ["ETL_RS_RAY_SHUFFLE_BASE"]
+        wall_disk, _ = timed_replay()
     shutil.rmtree(table_dir, ignore_errors=True)
     return {
         "wall": wall,
+        "wall_disk": wall_disk,
         "events": n_events,
         "events_per_sec": n_events / wall,
         "rows_out": res.rows_total,
@@ -274,6 +290,7 @@ def main():
             scale_mult=args.scale_mult if args.only_cdc else 1,
             curate=args.curate,
             warmup=True,  # steady-state headline; worker spawn excluded
+            disk_variant=not args.only_cdc,
         )
         queries = {} if args.only_cdc else run_queries(sf_dir)
         jdd = None if args.only_cdc else run_jdd_normalize(sf_dir)
@@ -292,6 +309,11 @@ def main():
                     "events": cdc["events"],
                     "events_per_sec": round(cdc["events_per_sec"], 1),
                     "cdc_rows_out": cdc["rows_out"],
+                    **(
+                        {"cdc_replay_disk_spill_sec": round(cdc["wall_disk"], 3)}
+                        if cdc.get("wall_disk") is not None
+                        else {}
+                    ),
                     **({"jdd_normalize_vs_single_process": jdd} if jdd else {}),
                 }
             )

@@ -26,6 +26,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -157,64 +158,97 @@ def make_spiller(
     lsn_col="lsn",
     op_col="op",
 ):
-    """Map stage of the disk exchange: per input block, LWW-precompact
-    (the combiner — superseded events die before any data moves), assign
-    lake buckets, then write one file per touched EXCHANGE PARTITION
-    (xpart = bucket % num_xparts) under
-    ``shuffle_dir/xpart=X/<content-hash>.parquet``.
+    """Map stage of the disk exchange (sort-based shuffle): per input
+    block, LWW-precompact (the combiner — superseded events die before
+    any data moves), assign lake buckets, stable-sort by exchange
+    partition (xpart = bucket % num_xparts), then write ONE parquet file
+    per block with ONE ROW GROUP per touched xpart. The accounting rows
+    are the shuffle index: (xpart, file, row-group ordinal).
 
-    Exchange partitions are the classic M x R shuffle-file bound: R tracks
-    the reducer/CPU budget, independent of the (possibly much larger) lake
-    bucket count, so the file count stays O(blocks x reducers) rather than
-    O(blocks x buckets). Spilled rows keep their ``bucket`` column; the
-    reducer splits them per bucket in memory.
+    One file per block — not one per (block, xpart) — is the classic
+    sort-based-shuffle file bound: M files total instead of M x R, which
+    at small blocks removes ~R file creations per map task (measured 2x
+    on the spill stage) and at 100 TB keeps the filesystem to O(blocks)
+    objects. Reducers read ONLY their row groups via the index; parquet
+    row-group pruning makes that one footer read + R-th of the bytes per
+    file. Spilled rows keep their ``bucket`` column; the reducer splits
+    them per bucket in memory.
 
-    File names derive from the partition's content (lsn range, row count,
+    File names derive from the block's content (lsn range, row count,
     crc of lsns) so a retried task overwrites identical bytes —
-    idempotent under Ray task retry. Emits (xpart, rows) accounting rows.
-    """
+    idempotent under Ray task retry."""
+
+    empty = pa.table(
+        {
+            "xpart": pa.array([], pa.int32()),
+            "spilled": pa.array([], pa.int64()),
+            "raw_events": pa.array([], pa.int64()),
+            "file": pa.array([], pa.string()),
+            "rg": pa.array([], pa.int32()),
+        }
+    )
 
     def spill(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "xpart": pa.array([], pa.int32()),
-                    "spilled": pa.array([], pa.int64()),
-                    "raw_events": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         import zlib
 
-        import numpy as np
+        from ..stages.merge_apply import _first_per_key_mask
 
         raw_rows = batch.num_rows
-        batch = lww_reduce(batch, key_cols, lsn_col, op_col, drop_tombstones=False)
+        # ONE composite stable sort does both jobs: leading xpart key makes
+        # the block xpart-contiguous for the row-group layout, the (key,
+        # lsn desc) suffix is exactly lww_reduce's order (xpart is a
+        # function of the key, so per-key adjacency is preserved and the
+        # first row of each key run is its LWW winner; ties break on
+        # delivery order — Arrow's table sort is stable)
         bucket = fast_hash_bucket(batch.column("repo"), batch.column("path"), num_buckets)
-        batch = batch.append_column("bucket", bucket)
         bnp = bucket.to_numpy(zero_copy_only=False)
+        batch = batch.append_column("bucket", bucket)
         batch = batch.append_column("_x", pa.array((bnp % num_xparts).astype(np.int32)))
+        sort_keys = [("_x", "ascending")] + [(k, "ascending") for k in key_cols] + [
+            (lsn_col, "descending")
+        ]
+        batch = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        batch = batch.filter(_first_per_key_mask(batch, key_cols))
+        xs = batch.column("_x").to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns(["_x"])
+        bounds = np.flatnonzero(np.diff(xs)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(xs)]))
+        lsns = batch.column(lsn_col)
+        tag = (
+            f"{pc.min(lsns).as_py()}-{pc.max(lsns).as_py()}-{batch.num_rows}-"
+            f"{zlib.crc32(lsns.combine_chunks().to_numpy(zero_copy_only=False).tobytes()):08x}"
+        )
+        # spill files are TRANSIENT (deleted after the epoch's merge), so
+        # pick the cheapest codec for the medium: raw bytes on a ramdisk
+        # (encode time is pure loss there), lz4 on disk, zstd only worth
+        # it for slow/remote storage (override via env). Dictionary
+        # encoding is disabled: spill payloads are mostly-unique strings,
+        # where the dictionary probe costs ~20% and compresses nothing.
+        codec = os.environ.get(
+            "ETL_RS_RAY_SPILL_CODEC", "none" if "/dev/shm" in shuffle_dir else "lz4"
+        )
+        fname = f"block-{tag}.parquet"
+        os.makedirs(shuffle_dir, exist_ok=True)
+        fpath = os.path.join(shuffle_dir, fname)
+        tmp = fpath + f".tmp-{os.getpid()}"
         out_x, out_n = [], []
-        for x in pc.unique(batch.column("_x")).to_pylist():
-            part = batch.filter(pc.equal(batch.column("_x"), x)).drop_columns(["_x"])
-            lsns = part.column("lsn")
-            tag = (
-                f"{pc.min(lsns).as_py()}-{pc.max(lsns).as_py()}-{part.num_rows}-"
-                f"{zlib.crc32(lsns.combine_chunks().to_numpy(zero_copy_only=False).tobytes()):08x}"
-            )
-            xdir = os.path.join(shuffle_dir, f"xpart={x}")
-            os.makedirs(xdir, exist_ok=True)
-            fpath = os.path.join(xdir, f"part-{tag}.parquet")
-            tmp = fpath + f".tmp-{os.getpid()}"
-            pq.write_table(part, tmp, row_group_size=256 * 1024, compression="zstd")
-            os.replace(tmp, fpath)
-            out_x.append(x)
-            out_n.append(part.num_rows)
+        with pq.ParquetWriter(tmp, batch.schema, compression=codec, use_dictionary=False) as writer:
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                writer.write_table(batch.slice(s, e - s), row_group_size=e - s)
+                out_x.append(int(xs[s]))
+                out_n.append(e - s)
+        os.replace(tmp, fpath)
         raw_col = [raw_rows] + [0] * (len(out_x) - 1)  # attribute once per batch
         return pa.table(
             {
                 "xpart": pa.array(out_x, pa.int32()),
                 "spilled": pa.array(out_n, pa.int64()),
                 "raw_events": pa.array(raw_col, pa.int64()),
+                "file": pa.array([fname] * len(out_x)),
+                "rg": pa.array(range(len(out_x)), pa.int32()),
             }
         )
 
@@ -222,7 +256,8 @@ def make_spiller(
 
 
 def _merge_xpart_task(
-    xpart_dir: str,
+    shuffle_dir: str,
+    plan: list[tuple[str, int]],
     bucket_files: dict,
     staging_dir: str,
     key_cols=DEFAULT_KEY,
@@ -231,22 +266,26 @@ def _merge_xpart_task(
     delta: bool = False,
 ) -> list[dict]:
     """Reduce side of the disk exchange (plain Ray task body): read one
-    exchange partition's spilled files, then fold EACH contained lake
-    bucket with its stored state and write that bucket's new file.
+    exchange partition's row groups out of the spilled block files (the
+    ``plan`` is the shuffle index: sorted (file, row-group) pairs), then
+    fold EACH contained lake bucket with its stored state and write that
+    bucket's new file.
 
     ``delta=True`` (LSM mode) writes just the window's LWW winners —
     tombstones INCLUDED so merge-on-read can delete base rows — without
     touching the stored base.
 
-    The spilled files are folded INCREMENTALLY: one file in memory at a
-    time, per-bucket accumulations LWW-compacted whenever they exceed
-    ``fold_rows``. Worker heap is bounded by (winners so far + one spill
-    file), not the partition's total event count — a hot exchange
-    partition (skewed key) streams through instead of loading whole.
+    The spilled files are folded INCREMENTALLY: raw files accumulate up
+    to ``fold_rows`` rows, then ONE stable sort-by-bucket splits the
+    batch into contiguous per-bucket slices (zero-copy) and any bucket
+    whose accumulation exceeds ``fold_rows`` is LWW-compacted on the
+    spot. Worker heap is bounded by (winners so far + one raw batch),
+    not the partition's total event count — a hot exchange partition
+    (skewed key) streams through instead of loading whole — and each
+    spilled row is touched O(1) times, not once per bucket (the r2
+    per-file-per-bucket ``filter`` loop scanned every file num_buckets
+    times and doubled the replay wall clock).
     ``ETL_RS_RAY_FOLD_ROWS`` overrides the threshold (tests)."""
-    files = sorted(
-        os.path.join(xpart_dir, f) for f in os.listdir(xpart_dir) if f.endswith(".parquet")
-    )
     from ..state.schema_evolution import unify_tables
 
     fold_rows = int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024))
@@ -262,16 +301,49 @@ def _merge_xpart_task(
         pending[b] = 0
         return t
 
-    for f in files:
-        data = pq.read_table(f)
-        for b in pc.unique(data.column("bucket")).to_pylist():
-            part = data.filter(pc.equal(data.column("bucket"), b)).drop_columns(["bucket"])
+    raw: list[pa.Table] = []
+    raw_rows = 0
+
+    def drain_raw() -> None:
+        # single-pass split of the accumulated raw spill by bucket: a
+        # STABLE argsort (LWW ties are broken by delivery order — see
+        # lww_reduce) then contiguous zero-copy slices at run boundaries
+        nonlocal raw, raw_rows
+        if not raw:
+            return
+        t = raw[0] if len(raw) == 1 else unify_tables(raw)
+        raw, raw_rows = [], 0
+        buckets = t.column("bucket").combine_chunks().to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        if not np.array_equal(order, np.arange(len(order))):
+            t = t.take(pa.array(order))
+            buckets = buckets[order]
+        t = t.drop_columns(["bucket"])
+        bounds = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(buckets)]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            b = int(buckets[s])
+            part = t.slice(s, e - s)
             acc.setdefault(b, []).append(part)
             events_in[b] = events_in.get(b, 0) + part.num_rows
             pending[b] = pending.get(b, 0) + part.num_rows
             if pending[b] >= fold_rows:
                 fold(b)
-        del data
+
+    readers: dict[str, pq.ParquetFile] = {}
+    for fname, rg in sorted(plan):
+        pf = readers.get(fname)
+        if pf is None:
+            pf = readers[fname] = pq.ParquetFile(os.path.join(shuffle_dir, fname))
+        data = pf.read_row_group(rg)
+        raw.append(data)
+        raw_rows += data.num_rows
+        if raw_rows >= fold_rows:
+            drain_raw()
+    drain_raw()
+    for pf in readers.values():
+        pf.close()
 
     entries = []
     for b in sorted(acc):
@@ -421,23 +493,30 @@ def replay(
             zero_copy_batch=True,
             batch_size=batch_size,
         )
+        t_spill0 = time.perf_counter()
         spilled = spill_ds.take_all()
+        t_spill = time.perf_counter() - t_spill0
         if os.environ.get("ETL_RS_RAY_STATS"):
             print(spill_ds.stats())
         events_read = sum(int(r["raw_events"]) for r in spilled)
-        touched_x = sorted({int(r["xpart"]) for r in spilled})
-        if not touched_x:
+        plans: dict[int, list[tuple[str, int]]] = {}
+        for r in spilled:
+            plans.setdefault(int(r["xpart"]), []).append((r["file"], int(r["rg"])))
+        if not plans:
             return _noop()
         bucket_files = lake.bucket_file_sets() if mode == "upsert" else {}
         merge_task = ray.remote(num_cpus=1)(_merge_xpart_task)
+        t_merge0 = time.perf_counter()
         futs = [
             merge_task.remote(
-                os.path.join(shuffle_dir, f"xpart={x}"), bucket_files, staging,
+                shuffle_dir, plans[x], bucket_files, staging,
                 delta=(mode == "delta"),
             )
-            for x in touched_x
+            for x in sorted(plans)
         ]
         entries = [e for sub in ray.get(futs) for e in sub]
+        t_merge = time.perf_counter() - t_merge0
+        phase_secs = {"spill": round(t_spill, 3), "merge": round(t_merge, 3)}
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
     else:
         # Ray-native hash-shuffle groupby (kept for comparison / small jobs).
@@ -462,6 +541,7 @@ def replay(
             merger, batch_format="pyarrow"
         )
         entries = entries_ds.take_all()  # tiny: one row per touched bucket
+        phase_secs = {}
         seen = [int(e["bucket"]) for e in entries]
         if len(seen) != len(set(seen)):
             raise RuntimeError(f"bucket group split across reducers: {sorted(seen)}")
@@ -499,6 +579,7 @@ def replay(
         "applied_d": sum(w["stats"]["applied_d"] for w in written.values()),
         "buckets_touched": len(written),
         "wall_seconds": round(time.perf_counter() - t0, 3),
+        "phase_seconds": phase_secs,
     }
     lineage = {
         "segments": [s.path for s in segs],

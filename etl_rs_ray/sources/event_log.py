@@ -79,6 +79,54 @@ def _splitmix64(h: "np.ndarray") -> "np.ndarray":
     return h
 
 
+# Modular inverse of the base (B is odd, hence invertible mod 2^64): lets
+# the padded-matrix path divide out trailing-zero padding exactly.
+_POLY_B_INV = np.uint64(pow(int(_POLY_B), -1, 2**64))
+# Above this byte length the O(rows x maxlen) padded matrix stops paying
+# for itself (one pathological long row would inflate every row's work);
+# such rows take the active-set Horner loop instead.
+_PAD_MAXLEN = 128
+_HASH_CHUNK = 1 << 16
+
+
+@lru_cache(maxsize=None)
+def _poly_inv_pows(k: int) -> "np.ndarray":
+    out = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            out[i] = acc
+            acc = acc * _POLY_B_INV
+    return out
+
+
+def _hash_padded(data: "np.ndarray", starts: "np.ndarray", lengths: "np.ndarray") -> "np.ndarray":
+    """Fixed-width Horner over a zero-padded byte matrix. One gather builds
+    an (rows x maxlen) matrix (bytes past a row's end belong to the NEXT
+    row, so they are masked to 0), maxlen fully-vectorized mul-adds run
+    Horner over contiguous columns, then the zero padding is divided out:
+    padded_hash = true_hash * B^(maxlen-len), and B is odd so
+    true_hash = padded_hash * B^-(maxlen-len) (mod 2^64) exactly."""
+    n = len(starts)
+    maxlen = int(lengths.max())
+    positions = np.arange(maxlen)
+    inv_pows = _poly_inv_pows(maxlen + 1)
+    out = np.empty(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c0 in range(0, n, _HASH_CHUNK):
+            c1 = min(n, c0 + _HASH_CHUNK)
+            st, ln = starts[c0:c1], lengths[c0:c1]
+            idx = st[:, None] + positions[None, :]
+            np.clip(idx, 0, len(data) - 1, out=idx)
+            m = np.where(positions[None, :] < ln[:, None], data[idx], 0)
+            m = np.ascontiguousarray(m.T)  # column access -> contiguous rows
+            h = np.zeros(c1 - c0, dtype=np.uint64)
+            for j in range(maxlen):
+                h = h * _POLY_B + m[j]
+            out[c0:c1] = h * inv_pows[maxlen - ln]
+    return out
+
+
 def stable_hash64(arr: pa.Array | pa.ChunkedArray) -> "np.ndarray":
     """Version-stable vectorized string hash (the ``poly64-v1`` partitioner):
     polynomial rolling hash over the utf-8 bytes (base = FNV-64 prime,
@@ -97,21 +145,26 @@ def stable_hash64(arr: pa.Array | pa.ChunkedArray) -> "np.ndarray":
     start, stop = int(offs[0]), int(offs[-1])
     if stop == start:  # all rows empty
         return _splitmix64(np.zeros(n, dtype=np.uint64))
-    # Horner evaluation, one byte position per iteration: temporaries stay
-    # O(rows) instead of O(total bytes) — ~3x faster than the gather/
-    # reduceat formulation (byte-position count is small and uniform for
-    # key strings, so the active set barely shrinks until the tail)
-    h = np.zeros(n, dtype=np.uint64)
     starts = offs[:-1]
-    active = np.arange(n)
-    with np.errstate(over="ignore"):
-        for i in range(int(lengths.max())):
-            if len(active) == 0:
-                break
-            keep = lengths[active] > i
-            if not keep.all():
-                active = active[keep]
-            h[active] = h[active] * _POLY_B + data[starts[active] + i]
+    h = np.zeros(n, dtype=np.uint64)
+    short = lengths <= _PAD_MAXLEN
+    if short.all():
+        h = _hash_padded(data, starts, lengths)
+    else:
+        s_idx = np.flatnonzero(short)
+        if len(s_idx):
+            h[s_idx] = _hash_padded(data, starts[s_idx], lengths[s_idx])
+        # long tail: active-set Horner, one byte position per iteration —
+        # temporaries stay O(active rows) instead of O(total bytes)
+        active = np.flatnonzero(~short)
+        with np.errstate(over="ignore"):
+            for i in range(int(lengths[active].max())):
+                if len(active) == 0:
+                    break
+                keep = lengths[active] > i
+                if not keep.all():
+                    active = active[keep]
+                h[active] = h[active] * _POLY_B + data[starts[active] + i]
     return _splitmix64(h + lengths.astype(np.uint64))
 
 

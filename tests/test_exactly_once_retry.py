@@ -60,11 +60,20 @@ def test_merge_retry_is_byte_identical(tmp_path):
     staging = str(tmp_path / "staging")
     os.makedirs(staging, exist_ok=True)
     spill = make_spiller(shuffle_dir, num_xparts=2, num_buckets=4)
-    spill(_events())
-    xdir = os.path.join(shuffle_dir, "xpart=0")
-    entries1 = _merge_xpart_task(xdir, {}, staging)
+    acct = spill(_events())
+    plan = [
+        (f, int(rg))
+        for x, f, rg in zip(
+            acct.column("xpart").to_pylist(),
+            acct.column("file").to_pylist(),
+            acct.column("rg").to_pylist(),
+        )
+        if int(x) == 0
+    ]
+    assert plan
+    entries1 = _merge_xpart_task(shuffle_dir, plan, {}, staging)
     hashes1 = {e["bucket"]: _sha(os.path.join(staging, e["filename"])) for e in entries1}
-    entries2 = _merge_xpart_task(xdir, {}, staging)  # retried reducer
+    entries2 = _merge_xpart_task(shuffle_dir, plan, {}, staging)  # retried reducer
     hashes2 = {e["bucket"]: _sha(os.path.join(staging, e["filename"])) for e in entries2}
     assert hashes1 == hashes2
     assert entries1 == entries2
