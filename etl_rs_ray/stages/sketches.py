@@ -61,9 +61,14 @@ class HyperLogLog:
         self.registers = np.maximum(self.registers, other.registers)
         return self
 
+    # Standard small-m bias constants (Flajolet et al. Fig. 3): the
+    # asymptotic 0.7213/(1+1.079/m) formula only holds for m >= 128;
+    # m = 16/32/64 carry their own measured constants.
+    _SMALL_M_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
     def estimate(self) -> float:
         m = float(self.m)
-        alpha = 0.7213 / (1 + 1.079 / m)
+        alpha = self._SMALL_M_ALPHA.get(self.m, 0.7213 / (1 + 1.079 / m))
         est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
         if est <= 2.5 * m:
             zeros = int((self.registers == 0).sum())
@@ -203,6 +208,126 @@ def tdigest_quantiles(ds, col: str, qs: list[float], delta: int = 100) -> list[f
     for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
         merged.merge(TDigest.from_arrays(r["means"], r["weights"], delta))
     return [merged.quantile(q) for q in qs]
+
+
+def exact_quantiles(ds, col: str, qs: list[float], buckets: int = 2048,
+                    gather_max: int = 262_144) -> list[float]:
+    """EXACT quantiles (numpy linear-interpolation semantics) without ever
+    materializing the column on the driver: distributed rank selection by
+    iterative histogram refinement.
+
+    Pass 1 aggregates (count, min, max). Each refinement pass histograms
+    only the current candidate interval (``buckets`` bins, one
+    map_batches partial + driver merge of tiny count vectors) and narrows
+    the interval to the bins containing the target ranks; the interval
+    width shrinks x``buckets`` per pass, so a handful of passes reduce
+    the candidate set below ``gather_max`` regardless of input size. The
+    final pass gathers ONLY the candidate values (bounded by
+    ``gather_max``), sorts them, and reads the two order statistics each
+    quantile interpolates between. Driver memory is O(buckets + gather_max)
+    at any scale; heavy duplicate values short-circuit via the interval's
+    min==max. Matches ``np.quantile(sorted_col, q)`` bit-for-bit."""
+
+    def stats_pass(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        n = len(v)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "mn": pa.array([float(v.min()) if n else np.inf]),
+                "mx": pa.array([float(v.max()) if n else -np.inf]),
+            }
+        )
+
+    parts = ds.map_batches(stats_pass, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    total = sum(int(r["n"]) for r in parts)
+    if total == 0:
+        return [float("nan")] * len(qs)
+    lo = min(float(r["mn"]) for r in parts)
+    hi = max(float(r["mx"]) for r in parts)
+    if lo == hi:  # constant column: every order statistic is that value
+        return [lo] * len(qs)
+    # 0-indexed order statistics each quantile needs: floor and ceil of
+    # (n-1)*q — numpy's default linear interpolation reads exactly these
+    needed: set[int] = set()
+    pos = {}
+    for q in qs:
+        p = (total - 1) * float(q)
+        f, c = int(np.floor(p)), int(np.ceil(p))
+        pos[q] = (p, f, c)
+        needed.update((f, c))
+    r_min, r_max = min(needed), max(needed)
+
+    below = 0  # values strictly left of the candidate interval
+    count_in = total
+    for _ in range(64):
+        if count_in <= gather_max or lo == hi:
+            break
+        span_lo, span_hi, nb = lo, hi, buckets
+
+        def hist_pass(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[(v >= span_lo) & (v <= span_hi)]
+            idx = np.clip(
+                np.floor((v - span_lo) / (span_hi - span_lo) * nb).astype(np.int64), 0, nb - 1
+            )
+            counts = np.bincount(idx, minlength=nb)
+            return pa.table({"counts": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+
+        counts = np.zeros(nb, dtype=np.int64)
+        for r in ds.map_batches(hist_pass, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all():
+            counts += np.array(r["counts"], dtype=np.int64)
+        cum = np.cumsum(counts)
+        # bins holding order stats r_min..r_max (ranks are global: subtract
+        # the below-interval population first)
+        b0 = int(np.searchsorted(cum, r_min - below + 1, side="left"))
+        b1 = int(np.searchsorted(cum, r_max - below + 1, side="left"))
+        width = (span_hi - span_lo) / nb
+        new_lo = span_lo + b0 * width
+        new_hi = span_hi if b1 >= nb - 1 else span_lo + (b1 + 1) * width
+        below += int(cum[b0 - 1]) if b0 > 0 else 0
+        new_count = int(cum[b1] - (cum[b0 - 1] if b0 > 0 else 0))
+        if new_count == count_in and (new_lo, new_hi) == (lo, hi):
+            break  # duplicates pinned the interval; gather handles it
+        lo, hi, count_in = new_lo, new_hi, new_count
+
+    # expand the gather interval by one final-pass bin width on each side:
+    # the histogram's floor() binning and the gather's direct comparison can
+    # disagree by an ulp at bin boundaries, and this makes the disagreement
+    # harmless (a few extra candidates, never a missing rank)
+    eps = (hi - lo) / buckets
+    g_lo, g_hi = lo - eps, hi + eps
+
+    def gather_pass(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        keep = v[(v >= g_lo) & (v <= g_hi)]
+        # recount below-interval locally: the refinement's accumulated
+        # `below` steered the interval, but the gather pass is the rank
+        # authority — one row per batch, tiny list payload
+        return pa.table(
+            {
+                "vals": pa.array([keep.tolist()], pa.list_(pa.float64())),
+                "n_below": pa.array([int((v < g_lo).sum())], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(gather_pass, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    vals = np.sort(np.concatenate(
+        [np.asarray(r["vals"], dtype=np.float64) for r in rows]
+    ))
+    below_final = sum(int(r["n_below"]) for r in rows)
+
+    out = []
+    for q in qs:
+        p, f, c = pos[q]
+        vf = vals[min(max(f - below_final, 0), len(vals) - 1)]
+        vc = vals[min(max(c - below_final, 0), len(vals) - 1)]
+        out.append(float(vf + (p - f) * (vc - vf)))
+    return out
 
 
 class FixedHistogram:

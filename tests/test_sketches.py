@@ -134,3 +134,39 @@ def test_tdigest_empty_and_serialization():
     m, w = t.to_arrays()
     t2 = TDigest.from_arrays(m, w, 50)
     assert t2.quantile(0.5) == t.quantile(0.5)
+
+
+def test_exact_quantiles_matches_numpy_with_refinement():
+    from etl_rs_ray.stages.sketches import exact_quantiles
+
+    rng = np.random.default_rng(13)
+    vals = rng.lognormal(0, 2, 50_000)  # skewed so bins are uneven
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    # gather_max << n forces several histogram-refinement passes
+    got = exact_quantiles(ds, "v", qs, buckets=64, gather_max=500)
+    want = [float(np.quantile(vals, q)) for q in qs]
+    assert got == want, list(zip(qs, got, want))
+
+
+def test_exact_quantiles_heavy_duplicates_and_constant():
+    from etl_rs_ray.stages.sketches import exact_quantiles
+
+    rng = np.random.default_rng(4)
+    # 90% of mass on one value: the candidate interval pins on duplicates
+    vals = np.where(rng.uniform(size=20_000) < 0.9, 7.0, rng.uniform(0, 100, 20_000))
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    got = exact_quantiles(ds, "v", [0.5, 0.95], buckets=32, gather_max=1_000)
+    want = [float(np.quantile(vals, q)) for q in (0.5, 0.95)]
+    assert got == want
+
+    const = ray.data.from_arrow(pa.table({"v": pa.array([3.25] * 1000)})).repartition(3)
+    assert exact_quantiles(const, "v", [0.1, 0.9], gather_max=10) == [3.25, 3.25]
+
+
+def test_hll_small_m_alpha_constants():
+    # p=4 -> m=16 must use the measured 0.673, not the asymptotic formula
+    h = HyperLogLog(p=4)
+    assert h._SMALL_M_ALPHA[16] == 0.673
+    h.add_hashed(stable_hash64(pa.array([f"x{i}" for i in range(2_000)])))
+    assert abs(h.estimate() - 2_000) / 2_000 < 0.35  # ~26% stderr at m=16
