@@ -816,16 +816,18 @@ def docs_ngram_dedup(sf_dir: str):
 
 
 def embeddings_cosine_dedup(sf_dir: str):
-    """Exact embedding-cosine near-dup removal (all-pairs float64 cosine,
-    union-find, keep min id) — SQL-oracle-checked via DuckDB
-    list_cosine_similarity + the recursive closure. 0.4 is the cluster
-    threshold for this synthetic corpus (its max off-diagonal cosine is
-    ~0.5); the production default (0.95+) and the hyperplane-LSH scale
-    path are exercised in tests/test_dedup_family.py."""
-    from ..stages.dedup import embedding_dedup_exact
+    """Embedding-cosine near-dup removal on the SCALE path:
+    random-hyperplane LSH buckets (sign pattern of 12 float32 projections,
+    full + half bucket families) -> in-bucket float64 cosine -> connected
+    components, keep min id. The SQL oracle inlines the exact plane
+    weights and recomputes buckets, edges, and the recursive closure;
+    the all-pairs `embedding_dedup_exact` stays as the test cross-check
+    (tests/test_dedup_family.py). 0.4 is the cluster threshold for this
+    synthetic corpus (its max off-diagonal cosine is ~0.5)."""
+    from ..stages.dedup import embedding_dedup
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = embedding_dedup_exact(ds, "embedding", "vec_id", threshold=0.4)
+    out = embedding_dedup(ds, "embedding", "vec_id", threshold=0.4)
     return out.select_columns(["vec_id"])
 
 
@@ -1255,16 +1257,54 @@ def _ngram_cc_sql(threshold: float = 0.5) -> str:
 
 
 ORACLE_SQL["docs_ngram_dedup"] = _ngram_cc_sql(0.5)
-ORACLE_SQL["embeddings_cosine_dedup"] = (
-    """WITH RECURSIVE cand_edges AS (
-      SELECT x.vec_id AS a, y.vec_id AS b
-      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-      WHERE list_cosine_similarity(
-              CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])
-            ) >= 0.4
+
+
+def _cosine_lsh_sql(threshold: float = 0.4, dim: int = 64,
+                    num_planes: int = 12, seed: int = 13) -> str:
+    """Mirror of stages/dedup.py embedding_dedup: the EXACT float32 plane
+    weights are inlined as VALUES (float32 is exactly representable in
+    DOUBLE, and the Ray side projects in float64 over those weights, so
+    the sign patterns agree bit-for-bit); buckets = full 12-bit sign
+    pattern (band 0) + low-half 6-bit pattern (band 1); in-bucket pairs
+    with double cosine >= threshold are closed recursively."""
+    from ..stages.dedup import hyperplanes
+
+    P = hyperplanes(dim, num_planes, seed)
+    plane_rows = ", ".join(
+        f"({j}, {i}, {float(P[i, j])!r})"
+        for j in range(num_planes) for i in range(dim)
+    )
+    half = num_planes // 2
+    return (
+        f"""WITH RECURSIVE planes(j, i, w) AS (
+      SELECT * FROM (VALUES {plane_rows}) v(j, i, w)
+    ), emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), proj AS (
+      SELECT vec_id, p.j AS j, sum(e[p.i + 1] * p.w) AS s
+      FROM emb CROSS JOIN planes p GROUP BY vec_id, p.j
+    ), sig AS (
+      SELECT vec_id,
+             sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS h_full,
+             sum(CASE WHEN s > 0 AND j < {half} THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS h_half
+      FROM proj GROUP BY vec_id
+    ), bands AS (
+      SELECT vec_id, 0 AS band, h_full AS bh FROM sig
+      UNION ALL
+      SELECT vec_id, 1 AS band, h_half AS bh FROM sig
+    ), cand_edges AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id
+      JOIN emb ex ON ex.vec_id = x.vec_id
+      JOIN emb ey ON ey.vec_id = y.vec_id
+      WHERE list_cosine_similarity(ex.e, ey.e) >= {threshold}
     ),"""
-    + _cc_closure_sql("embeddings", "vec_id")
-)
+        + _cc_closure_sql("embeddings", "vec_id")
+    )
+
+
+ORACLE_SQL["embeddings_cosine_dedup"] = _cosine_lsh_sql()
 
 ORACLE_SQL["orders_topk_per_customer"] = """
     SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM (

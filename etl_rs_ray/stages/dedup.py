@@ -786,6 +786,14 @@ def simhash_dedup_pairwise(
 # --- embedding cosine near-dup ----------------------------------------------
 
 
+def hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (float32 values, so both the
+    Ray path and a DOUBLE-arithmetic SQL oracle can inline the exact same
+    weights)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, num_planes)).astype(np.float32)
+
+
 def embedding_dedup_exact(
     ds,
     emb_col: str = "embedding",
@@ -834,33 +842,34 @@ def embedding_dedup(
     planes: dict = {}
 
     def add_buckets(batch: pa.Table) -> pa.Table:
-        embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        # float64 projection over float32-valued planes: the stored plane
+        # weights are float32 (exactly representable in double) so a SQL
+        # oracle computing sum(e*w) in DOUBLE sees the same signs
+        embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
         ids = batch.column(id_col).to_pylist()
         if embs.size == 0:
             return pa.table(
                 {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.int64()),
-                 id_col: pa.array([], pa.int64()), "_norm": pa.array([], pa.float32()),
+                 id_col: pa.array([], pa.int64()),
                  emb_col: pa.array([], pa.list_(pa.float32()))}
             )
         dim = embs.shape[1]
         if dim not in planes:
-            rng = np.random.default_rng(seed)
-            planes[dim] = rng.standard_normal((dim, num_planes)).astype(np.float32)
+            planes[dim] = hyperplanes(dim, num_planes, seed).astype(np.float64)
         P = planes[dim]
         signs = (embs @ P) > 0  # (n, planes)
         half = num_planes // 2
         weights_full = 1 << np.arange(num_planes, dtype=np.int64)
         h_full = (signs * weights_full).sum(axis=1)
         h_half = (signs[:, :half] * weights_full[:half]).sum(axis=1)
-        norms = np.linalg.norm(embs, axis=1).astype(np.float32)
         n = len(ids)
+        emb_f32 = embs.astype(np.float32).tolist()
         return pa.table(
             {
                 "band": pa.array([0] * n + [1] * n, pa.int32()),
                 "band_hash": pa.array(np.concatenate([h_full, h_half]), pa.int64()),
                 id_col: pa.array(ids + ids),
-                "_norm": pa.array(np.concatenate([norms, norms])),
-                emb_col: pa.array(embs.tolist() + embs.tolist(), pa.list_(pa.float32())),
+                emb_col: pa.array(emb_f32 + emb_f32, pa.list_(pa.float32())),
             }
         )
 
@@ -868,8 +877,8 @@ def embedding_dedup(
         ids = group.column(id_col).to_pylist()
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        embs = np.array(group.column(emb_col).to_pylist(), dtype=np.float32)
-        norms = np.array(group.column("_norm").to_pylist(), dtype=np.float32)
+        embs = np.array(group.column(emb_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1)
         normed = embs / np.maximum(norms[:, None], 1e-12)
         sims = normed @ normed.T
         ea, eb = [], []
