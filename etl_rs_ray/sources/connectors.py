@@ -52,6 +52,20 @@ class ConnectorUnavailable(Exception):
         )
 
 
+class IncompleteReplayError(Exception):
+    """A bounded replay could not reach its end offset — the caller must
+    retry or fail, never treat the partial result as the full range."""
+
+
+def _qi(name: str) -> str:
+    """Quote a SQL identifier (table/column name). Values stay %s-parameterized;
+    identifiers can't be parameterized, so double-quote and escape embedded
+    quotes — works for Postgres and ANSI SQL."""
+    if "\x00" in name:
+        raise ValueError(f"invalid identifier: {name!r}")
+    return '"' + name.replace('"', '""') + '"'
+
+
 class _ConfluentConsumerAdapter:
     """Consumer protocol used by the reader: ``assign_bounded(topic,
     partition, offset)`` + ``poll(timeout) -> msg | None``. This adapter
@@ -115,7 +129,14 @@ class _KafkaPartitionReader:
     — the reference's assigned-partition bounded replay
     (kafka_jdd_to_mongo.rs:26-31 TopicPartitionList + Offset::Offset)."""
 
-    def __init__(self, brokers: str, group_id: str, client_factory=None, poll_timeout: float = 1.0):
+    def __init__(
+        self,
+        brokers: str,
+        group_id: str,
+        client_factory=None,
+        poll_timeout: float = 1.0,
+        max_empty_polls: int = 10,
+    ):
         factory = client_factory or _default_kafka_consumer
         self.consumer = factory(
             {
@@ -126,6 +147,7 @@ class _KafkaPartitionReader:
             }
         )
         self.poll_timeout = poll_timeout
+        self.max_empty_polls = max_empty_polls
 
     def __call__(self, specs: pa.Table) -> pa.Table:
         rows: dict[str, list] = {f.name: [] for f in KAFKA_SCHEMA}
@@ -134,10 +156,22 @@ class _KafkaPartitionReader:
             start, end = spec["start_offset"], spec["end_offset"]
             self.consumer.assign_bounded(topic, part, start)
             offset = start
+            empty_polls = 0
             while offset < end:
                 msg = self.consumer.poll(self.poll_timeout)
                 if msg is None:
-                    break
+                    # a transient broker stall must not silently truncate a
+                    # BOUNDED replay — retry up to a deadline, then fail loud
+                    # (ADVICE r2: partial replay was invisible to the caller)
+                    empty_polls += 1
+                    if empty_polls >= self.max_empty_polls:
+                        raise IncompleteReplayError(
+                            f"{topic}[{part}]: replay stalled at offset {offset} "
+                            f"of [{start}, {end}) after {empty_polls} empty polls "
+                            f"({empty_polls * self.poll_timeout:.0f}s)"
+                        )
+                    continue
+                empty_polls = 0
                 if callable(getattr(msg, "error", None)) and msg.error():
                     continue
                 if msg.offset() >= end:
@@ -269,16 +303,17 @@ def read_postgres(
     (the reference's SELECT * source is single-stream too)."""
     import ray.data
 
-    proj = ", ".join(columns) if columns else "*"
+    proj = ", ".join(_qi(c) for c in columns) if columns else "*"
     if partition_col is None or bounds is None:
-        specs = [{"sql": f"SELECT {proj} FROM {table}"}]
+        specs = [{"sql": f"SELECT {proj} FROM {_qi(table)}"}]
     else:
         lo, hi = bounds
         step = max(1, (hi - lo + num_partitions) // num_partitions)
+        pcol = _qi(partition_col)
         specs = [
             {
-                "sql": f"SELECT {proj} FROM {table} "
-                f"WHERE {partition_col} >= {lo + i * step} AND {partition_col} < {min(lo + (i + 1) * step, hi + 1)}"
+                "sql": f"SELECT {proj} FROM {_qi(table)} "
+                f"WHERE {pcol} >= {int(lo + i * step)} AND {pcol} < {int(min(lo + (i + 1) * step, hi + 1))}"
             }
             for i in range(num_partitions)
             if lo + i * step <= hi
@@ -302,7 +337,10 @@ class _PgBatchWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
         placeholders = ", ".join(["%s"] * len(cols))
-        sql = f"INSERT INTO {self.table} ({', '.join(cols)}) VALUES ({placeholders})"
+        sql = (
+            f"INSERT INTO {_qi(self.table)} "
+            f"({', '.join(_qi(c) for c in cols)}) VALUES ({placeholders})"
+        )
         cur = self.conn.cursor()
         cur.executemany(sql, [tuple(r[c] for c in cols) for r in batch.to_pylist()])
         self.conn.commit()
@@ -326,7 +364,7 @@ def write_postgres(
     if mode == "overwrite":
         conn = (client_factory or _default_pg_connect)(dsn)
         cur = conn.cursor()
-        cur.execute(f"TRUNCATE TABLE {table}")
+        cur.execute(f"TRUNCATE TABLE {_qi(table)}")
         conn.commit()
     counts = ds.map_batches(
         _PgBatchWriter,

@@ -41,7 +41,10 @@ class LakeTable:
             # bucket layout is durable: refuse to merge into a table laid
             # out by a different key-hash (silent cross-bucket duplicates
             # otherwise — ADVICE r1)
-            stored = m.get("partitioner", PARTITIONER_ID)
+            # a manifest written before the partitioner field existed used
+            # the old bucket layout — default the MISSING field to a legacy
+            # sentinel so those tables are refused too (ADVICE r2)
+            stored = m.get("partitioner", "pre-poly64-legacy")
             if stored != PARTITIONER_ID:
                 raise ValueError(
                     f"table {table_dir} was written with partitioner "

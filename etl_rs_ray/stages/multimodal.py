@@ -123,6 +123,30 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return buf.getvalue()
 
 
+def is_bmp(payload: bytes) -> bool:
+    """Full BMP header validation, not just the b'BM' magic — utf-8 text
+    starting with 'BM' (e.g. 'BMW …') must NOT route to the real decoder
+    (ADVICE r2). Checks the header fields are internally consistent with
+    the payload length before decode_bmp is attempted."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return False
+    file_size = struct.unpack_from("<I", payload, 2)[0]
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    info_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes = struct.unpack_from("<H", payload, 26)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if info_size != 40 or planes != 1 or bpp != 24 or compression != 0:
+        return False
+    if w <= 0 or h == 0 or abs(h) > 1 << 20 or w > 1 << 20:
+        return False
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    if data_offset < 54 or data_offset + stride * abs(h) > len(payload):
+        return False
+    return file_size == len(payload)
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, float]:
     """Real decode of an uncompressed 24-bit BMP: (width, height,
     mean luma) with luma = ITU-R BT.601 from the actual pixels."""
@@ -248,7 +272,7 @@ class DecodeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, lumas = [], [], []
         for payload in batch.column("payload").to_pylist():
-            if payload[:2] == b"BM":
+            if is_bmp(payload):
                 w, h, luma = decode_bmp(payload)
             elif self.strict:
                 raise NotImplementedError(

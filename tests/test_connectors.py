@@ -151,15 +151,17 @@ def test_read_kafka_bounded_partitions():
         "t1",
         brokers="fake:9092",
         group_id="g",
-        partition_offsets={0: (10, 20), 1: (0, 5), 2: (95, 200)},
+        partition_offsets={0: (10, 20), 1: (0, 5), 2: (95, 100)},
         client_factory=FakeConsumer,
     )
     t = pa.Table.from_pylist(ds.take_all())
     by_part = {}
     for r in t.to_pylist():
         by_part.setdefault(r["partition"], []).append(r["offset"])
-    # each partition drained exactly its [start, end) range, in order;
-    # partition 2's range is truncated at the last available offset (99)
+    # each partition drained exactly its [start, end) range, in order.
+    # A range past the end of the topic now RAISES IncompleteReplayError
+    # instead of silently truncating (ADVICE r2) — see
+    # test_advice_r2_fixes.test_kafka_bounded_replay_raises_on_stall.
     assert by_part[0] == list(range(10, 20))
     assert by_part[1] == list(range(0, 5))
     assert by_part[2] == list(range(95, 100))
@@ -196,12 +198,12 @@ def test_write_postgres_append_and_overwrite(tmp_path):
     recs = _read_sink(out)
     ins = [r for r in recs if r["sql"].startswith("INSERT")]
     assert sum(len(r["rows"]) for r in ins) == 30
-    assert all("INSERT INTO tbl (a, b)" in r["sql"] for r in ins)
+    assert all('INSERT INTO "tbl" ("a", "b")' in r["sql"] for r in ins)
 
     n2 = write_postgres(ds, "dsn://x", "tbl", mode="overwrite", client_factory=factory)
     assert n2 == 30
     recs = _read_sink(out)
-    assert any(r["sql"].startswith("TRUNCATE TABLE tbl") for r in recs)
+    assert any(r["sql"].startswith('TRUNCATE TABLE "tbl"') for r in recs)
 
 
 def test_write_postgres_bad_mode():
@@ -260,7 +262,7 @@ class FakePgCursorRead:
         import re
 
         lo, hi = 0, 10**9
-        m = re.search(r">= (\d+) AND id < (\d+)", sql)
+        m = re.search(r">= (\d+) AND \"?id\"? < (\d+)", sql)
         if m:
             lo, hi = int(m.group(1)), int(m.group(2))
         self._out = [r for r in self.ROWS if lo <= r[0] < hi]
