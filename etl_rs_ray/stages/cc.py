@@ -54,6 +54,8 @@ def connected_components(
     def self_and_nbr(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("node"), "label": batch.column("nbr")})
 
+    from ..util import blocks_stats
+
     labels = (
         _hash_shuffle(adj.map_batches(self_and_nbr, batch_format="pyarrow", zero_copy_batch=True)
                       .union(adj.map_batches(
@@ -63,6 +65,11 @@ def connected_components(
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
+    # convergence check: labels only ever decrease, so an unchanged SUM
+    # means no label moved. Sums come from the already-materialized label
+    # blocks (blocks_stats) and the previous round's sum is reused — zero
+    # extra dataset executions per round.
+    prev_sum = blocks_stats(labels, ["label"])[1]
 
     for _round in range(max_rounds):
         # propagate: neighbor's current label -> node, plus keep own label
@@ -85,13 +92,11 @@ def connected_components(
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        # converged when the label multiset is unchanged (labels only ever
-        # decrease, so an equal SUM means no label moved)
-        old_sum = labels.sum("label")
-        new_sum = new_labels.sum("label")
+        new_sum = blocks_stats(new_labels, ["label"])[1]
         labels = new_labels
-        if old_sum == new_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.map_batches(
         lambda b: pa.table({"node": b.column("node"), "root": b.column("label")}),
         batch_format="pyarrow",
@@ -169,22 +174,11 @@ def connected_components_star(
         return e.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
 
     def checksum(e) -> tuple:
-        t = pa.Table.from_pylist(
-            e.map_batches(
-                lambda b: pa.table(
-                    {
-                        "n": pa.array([b.num_rows], pa.int64()),
-                        "sa": pa.array([pc.sum(b.column("a")).as_py() or 0], pa.int64()),
-                        "sb": pa.array([pc.sum(b.column("b")).as_py() or 0], pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).take_all()
-        )
-        if t.num_rows == 0:
-            return (0, 0, 0)
-        return tuple(pc.sum(t.column(c)).as_py() or 0 for c in ("n", "sa", "sb"))
+        # (edge count, sum a, sum b) straight from the edge blocks that
+        # _materialize_edges just pinned — no extra dataset execution
+        from ..util import blocks_stats
+
+        return blocks_stats(e.materialize(), ["a", "b"])
 
     def large_star(group: pa.Table) -> pa.Table:
         # one node's whole neighborhood per call: m = min({u} ∪ N(u)),

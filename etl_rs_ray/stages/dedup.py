@@ -424,6 +424,72 @@ def simhash_batch(texts: list[str | None], kind: str, hasher) -> list[tuple[int,
     return out
 
 
+_POP16 = None  # 64 KiB popcount LUT, built on first use (import stays cheap)
+
+
+def _hamming_edges(ids, sigs, max_hamming: int):
+    """All id-ordered pairs (a, b), a < b, with popcount(sig_a ^ sig_b)
+    <= max_hamming. One XOR outer product + 16-bit popcount LUT — no
+    per-pair Python for buckets big enough to matter; tiny buckets (the
+    common case: 2-3 near-dups) keep the scalar loop, which is faster
+    than numpy setup at that size."""
+    n = len(ids)
+    if n < 2:
+        return [], []
+    if n < 16:
+        rows = sorted(zip(ids, sigs))
+        ea, eb = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
+                    ea.append(rows[i][0])
+                    eb.append(rows[j][0])
+        return ea, eb
+    order = np.argsort(np.asarray(ids), kind="stable")
+    ids_s = np.asarray(ids)[order]
+    pop = _popcount_matrix(np.asarray(sigs, dtype=np.uint64)[order])
+    iu, ju = np.triu_indices(n, k=1)
+    keep = pop[iu, ju] <= max_hamming
+    return ids_s[iu[keep]].tolist(), ids_s[ju[keep]].tolist()
+
+
+def _popcount_matrix(s: "np.ndarray") -> "np.ndarray":
+    """(n, n) pairwise hamming distances of a uint64 signature vector:
+    XOR outer product + 16-bit popcount LUT, four chunk passes."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+    x = s[:, None] ^ s[None, :]
+    pop = np.zeros(x.shape, dtype=np.int16)
+    for k in (0, 16, 32, 48):
+        pop += _POP16[((x >> np.uint64(k)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return pop
+
+
+def _hamming_losers(ids, sigs, max_hamming: int):
+    """Ids that have ANY smaller-id neighbor within ``max_hamming`` in
+    this bucket (the pairwise-losers rule), id order. Vectorized via the
+    same popcount matrix as ``_hamming_edges``; tiny buckets scalar."""
+    n = len(ids)
+    if n < 2:
+        return []
+    if n < 16:
+        rows = sorted(zip(ids, sigs))
+        out = []
+        for i in range(1, n):
+            for j in range(i):
+                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
+                    out.append(rows[i][0])
+                    break
+        return out
+    order = np.argsort(np.asarray(ids), kind="stable")
+    ids_s = np.asarray(ids)[order]
+    pop = _popcount_matrix(np.asarray(sigs, dtype=np.uint64)[order])
+    close = pop <= max_hamming
+    loser = np.tril(close, k=-1).any(axis=1)
+    return ids_s[loser].tolist()
+
+
 def simhash_dedup(
     ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
     small_input: bool = False,
@@ -458,13 +524,9 @@ def simhash_dedup(
         )
 
     def bucket_edges(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group.column(id_col).to_pylist(), group.column("_sig").to_pylist()))
-        ea, eb = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
-                    ea.append(rows[i][0])
-                    eb.append(rows[j][0])
+        ea, eb = _hamming_edges(
+            group.column(id_col).to_pylist(), group.column("_sig").to_pylist(), max_hamming
+        )
         return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
 
     bands_ds = ds.map_batches(add_bands, batch_format="pyarrow", zero_copy_batch=True)
@@ -484,11 +546,9 @@ def simhash_dedup(
             sigs = t.column("_sig").to_pylist()
             ea, eb = [], []
             for s0, s1 in zip(bounds[:-1], bounds[1:]):
-                for i in range(s0, s1):
-                    for j in range(i + 1, s1):
-                        if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
-                            ea.append(ids[i])
-                            eb.append(ids[j])
+                ba, bb = _hamming_edges(ids[s0:s1], sigs[s0:s1], max_hamming)
+                ea.extend(ba)
+                eb.extend(bb)
             return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
 
         edges_ds = _gather(bands_ds, all_buckets)
@@ -740,13 +800,9 @@ def simhash_dedup_pairwise(
         )
 
     def bucket_losers(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group.column(id_col).to_pylist(), group.column("_sig").to_pylist()))
-        out = []
-        for i in range(1, len(rows)):
-            for j in range(i):
-                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
-                    out.append(rows[i][0])
-                    break
+        out = _hamming_losers(
+            group.column(id_col).to_pylist(), group.column("_sig").to_pylist(), max_hamming
+        )
         return pa.table({id_col: pa.array(out, pa.int64())})
 
     bands_ds = ds.map_batches(add_bands, batch_format="pyarrow", zero_copy_batch=True)
@@ -766,11 +822,7 @@ def simhash_dedup_pairwise(
             sigs = t.column("_sig").to_pylist()
             out = []
             for s0, s1 in zip(bounds[:-1], bounds[1:]):
-                for i in range(s0 + 1, s1):
-                    for j in range(s0, i):
-                        if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
-                            out.append(ids[i])
-                            break
+                out.extend(_hamming_losers(ids[s0:s1], sigs[s0:s1], max_hamming))
             return pa.table({id_col: pa.array(out, pa.int64())})
 
         losers = _gather(bands_ds, all_buckets)

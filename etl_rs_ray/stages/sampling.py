@@ -61,10 +61,13 @@ def deterministic_sample(ds, id_col: str, frac: float, seed: str = "s0", hash: s
 
 
 def weighted_mixture(ds, source_col: str, id_col: str, fractions: dict[str, float],
-                     seed: str = "s0", default_frac: float = 0.0):
+                     seed: str = "s0", default_frac: float = 0.0, hash: str = "fast"):
     """Per-source sampling fractions in ONE pass: row kept iff its hash
     clears its source's threshold. Sources absent from ``fractions`` get
-    ``default_frac``."""
+    ``default_frac``. hash="fast" (default) is fully vectorized — one
+    stable_hash64 over the keys, per-row thresholds via a dictionary
+    index_in + take; hash="md5" is the SQL-mirrorable per-row path,
+    kept for oracle queries only."""
     for f in fractions.values():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f)
@@ -72,14 +75,30 @@ def weighted_mixture(ds, source_col: str, id_col: str, fractions: dict[str, floa
     def flt(b: pa.Table) -> pa.Table:
         import numpy as np
 
-        from .dedup import md5_u64
+        keys = pc.binary_join_element_wise(
+            pa.array([seed] * b.num_rows, pa.string()),
+            pc.cast(b.column(id_col).combine_chunks(), pa.string()),
+            ":",
+        )
+        # per-row threshold: map source -> index into a small threshold
+        # vector (null index = source not in the recipe -> default_frac)
+        known = list(fractions)
+        thresholds = np.array(
+            [min(int(fractions[s] * _U64), _U64 - 1) for s in known]
+            + [min(int(default_frac * _U64), _U64 - 1)],
+            dtype=np.uint64,
+        )
+        idx = pc.index_in(b.column(source_col), pa.array(known, pa.string()))
+        idx_np = idx.combine_chunks().fill_null(len(known)).to_numpy(zero_copy_only=False)
+        row_thresh = thresholds[idx_np]
+        if hash == "fast":
+            from ..sources.event_log import stable_hash64
 
-        srcs = b.column(source_col).to_pylist()
-        ids = pc.cast(b.column(id_col), pa.string()).to_pylist()
-        keep = [
-            md5_u64(f"{seed}:{i}") < int(fractions.get(s, default_frac) * _U64)
-            for s, i in zip(srcs, ids)
-        ]
-        return b.filter(pa.array(keep, pa.bool_()))
+            hashes = stable_hash64(keys)
+        else:
+            from .dedup import md5_u64
+
+            hashes = np.array([md5_u64(k) % _U64 for k in keys.to_pylist()], dtype=np.uint64)
+        return b.filter(pa.array(hashes < row_thresh))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)

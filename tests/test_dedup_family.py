@@ -241,3 +241,39 @@ def test_batch_kernels_match_scalar_reference():
         h = hl2[i]
         want = ((a2[:, None] * h[None, :] + b2[:, None]) % MINHASH_P31).min(axis=1)
         assert (sigs2[row] == want).all()
+
+
+def test_hamming_helpers_vectorized_matches_scalar():
+    """The numpy popcount-matrix path (n >= 16) must emit exactly the
+    edges/losers of the scalar pair loop."""
+    import numpy as np
+
+    from etl_rs_ray.stages.dedup import _hamming_edges, _hamming_losers
+
+    rng = np.random.default_rng(7)
+    for n in (2, 15, 16, 64, 200):
+        ids = rng.permutation(n * 3)[:n].astype(np.int64).tolist()
+        # cluster signatures so some pairs land within distance 3
+        base = rng.integers(0, 1 << 63, size=max(1, n // 5), dtype=np.uint64)
+        sigs = []
+        for i in range(n):
+            s = int(base[i % len(base)])
+            for _ in range(int(rng.integers(0, 5))):
+                s ^= 1 << int(rng.integers(0, 64))
+            sigs.append(s)
+
+        rows = sorted(zip(ids, sigs))
+        want_edges = [
+            (rows[i][0], rows[j][0])
+            for i in range(n)
+            for j in range(i + 1, n)
+            if bin(rows[i][1] ^ rows[j][1]).count("1") <= 3
+        ]
+        ea, eb = _hamming_edges(ids, sigs, 3)
+        assert list(zip(ea, eb)) == want_edges, n
+
+        want_losers = []
+        for i in range(1, n):
+            if any(bin(rows[i][1] ^ rows[j][1]).count("1") <= 3 for j in range(i)):
+                want_losers.append(rows[i][0])
+        assert _hamming_losers(ids, sigs, 3) == want_losers, n

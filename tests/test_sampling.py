@@ -74,3 +74,49 @@ def test_fast_hash_sampling_properties():
     assert small <= set(a)  # nesting
     assert deterministic_sample(ds, "doc_id", 1.0, hash="fast").count() == 4000
     assert deterministic_sample(ds, "doc_id", 0.0, hash="fast").count() == 0
+
+
+def test_weighted_mixture_fast_and_md5_paths_agree_statistically():
+    t = _docs(4000)
+    ds = ray.data.from_arrow(t).repartition(3)
+    recipe = {"web": 0.3, "books": 0.8}
+    fast = weighted_mixture(ds, "src", "doc_id", recipe, hash="fast").take_all()
+    md5 = weighted_mixture(ds, "src", "doc_id", recipe, hash="md5").take_all()
+
+    def rates(rows):
+        by = {}
+        for r in rows:
+            by[r["src"]] = by.get(r["src"], 0) + 1
+        n_books = sum(1 for i in range(4000) if i % 3 == 0)
+        return by.get("web", 0) / (4000 - n_books), by.get("books", 0) / n_books
+
+    fw, fb = rates(fast)
+    mw, mb = rates(md5)
+    assert abs(fw - 0.3) < 0.05 and abs(mw - 0.3) < 0.05
+    assert abs(fb - 0.8) < 0.05 and abs(mb - 0.8) < 0.05
+
+
+def test_weighted_mixture_md5_matches_rowwise_formula():
+    from etl_rs_ray.stages.dedup import md5_u64
+    from etl_rs_ray.stages.sampling import _U64
+
+    t = _docs(500)
+    ds = ray.data.from_arrow(t).repartition(2)
+    recipe = {"web": 0.4, "books": 0.9}
+    got = sorted(r["doc_id"] for r in weighted_mixture(
+        ds, "src", "doc_id", recipe, hash="md5").take_all())
+    want = sorted(
+        i for i in range(500)
+        if md5_u64(f"s0:{i}") < int(recipe["books" if i % 3 == 0 else "web"] * _U64)
+    )
+    assert got == want
+
+
+def test_weighted_mixture_layout_independent_fast():
+    t = _docs(3000)
+    recipe = {"web": 0.25, "books": 0.5}
+    a = sorted(r["doc_id"] for r in weighted_mixture(
+        ray.data.from_arrow(t).repartition(2), "src", "doc_id", recipe).take_all())
+    b = sorted(r["doc_id"] for r in weighted_mixture(
+        ray.data.from_arrow(t).repartition(9), "src", "doc_id", recipe).take_all())
+    assert a == b
