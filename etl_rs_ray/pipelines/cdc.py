@@ -157,6 +157,7 @@ def make_spiller(
     key_cols=DEFAULT_KEY,
     lsn_col="lsn",
     op_col="op",
+    rg_rows: int | None = None,
 ):
     """Map stage of the disk exchange (sort-based shuffle): per input
     block, LWW-precompact (the combiner — superseded events die before
@@ -177,6 +178,16 @@ def make_spiller(
     File names derive from the block's content (lsn range, row count,
     crc of lsns) so a retried task overwrites identical bytes —
     idempotent under Ray task retry."""
+
+    # cap spilled row groups at min(128k, fold threshold): the reducer's
+    # drain granularity is one row group, so an oversized group (one hot
+    # xpart owning a whole 500k-row block) would blow past the fold
+    # threshold in a single indivisible chunk. Resolved on the DRIVER
+    # (make_spiller runs there) so test env overrides reach the workers
+    # via the closure.
+    if rg_rows is None:
+        fold_env = int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024))
+        rg_rows = max(1024, min(128 * 1024, fold_env))
 
     empty = pa.table(
         {
@@ -237,9 +248,11 @@ def make_spiller(
         out_x, out_n = [], []
         with pq.ParquetWriter(tmp, batch.schema, compression=codec, use_dictionary=False) as writer:
             for s, e in zip(starts.tolist(), ends.tolist()):
-                writer.write_table(batch.slice(s, e - s), row_group_size=e - s)
-                out_x.append(int(xs[s]))
-                out_n.append(e - s)
+                for off in range(s, e, rg_rows):
+                    sz = min(rg_rows, e - off)
+                    writer.write_table(batch.slice(off, sz), row_group_size=sz)
+                    out_x.append(int(xs[s]))
+                    out_n.append(sz)
         os.replace(tmp, fpath)
         raw_col = [raw_rows] + [0] * (len(out_x) - 1)  # attribute once per batch
         return pa.table(
@@ -264,6 +277,7 @@ def _merge_xpart_task(
     lsn_col="lsn",
     op_col="op",
     delta: bool = False,
+    fold_rows: int | None = None,
 ) -> list[dict]:
     """Reduce side of the disk exchange (plain Ray task body): read one
     exchange partition's row groups out of the spilled block files (the
@@ -288,17 +302,29 @@ def _merge_xpart_task(
     ``ETL_RS_RAY_FOLD_ROWS`` overrides the threshold (tests)."""
     from ..state.schema_evolution import unify_tables
 
-    fold_rows = int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024))
+    if fold_rows is None:
+        # NB: reading the env HERE only works when the worker inherited it
+        # (shell-level export). Tests/monkeypatch must pass fold_rows via
+        # replay(), which resolves the env on the DRIVER.
+        fold_rows = int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024))
     acc: dict[int, list[pa.Table]] = {}
     pending: dict[int, int] = {}
     events_in: dict[int, int] = {}
+    # heap bound evidence: max rows resident at once = accumulated winners
+    # + the raw batch being drained. The skew drill asserts this stays
+    # O(output + fold_rows), never O(partition events).
+    acc_total = 0
+    peak_rows = 0
 
     def fold(b: int) -> pa.Table:
+        nonlocal acc_total
         tabs = acc[b]
+        before = sum(x.num_rows for x in tabs)
         t = tabs[0] if len(tabs) == 1 else unify_tables(tabs)
         t = lww_reduce(t, key_cols, lsn_col, op_col)
         acc[b] = [t]
         pending[b] = 0
+        acc_total += t.num_rows - before
         return t
 
     raw: list[pa.Table] = []
@@ -308,10 +334,20 @@ def _merge_xpart_task(
         # single-pass split of the accumulated raw spill by bucket: a
         # STABLE argsort (LWW ties are broken by delivery order — see
         # lww_reduce) then contiguous zero-copy slices at run boundaries
-        nonlocal raw, raw_rows
+        nonlocal raw, raw_rows, acc_total, peak_rows
         if not raw:
             return
         t = raw[0] if len(raw) == 1 else unify_tables(raw)
+        peak_rows = max(peak_rows, t.num_rows + acc_total)
+        if os.environ.get("ETL_RS_RAY_FOLD_TRACE"):
+            import sys
+
+            print(
+                f"FOLD_TRACE drain t={t.num_rows} acc_total={acc_total} "
+                f"pend={dict(sorted(pending.items()))}",
+                file=sys.stderr,
+                flush=True,
+            )
         raw, raw_rows = [], 0
         buckets = t.column("bucket").combine_chunks().to_numpy()
         order = np.argsort(buckets, kind="stable")
@@ -328,6 +364,7 @@ def _merge_xpart_task(
             acc.setdefault(b, []).append(part)
             events_in[b] = events_in.get(b, 0) + part.num_rows
             pending[b] = pending.get(b, 0) + part.num_rows
+            acc_total += part.num_rows
             if pending[b] >= fold_rows:
                 fold(b)
 
@@ -376,6 +413,7 @@ def _merge_xpart_task(
                 "applied_i": stats.ops.get("I", 0),
                 "applied_u": stats.ops.get("U", 0),
                 "applied_d": stats.ops.get("D", 0),
+                "peak_fold_rows": peak_rows,
             }
         )
     return entries
@@ -511,6 +549,7 @@ def replay(
             merge_task.remote(
                 shuffle_dir, plans[x], bucket_files, staging,
                 delta=(mode == "delta"),
+                fold_rows=int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024)),
             )
             for x in sorted(plans)
         ]
@@ -580,6 +619,9 @@ def replay(
         "buckets_touched": len(written),
         "wall_seconds": round(time.perf_counter() - t0, 3),
         "phase_seconds": phase_secs,
+        # max rows any merge task held at once (disk-exchange path only;
+        # 0 under the hash-shuffle path, whose merger has no fold loop)
+        "peak_fold_rows": max((int(e.get("peak_fold_rows", 0)) for e in entries), default=0),
     }
     lineage = {
         "segments": [s.path for s in segs],

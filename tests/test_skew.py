@@ -220,3 +220,58 @@ def test_session_windows_hot_user():
     assert len(hot) == 3
     assert all(r["n_events"] == 600 and r["sum_value"] == 600.0 for r in hot)
     assert sum(1 for r in out if r["uid"] != 7) == 20
+
+
+def test_5m_hot_key_replay_bounded_heap(tmp_path, monkeypatch):
+    """The depth drill: 5M events, 50% on ONE key, forced through a
+    SINGLE exchange partition with a capped fold threshold. The merge
+    task's resident row count (peak_fold_rows) must stay O(distinct keys
+    + fold_rows) — never O(window events): the 2.5M hot-key redeliveries
+    stream through the incremental LWW fold instead of accumulating."""
+    import pyarrow.compute as pc_
+
+    n = 5_000_000
+    n_hot = n // 2
+    n_cold_keys = 200_000  # cold side repeats too: output stays << window
+    fold_rows = 65_536
+    monkeypatch.setenv("ETL_RS_RAY_FOLD_ROWS", str(fold_rows))
+
+    # vectorized event construction (5M pylist dicts would dominate the test)
+    lsn = pa.array(np.arange(n, dtype=np.int64))
+    hot = np.arange(n) < n_hot
+    op = pa.array(np.where(hot, "U", "I"))
+    repo = pa.array(np.where(hot, "hot/repo", "cold/repo"))
+    cold_ids = np.where(hot, 0, (np.arange(n) - n_hot) % n_cold_keys)
+    path = pa.array(np.where(hot, "src/hot.py", np.char.add("src/f", cold_ids.astype(str))))
+    commit = pa.array(np.where(hot, "h" * 40, np.char.zfill(cold_ids.astype(str), 40)))
+    lang = pa.array(np.full(n, "py"))
+    content = pa.array(np.char.add("v", np.arange(n).astype(str)))
+    events = pa.table(
+        {"lsn": lsn, "op": op, "repo": repo, "path": path,
+         "commit": commit, "lang": lang, "content": content},
+        schema=EVENT_SCHEMA,
+    )
+
+    log_dir = str(tmp_path / "log")
+    write_event_log(events, log_dir, num_partitions=4, events_per_segment=1_000_000)
+    table_dir = str(tmp_path / "table")
+    res = replay(log_dir, table_dir, num_buckets=8, shuffle_partitions=1)
+    assert res.committed
+
+    distinct_keys = n_cold_keys + 1
+    assert res.rows_total == distinct_keys
+    snap = LakeTable(table_dir).snapshot_table()
+    hot_rows = snap.filter(pc_.equal(snap.column("repo"), "hot/repo"))
+    assert hot_rows.num_rows == 1
+    assert hot_rows.column("lsn")[0].as_py() == n_hot - 1
+    assert hot_rows.column("content")[0].as_py() == f"v{n_hot - 1}"
+    assert res.metrics["superseded_dropped"] == n - distinct_keys
+
+    peak = res.metrics["peak_fold_rows"]
+    assert peak > 0
+    # bound: winners accumulated so far + one raw drain batch (+ slack for
+    # per-bucket pending below the threshold). The pre-fix behavior —
+    # whole-partition accumulation — would put peak near n.
+    bound = distinct_keys + 2 * fold_rows + 8 * fold_rows  # 8 buckets pending
+    assert peak <= bound, f"merge task held {peak} rows (bound {bound})"
+    assert peak < n // 5
