@@ -447,6 +447,31 @@ def docs_minhash_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (cross-corpus LSH anti-join): documents
+    with doc_id % 17 == 0 act as the held-out benchmark set; every other
+    document sharing a minhash band bucket with any of them is removed
+    from the training corpus. Same perms31 signature pipeline as
+    docs_minhash_dedup, so the SQL oracle recomputes the removed set
+    exactly (stages/dedup.py::decontaminate)."""
+    from ..stages.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(keep_ref: bool):
+        def flt(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 17 == 0) if keep_ref else (ids % 17 != 0)
+            return b.filter(pa.array(mask))
+
+        return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = decontaminate(
+        _split(False), _split(True), "text", "doc_id", small_input=_docs_small(sf_dir)
+    )
+    return out.select_columns(["doc_id"])
+
+
 def docs_minhash_cc_dedup(sf_dir: str):
     """Transitive MinHash LSH dedup (connected components over the LSH
     bucket-star candidate edges) — SQL-oracle-checked: the DuckDB side
@@ -920,6 +945,7 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "embeddings_topk": embeddings_topk,
     "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_decontaminate": docs_decontaminate,
     "docs_lang_quality": docs_lang_quality,
     "events_type_stats": events_type_stats,
     "supplier_nation_region": supplier_nation_region,
@@ -1231,6 +1257,31 @@ def _simhash_cc_sql() -> str:
 
 ORACLE_SQL["docs_lang_quality"] = _lang_quality_sql()
 ORACLE_SQL["docs_minhash_dedup"] = _minhash_sql()
+
+
+def _decontaminate_sql() -> str:
+    """Cross-corpus variant of _minhash_sql: same signature pipeline, but
+    the removal rule is 'corpus doc shares a (band, sig) bucket with a
+    reference doc' (reference = doc_id % 17 == 0)."""
+    base = _minhash_sql()
+    head, _sep, _tail = base.partition("), buckets AS (")
+    return (
+        head
+        + """), corp AS (
+      SELECT doc_id, band, sig FROM bands WHERE doc_id % 17 <> 0
+    ), refb AS (
+      SELECT DISTINCT band, sig FROM bands WHERE doc_id % 17 = 0
+    ), removed AS (
+      SELECT DISTINCT corp.doc_id
+      FROM corp JOIN refb ON corp.band = refb.band AND corp.sig = refb.sig
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM removed)
+    """
+    )
+
+
+ORACLE_SQL["docs_decontaminate"] = _decontaminate_sql()
 ORACLE_SQL["docs_simhash_dedup"] = _simhash_sql()
 # transitive CC variants: survivors after connected components over the
 # candidate graph, computed in SQL with a recursive reachability closure

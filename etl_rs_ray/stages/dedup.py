@@ -950,3 +950,102 @@ def embedding_dedup(
     ).map_groups(bucket_edges, batch_format="pyarrow")
     remove = _removal_set([(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in edges_ds.take_all()])
     return _filter_removed(ds, id_col, remove) if remove else ds
+
+
+# --- cross-corpus decontamination --------------------------------------------
+
+
+def decontaminate(
+    corpus,
+    reference,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    ref_id_col: str | None = None,
+    num_perm: int = 64,
+    bands: int = 8,
+    small_input: bool = False,
+):
+    """Benchmark decontamination: remove from ``corpus`` every document
+    that shares a minhash LSH band bucket with ANY ``reference`` document
+    (the training-set hygiene step: strip near-duplicates of eval/bench
+    data before training). Cross-corpus variant of minhash_dedup_pairwise
+    — same perms31 word-trigram signature pipeline, so a SQL oracle
+    recomputes the removed set exactly.
+
+    Scale shape: both corpora band in one map pass each (no cross join);
+    a union + ONE hash-shuffle groupby on (band, sig) finds buckets
+    containing a reference doc — per-bucket work is a filter, O(bucket),
+    so a hot bucket (boilerplate text) cannot go quadratic. Survivors
+    come from a hash-partitioned ANTI JOIN (contaminated ids stay a
+    Dataset); ``small_input=True`` gathers the tiny bands table into one
+    task and broadcasts the removal set instead.
+    """
+    ref_text_col = ref_text_col or text_col
+    ref_id_col = ref_id_col or id_col
+
+    corp_bands = corpus.map_batches(
+        make_minhash_bands_pairwise(text_col, id_col, num_perm, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        lambda b: b.append_column("side", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _ref_rename(b: pa.Table) -> pa.Table:
+        if ref_id_col != id_col:
+            b = b.rename_columns([id_col if c == ref_id_col else c for c in b.column_names])
+        return b.append_column("side", pa.array(np.ones(b.num_rows, dtype=np.int8)))
+
+    ref_bands = reference.map_batches(
+        make_minhash_bands_pairwise(ref_text_col, ref_id_col, num_perm, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(_ref_rename, batch_format="pyarrow", zero_copy_batch=True)
+
+    all_bands = corp_bands.union(ref_bands)
+
+    def bucket_contaminated(group: pa.Table) -> pa.Table:
+        sides = group.column("side")
+        has_ref = pc.any(pc.equal(sides, 1)).as_py()
+        if not has_ref:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        hit = group.filter(pc.equal(sides, 0)).column(id_col)
+        return pa.table({id_col: pc.unique(hit.combine_chunks()).cast(pa.int64())})
+
+    if small_input:
+        def all_buckets(batch: pa.Table) -> pa.Table:
+            # one task: every (band, sig) bucket that contains a reference
+            # row contaminates its corpus rows
+            ref_keys = batch.filter(pc.equal(batch.column("side"), 1)).select(["band", "sig"])
+            if ref_keys.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64())})
+            key = pc.binary_join_element_wise(
+                pc.cast(batch.column("band"), pa.string()), batch.column("sig"), "|"
+            )
+            ref_key = pc.binary_join_element_wise(
+                pc.cast(ref_keys.column("band"), pa.string()), ref_keys.column("sig"), "|"
+            )
+            in_ref = pc.is_in(key, value_set=pc.unique(ref_key.combine_chunks()))
+            hit = batch.filter(pc.and_(in_ref, pc.equal(batch.column("side"), 0)))
+            return pa.table(
+                {id_col: pc.unique(hit.column(id_col).combine_chunks()).cast(pa.int64())}
+            )
+
+        remove = {r[id_col] for r in _gather(all_bands, all_buckets).take_all()}
+        return _filter_removed(corpus, id_col, remove) if remove else corpus
+
+    contaminated = (
+        _hash_shuffle(all_bands)
+        .groupby(["band", "sig"], num_partitions=_group_partitions())
+        .map_groups(bucket_contaminated, batch_format="pyarrow")
+    )
+    return _hash_shuffle(corpus).join(
+        contaminated,
+        join_type="left_anti",
+        num_partitions=_group_partitions(8),
+        on=(id_col,),
+        right_on=(id_col,),
+    )

@@ -277,3 +277,63 @@ def test_hamming_helpers_vectorized_matches_scalar():
             if any(bin(rows[i][1] ^ rows[j][1]).count("1") <= 3 for j in range(i)):
                 want_losers.append(rows[i][0])
         assert _hamming_losers(ids, sigs, 3) == want_losers, n
+
+
+def test_decontaminate_cross_corpus_paths_agree():
+    """Corpus docs near-duplicating a reference ('benchmark') doc are
+    removed; unrelated docs survive; the gathered small-input path and the
+    distributed groupby + anti-join path emit the same survivors."""
+    import ray.data
+
+    from etl_rs_ray.stages.dedup import decontaminate
+
+    bench = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "machine learning benchmarks must never leak into the training corpus",
+    ]
+    corpus_rows = [
+        # near-dups of benchmark docs (one-word edits) -> removed
+        {"doc_id": 1, "text": bench[0].replace("lazy", "sleepy")},
+        {"doc_id": 2, "text": bench[1].replace("never", "not ever")},
+        # exact copy -> removed
+        {"doc_id": 3, "text": bench[0]},
+        # unrelated -> survive
+        {"doc_id": 4, "text": "completely different content about distributed data processing engines"},
+        {"doc_id": 5, "text": "ray datasets stream blocks through the object store with backpressure"},
+        # null text -> no bands -> survives
+        {"doc_id": 6, "text": None},
+    ]
+    ref_rows = [{"doc_id": 100 + i, "text": t} for i, t in enumerate(bench)]
+    corpus = ray.data.from_items(corpus_rows).repartition(3)
+    reference = ray.data.from_items(ref_rows).repartition(2)
+
+    small = sorted(
+        r["doc_id"] for r in decontaminate(corpus, reference, small_input=True).take_all()
+    )
+    dist = sorted(
+        r["doc_id"] for r in decontaminate(corpus, reference, small_input=False).take_all()
+    )
+    assert small == dist
+    assert 4 in small and 5 in small and 6 in small
+    assert 3 not in small  # exact copy removed
+    assert 1 not in small and 2 not in small  # near-dups removed
+
+
+def test_decontaminate_distinct_ref_columns():
+    """Reference corpus with different column names maps through."""
+    import ray.data
+
+    from etl_rs_ray.stages.dedup import decontaminate
+
+    corpus = ray.data.from_items(
+        [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+         {"doc_id": 2, "text": "totally unrelated words in this particular document here"}]
+    )
+    reference = ray.data.from_items(
+        [{"bench_id": 9, "content": "alpha beta gamma delta epsilon zeta eta theta"}]
+    )
+    out = sorted(r["doc_id"] for r in decontaminate(
+        corpus, reference, "text", "doc_id",
+        ref_text_col="content", ref_id_col="bench_id", small_input=True,
+    ).take_all())
+    assert out == [2]
