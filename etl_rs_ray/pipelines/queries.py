@@ -928,6 +928,20 @@ def docs_deterministic_sample(sf_dir: str):
     return deterministic_sample(ds, "doc_id", frac=0.3, seed="s0")
 
 
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def docs_split(sf_dir: str):
+    """Deterministic train/val/test assignment by hash of (seed, doc_id):
+    disjoint, total, layout-independent, zero shuffle. The oracle
+    recomputes every row's split with md5_number_lower and the same
+    cumulative cuts (stages/sampling.py::assign_split)."""
+    from ..stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return assign_split(ds, "doc_id", _SPLITS, seed="s0", hash="md5")
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -963,6 +977,7 @@ QUERIES = {
     "embeddings_cosine_dedup": embeddings_cosine_dedup,
     "orders_topk_per_customer": orders_topk_per_customer,
     "docs_deterministic_sample": docs_deterministic_sample,
+    "docs_split": docs_split,
 }
 
 ORACLE_SQL = {
@@ -1384,6 +1399,19 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
     SELECT doc_id FROM documents
     WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR))
           < CAST({int(0.3 * (1 << 64))} AS UHUGEINT)
+"""
+# same cumulative cuts as assign_split builds from _SPLITS (boundary hash
+# == cut belongs to the earlier interval on both sides)
+_SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
+_SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["docs_split"] = f"""
+    SELECT doc_id,
+           CASE WHEN h <= CAST({_SPLIT_C0} AS UHUGEINT) THEN 'train'
+                WHEN h <= CAST({_SPLIT_C1} AS UHUGEINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents) t
 """
 ORACLE_SQL["events_heavy_hitters"] = """
     SELECT user_id, count(*) AS n

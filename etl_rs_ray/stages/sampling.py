@@ -102,3 +102,51 @@ def weighted_mixture(ds, source_col: str, id_col: str, fractions: dict[str, floa
         return b.filter(pa.array(hashes < row_thresh))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_split(ds, id_col: str, splits: "dict[str, float]", seed: str = "s0",
+                 hash: str = "fast", split_col: str = "split"):
+    """Deterministic train/val/test assignment: each row's hash of
+    (seed, id) falls into one cumulative-fraction interval, so the split
+    is reproducible across runs and cluster layouts, disjoint, total,
+    and zero-shuffle (one map pass appends ``split_col``).
+
+    ``splits`` maps name -> fraction; fractions must sum to 1 (±1e-9).
+    Interval order follows the dict's insertion order, so
+    {"train": .9, "val": .05, "test": .05} puts train first — and
+    shrinking a later split never reassigns rows between earlier ones
+    (threshold sampling's nesting property). hash="md5" mirrors DuckDB
+    md5_number_lower for SQL oracles; hash="fast" is the vectorized
+    production path."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = list(splits)
+    cuts = []
+    acc = 0.0
+    for name in names:
+        acc += splits[name]
+        cuts.append(min(int(acc * _U64), _U64 - 1))
+    cuts[-1] = _U64 - 1  # float rounding must not leave a row unassigned
+
+    def tag(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = pc.binary_join_element_wise(
+            pa.array([seed] * b.num_rows, pa.string()),
+            pc.cast(b.column(id_col).combine_chunks(), pa.string()),
+            ":",
+        )
+        if hash == "fast":
+            from ..sources.event_log import stable_hash64
+
+            hashes = stable_hash64(keys)
+        else:
+            from .dedup import md5_u64
+
+            hashes = np.array([md5_u64(k) % _U64 for k in keys.to_pylist()], dtype=np.uint64)
+        idx = np.searchsorted(np.array(cuts, dtype=np.uint64), hashes, side="left")
+        labels = np.array(names, dtype=object)[idx]
+        return b.append_column(split_col, pa.array(labels.tolist(), pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

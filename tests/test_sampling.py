@@ -120,3 +120,44 @@ def test_weighted_mixture_layout_independent_fast():
     b = sorted(r["doc_id"] for r in weighted_mixture(
         ray.data.from_arrow(t).repartition(9), "src", "doc_id", recipe).take_all())
     assert a == b
+
+
+def test_assign_split_total_disjoint_layout_independent():
+    from etl_rs_ray.stages.sampling import assign_split
+
+    t = _docs(5000)
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in assign_split(
+        ray.data.from_arrow(t).repartition(2), "doc_id", splits).take_all()}
+    b = {r["doc_id"]: r["split"] for r in assign_split(
+        ray.data.from_arrow(t).repartition(9), "doc_id", splits).take_all()}
+    assert a == b  # layout-independent
+    assert len(a) == 5000  # total: every row assigned exactly once
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+
+
+def test_assign_split_md5_matches_rowwise_formula():
+    from etl_rs_ray.stages.dedup import md5_u64
+    from etl_rs_ray.stages.sampling import _U64, assign_split
+
+    t = _docs(400)
+    got = {r["doc_id"]: r["split"] for r in assign_split(
+        ray.data.from_arrow(t), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        hash="md5").take_all()}
+    c0, c1 = int(0.9 * _U64), int(0.95 * _U64)
+    for i in range(400):
+        h = md5_u64(f"s0:{i}")
+        want = "train" if h <= c0 else ("val" if h <= c1 else "test")
+        assert got[i] == want, i
+
+
+def test_assign_split_validates_fractions():
+    from etl_rs_ray.stages.sampling import assign_split
+
+    ds = ray.data.from_arrow(_docs(10))
+    with pytest.raises(ValueError):
+        assign_split(ds, "doc_id", {"train": 0.9, "val": 0.2})
