@@ -928,6 +928,50 @@ def docs_deterministic_sample(sf_dir: str):
     return deterministic_sample(ds, "doc_id", frac=0.3, seed="s0")
 
 
+def embeddings_group_centroids(sf_dir: str):
+    """Per-group mean embedding (group = vec_id % 10): a vectorized
+    list-column aggregation — per-batch reduceat partials (one (sum, n)
+    row per group per batch), small groupby fold, micro-quantized
+    centroids so the parallel fold order can't flip the driver's value
+    hash (stages/ann.py::group_centroids)."""
+    from ..stages.ann import group_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def add_group(b: pa.Table) -> pa.Table:
+        g = pc.cast(
+            pc.subtract(
+                b.column("vec_id"),
+                pc.multiply(pc.divide(b.column("vec_id"), 10), 10),
+            ),
+            pa.int64(),
+        )
+        return b.append_column("g", g)
+
+    ds = ds.map_batches(add_group, batch_format="pyarrow", zero_copy_batch=True)
+    out = group_centroids(ds, "g", "embedding", quantize=1e6)
+
+    # flatten list<int64> centroids to (g, i, avg_q, n_vectors) scalar rows
+    # for the driver's value-hash compare (lists stay the operator's
+    # native output shape)
+    def explode(b: pa.Table) -> pa.Table:
+        cent = b.column("centroid").combine_chunks()
+        offs = cent.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        idx = np.repeat(np.arange(b.num_rows), widths)
+        pos = np.concatenate([np.arange(1, w + 1) for w in widths]) if b.num_rows else np.array([], np.int64)
+        return pa.table(
+            {
+                "g": b.column("g").take(pa.array(idx)),
+                "i": pa.array(pos.astype(np.int64)),
+                "avg_q": cent.flatten(),
+                "n_vectors": b.column("n_vectors").take(pa.array(idx)),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -978,6 +1022,7 @@ QUERIES = {
     "orders_topk_per_customer": orders_topk_per_customer,
     "docs_deterministic_sample": docs_deterministic_sample,
     "docs_split": docs_split,
+    "embeddings_group_centroids": embeddings_group_centroids,
 }
 
 ORACLE_SQL = {
@@ -1404,6 +1449,15 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["embeddings_group_centroids"] = """
+    SELECT CAST(vec_id % 10 AS BIGINT) AS g, CAST(i AS BIGINT) AS i,
+           CAST(round(avg(x) * 1000000) AS BIGINT) AS avg_q,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY g, i
+"""
 ORACLE_SQL["docs_split"] = f"""
     SELECT doc_id,
            CASE WHEN h <= CAST({_SPLIT_C0} AS UHUGEINT) THEN 'train'

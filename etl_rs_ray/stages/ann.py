@@ -17,6 +17,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -287,3 +288,84 @@ def ivf_topk(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
     return _merge_topk(partials, k, id_col)
+
+
+def group_centroids(
+    ds,
+    group_col: str,
+    emb_col: str = "embedding",
+    quantize: float | None = None,
+):
+    """Per-group mean embedding (cluster centroids / per-source embedding
+    profiles) as a vectorized list-column aggregation: each batch
+    stable-sorts by group and `np.add.reduceat`s the (n, dim) matrix into
+    one partial (group, sum_vec, n) row per group — O(dim) bytes per
+    group move through the shuffle, never the vectors — then a small
+    groupby folds partials and divides.
+
+    ``quantize``: emit centroids as list<int64> of round(x * quantize)
+    (micro-units) instead of float64 — parallel fold order can flip the
+    last ulp of a float sum, so hash-checked consumers (SQL oracles)
+    need the integer form.
+    Returns (group_col, centroid, n_vectors)."""
+    from .dedup import _group_partitions, _hash_shuffle
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], batch.schema.field(group_col).type),
+                    "_sum": pa.array([], pa.list_(pa.float64())),
+                    "_n": pa.array([], pa.int64()),
+                }
+            )
+        X = _as_matrix(batch.column(emb_col)).astype(np.float64)
+        g = batch.column(group_col).combine_chunks()
+        order = pc.sort_indices(g)
+        onp = order.to_numpy(zero_copy_only=False)
+        gs = g.take(order)
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs.slice(1).to_numpy(zero_copy_only=False) != gs.slice(
+            0, len(gs) - 1
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(X[onp], starts, axis=0)
+        ends = np.append(starts[1:], len(gs))
+        return pa.table(
+            {
+                group_col: gs.take(pa.array(starts)),
+                "_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                "_n": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        sums = _as_matrix(group.column("_sum")).astype(np.float64)
+        n = int(pc.sum(group.column("_n")).as_py())
+        centroid = sums.sum(axis=0) / n
+        if quantize is not None:
+            cent_arr = pa.array(
+                [np.round(centroid * quantize).astype(np.int64)], pa.list_(pa.int64())
+            )
+        else:
+            cent_arr = pa.array([centroid], pa.list_(pa.float64()))
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "centroid": cent_arr,
+                "n_vectors": pa.array([n], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    folded = (
+        _hash_shuffle(partials)
+        .groupby(group_col, num_partitions=_group_partitions(8))
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    # hash-shuffled stages can emit zero-row schema-less blocks that break
+    # downstream concat/union; the folded output is tiny (one row per
+    # group), so stripping them via materialization is free
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(folded)

@@ -242,3 +242,34 @@ def test_media_pipeline_real_payloads():
         strict_img(
             pa_.table({"payload": pa_.array([b"\x89PNG fake"], pa_.binary())})
         )
+
+
+def test_group_centroids_matches_numpy_oracle():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.ann import group_centroids
+
+    rng = np.random.default_rng(11)
+    n, dim = 500, 8
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    g = (np.arange(n) % 7).astype(np.int64)
+    t = pa.table({
+        "g": pa.array(g),
+        "embedding": pa.array(list(X.astype(np.float64)), pa.list_(pa.float64())),
+    })
+    out = group_centroids(ray.data.from_arrow(t).repartition(5), "g").take_all()
+    assert len(out) == 7
+    for r in out:
+        want = X[g == r["g"]].astype(np.float64).mean(axis=0)
+        got = np.array(r["centroid"])
+        assert r["n_vectors"] == int((g == r["g"]).sum())
+        assert np.allclose(got, want, atol=1e-9)
+
+    # quantized output is layout-independent bit-for-bit
+    a = {r["g"]: r["centroid"] for r in group_centroids(
+        ray.data.from_arrow(t).repartition(3), "g", quantize=1e6).take_all()}
+    b = {r["g"]: r["centroid"] for r in group_centroids(
+        ray.data.from_arrow(t).repartition(11), "g", quantize=1e6).take_all()}
+    assert a == b
