@@ -928,6 +928,18 @@ def docs_deterministic_sample(sf_dir: str):
     return deterministic_sample(ds, "doc_id", frac=0.3, seed="s0")
 
 
+def docs_top_tokens(sf_dir: str):
+    """Vocabulary mining: exact top-25 corpus tokens via the two-pass
+    Misra-Gries heavy-hitter stage over a lazily exploded token stream —
+    no token shuffle, O(m) driver state (stages/text_stats.py::
+    top_ngrams). Boundary counts are distinct in the seeded testdata, so
+    the exact-top-k output is hash-stable."""
+    from ..stages.text_stats import top_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return top_ngrams(ds, "text", n=1, k=25)
+
+
 def embeddings_group_centroids(sf_dir: str):
     """Per-group mean embedding (group = vec_id % 10): a vectorized
     list-column aggregation — per-batch reduceat partials (one (sum, n)
@@ -1023,6 +1035,7 @@ QUERIES = {
     "docs_deterministic_sample": docs_deterministic_sample,
     "docs_split": docs_split,
     "embeddings_group_centroids": embeddings_group_centroids,
+    "docs_top_tokens": docs_top_tokens,
 }
 
 ORACLE_SQL = {
@@ -1449,6 +1462,13 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["docs_top_tokens"] = """
+    SELECT key, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS key
+      FROM documents WHERE text IS NOT NULL
+    ) GROUP BY key
+    ORDER BY n DESC, key LIMIT 25
+"""
 ORACLE_SQL["embeddings_group_centroids"] = """
     SELECT CAST(vec_id % 10 AS BIGINT) AS g, CAST(i AS BIGINT) AS i,
            CAST(round(avg(x) * 1000000) AS BIGINT) AS avg_q,

@@ -14,6 +14,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import re
+
+_WS_RE = re.compile(r"\S+")
+
 # --- token counting ----------------------------------------------------------
 
 
@@ -202,3 +206,41 @@ def winnow_fingerprints_batch(
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
     fps = winnow_fingerprints_batch(batch.column(text_col).to_pylist())
     return batch.append_column(out_col, pa.array(fps, pa.list_(pa.int64())))
+
+
+def explode_ngrams(text_col: str = "text", n: int = 1, out_col: str = "token"):
+    """map_batches fn: one row per word n-gram occurrence (duplicates
+    kept — downstream counts are frequencies). Tokens come from ONE
+    regexp pass over the batch; n-grams are built by zipping the token
+    list against its shifts, no per-token Python beyond the join."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            if t is None:
+                continue
+            toks = _WS_RE.findall(t.lower())
+            if n == 1:
+                out.extend(toks)
+            elif len(toks) >= n:
+                out.extend(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+        return pa.table({out_col: pa.array(out, pa.string())})
+
+    return fn
+
+
+def top_ngrams(ds, text_col: str = "text", n: int = 1, k: int = 20, m: int | None = None):
+    """Vocabulary mining: the EXACT k most frequent word n-grams in the
+    corpus, via the two-pass Misra-Gries heavy-hitter stage (no token
+    shuffle; token frequencies are Zipfian, exactly the distribution the
+    MG guarantee wants). The exploded token stream stays lazy — both
+    passes re-stream it rather than materializing the token multiset.
+    Output: (key, n) sorted by count desc, token asc."""
+    from .heavy import heavy_hitters
+
+    toks = ds.map_batches(
+        explode_ngrams(text_col, n), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return heavy_hitters(toks, "token", k=k, m=m)

@@ -52,3 +52,25 @@ def test_heavy_hitters_empty():
     t = pa.table({"k": pa.array([], pa.string())})
     out = heavy_hitters(ray.data.from_arrow(t), "k", k=3)
     assert out.num_rows == 0
+
+
+def test_top_ngrams_unigrams_and_trigrams():
+    import ray.data
+
+    from etl_rs_ray.stages.text_stats import top_ngrams
+
+    docs = (
+        ["alpha beta gamma"] * 30
+        + ["beta gamma delta"] * 20
+        + ["gamma delta epsilon"] * 10
+        + [None]
+    )
+    ds = ray.data.from_items([{"text": t} for t in docs]).repartition(4)
+    uni = top_ngrams(ds, "text", n=1, k=3).to_pylist()
+    # counts: gamma 60, beta 50, alpha 30, delta 30 (tie broken key asc)
+    assert [(r["key"], r["n"]) for r in uni] == [("gamma", 60), ("beta", 50), ("alpha", 30)]
+    tri = top_ngrams(ds, "text", n=3, k=2).to_pylist()
+    assert [(r["key"], r["n"]) for r in tri] == [
+        ("alpha beta gamma", 30),
+        ("beta gamma delta", 20),
+    ]
