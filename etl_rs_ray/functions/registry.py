@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -113,10 +114,61 @@ _UPPER_FOLDS = [
 ]
 
 
-def _fold_upper_accents(arr: pa.Array) -> pa.Array:
+def _fold_upper_accents_regex(arr: pa.Array) -> pa.Array:
     for chars, base in _UPPER_FOLDS:
         arr = pc.replace_substring_regex(arr, pattern=f"[{chars}]", replacement=base)
     return arr
+
+
+# Byte-level fold: every mapped char is U+00C0..U+00DC, whose UTF-8 form is
+# 0xC3 followed by 0x80 + (cp - 0xC0). In valid UTF-8, 0xC3 occurs ONLY as
+# that lead byte, so one LUT pass over the value buffer replaces the 7
+# regex passes above. (Hypothesis-cross-checked against the scalar fold in
+# tests/test_vectorized_kernels.py.)
+_ACCENT_LUT = np.zeros(256, dtype=np.uint8)
+for _chars, _base in _UPPER_FOLDS:
+    for _ch in _chars:
+        _ACCENT_LUT[0x80 + (ord(_ch) - 0xC0)] = ord(_base)
+
+
+def _fold_upper_accents(arr: pa.Array) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(t):
+        off_dtype = np.int64
+    else:
+        return _fold_upper_accents_regex(arr)
+    if arr.offset != 0 or len(arr) == 0:
+        return _fold_upper_accents_regex(arr)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[: len(arr) + 1]
+    if bufs[2] is None:
+        return arr  # all rows null/empty
+    d = np.frombuffer(bufs[2], dtype=np.uint8)[int(offs[0]) : int(offs[-1])]
+    offs = offs - offs[0]  # hit indices below are relative to the d slice
+    lead = np.flatnonzero(d[:-1] == 0xC3)
+    if len(lead) == 0:
+        return arr
+    rep = _ACCENT_LUT[d[lead + 1]]
+    hit = lead[rep != 0]
+    if len(hit) == 0:
+        return arr
+    d = d.copy()
+    d[hit + 1] = _ACCENT_LUT[d[hit + 1]]
+    keep = np.ones(len(d), dtype=bool)
+    keep[hit] = False
+    new_data = np.ascontiguousarray(d[keep])
+    # each deleted lead byte before an offset shifts it left by one
+    new_offs = (offs - np.searchsorted(hit, offs, side="left")).astype(off_dtype)
+    return pa.Array.from_buffers(
+        t,
+        len(arr),
+        [bufs[0], pa.py_buffer(new_offs.tobytes()), pa.py_buffer(new_data.tobytes())],
+        null_count=arr.null_count,
+    )
 
 
 # utf8_upper uses simple case mapping (ß -> U+1E9E, ligatures unchanged);
@@ -125,9 +177,16 @@ def _fold_upper_accents(arr: pa.Array) -> pa.Array:
 _FULL_CASE_EXPANSIONS = [("ß", "SS"), ("ﬀ", "FF"), ("ﬁ", "FI"), ("ﬂ", "FL"), ("ﬃ", "FFI"), ("ﬄ", "FFL"), ("ﬅ", "ST"), ("ﬆ", "ST")]
 
 
+_FULL_CASE_CLASS = "[" + "".join(ch for ch, _ in _FULL_CASE_EXPANSIONS) + "]"
+
+
 def _upper_full(arr: pa.Array) -> pa.Array:
-    for ch, rep in _FULL_CASE_EXPANSIONS:
-        arr = pc.replace_substring(arr, ch, rep)
+    # one match pass gates the 8 literal replace passes — divergent chars
+    # (ß + ligatures) are rare, so the common case is 2 kernel calls
+    need = pc.any(pc.match_substring_regex(arr, _FULL_CASE_CLASS)).as_py()
+    if need:
+        for ch, rep in _FULL_CASE_EXPANSIONS:
+            arr = pc.replace_substring(arr, ch, rep)
     return pc.utf8_upper(arr)
 
 

@@ -131,3 +131,54 @@ def test_prenom_expr_vec_random(values):
     from etl_rs_ray.functions.registry import col_prenom_expr_vec
 
     _check(col_prenom_expr_vec, T.transform_prenom_expr, values)
+
+
+def test_fold_upper_accents_byte_lut_matches_regex():
+    """The byte-LUT fold must equal the 7-pass regex fold on adversarial
+    inputs: nulls, empties, sliced/chunked arrays, unmapped accents (ß, ø),
+    multi-byte neighbors, and every mapped char."""
+    import pyarrow as pa
+
+    from etl_rs_ray.functions.registry import (
+        _fold_upper_accents,
+        _fold_upper_accents_regex,
+    )
+
+    vals = [
+        None, "", "ÀÉÎÕÜÇÑ", "ABC", "ß-ÀØÎ", "ﬁÀ", "É" * 50, "xÃy", "€ÀÉ€",
+        "ÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑ", "no accents at all", None, "Ç",
+    ]
+    arr = pa.array(vals, pa.string())
+    assert _fold_upper_accents(arr).to_pylist() == _fold_upper_accents_regex(arr).to_pylist()
+    # sliced array (non-zero offset falls back to the regex path)
+    sl = arr.slice(2, 8)
+    assert _fold_upper_accents(sl).to_pylist() == _fold_upper_accents_regex(sl).to_pylist()
+    # chunked
+    ch = pa.chunked_array([arr, arr])
+    assert _fold_upper_accents(ch).to_pylist() == _fold_upper_accents_regex(arr).to_pylist() * 2
+    # large_string storage
+    la = arr.cast(pa.large_string())
+    assert _fold_upper_accents(la).to_pylist() == _fold_upper_accents_regex(arr).to_pylist()
+
+
+def test_fold_upper_accents_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from etl_rs_ray.functions.registry import (
+        _fold_upper_accents,
+        _fold_upper_accents_regex,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=12)), max_size=8))
+    def check(vals):
+        arr = pa.array(vals, pa.string())
+        assert (
+            _fold_upper_accents(arr).to_pylist()
+            == _fold_upper_accents_regex(arr).to_pylist()
+        )
+
+    check()
