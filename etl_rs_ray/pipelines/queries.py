@@ -928,6 +928,25 @@ def docs_deterministic_sample(sf_dir: str):
     return deterministic_sample(ds, "doc_id", frac=0.3, seed="s0")
 
 
+def events_range_join(sf_dir: str):
+    """Interval join: each event value joins every overlapping price band
+    (20 bands, lo = i*25, hi = lo+60 — bands overlap, so this is a true
+    range join, not bucketing). Bands replicate to the fixed-width
+    buckets they span; one hash-shuffle groupby co-locates; in-bucket
+    match is a sorted searchsorted prefix + hi filter
+    (stages/joins.py::range_join)."""
+    from ..stages.joins import range_join
+    from ..util import drop_empty_blocks
+
+    points = _read(sf_dir, "events", columns=["event_id", "value"])
+    bands = ray.data.from_items(
+        [{"band_id": i, "lo": float(i * 25), "hi": float(i * 25 + 60)} for i in range(20)]
+    )
+    out = range_join(points, bands, "value", "lo", "hi", bucket_width=25.0)
+    out = drop_empty_blocks(out)
+    return out.select_columns(["event_id", "band_id", "value"])
+
+
 def docs_top_tokens(sf_dir: str):
     """Vocabulary mining: exact top-25 corpus tokens via the two-pass
     Misra-Gries heavy-hitter stage over a lazily exploded token stream —
@@ -1036,6 +1055,7 @@ QUERIES = {
     "docs_split": docs_split,
     "embeddings_group_centroids": embeddings_group_centroids,
     "docs_top_tokens": docs_top_tokens,
+    "events_range_join": events_range_join,
 }
 
 ORACLE_SQL = {
@@ -1462,6 +1482,16 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["events_range_join"] = """
+    WITH bands AS (
+      SELECT CAST(i AS BIGINT) AS band_id,
+             CAST(i * 25 AS DOUBLE) AS lo,
+             CAST(i * 25 + 60 AS DOUBLE) AS hi
+      FROM generate_series(0, 19) t(i)
+    )
+    SELECT e.event_id, b.band_id, e.value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
 ORACLE_SQL["docs_top_tokens"] = """
     SELECT key, CAST(count(*) AS BIGINT) AS n FROM (
       SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS key

@@ -78,3 +78,68 @@ def test_semi_join_keys_from_dataset():
     ds = ray.data.from_arrow(_facts())
     semi = broadcast_semi_join(ds, keys, on="dim_id")
     assert sorted(r["id"] for r in semi.take_all()) == [1, 2, 4]
+
+
+def test_range_join_matches_nested_loop_oracle():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(5)
+    pvals = np.round(rng.uniform(-50, 150, 400), 3)
+    points = pa.table({"pid": pa.array(range(400), pa.int64()),
+                       "v": pa.array(pvals, pa.float64())})
+    lo = np.round(rng.uniform(-60, 140, 30), 3)
+    span = rng.uniform(1, 40, 30)
+    ivs = pa.table({"iid": pa.array(range(30), pa.int64()),
+                    "lo": pa.array(lo, pa.float64()),
+                    "hi": pa.array(np.round(lo + span, 3), pa.float64())})
+    out = range_join(
+        ray.data.from_arrow(points).repartition(4),
+        ray.data.from_arrow(ivs).repartition(2),
+        "v", "lo", "hi", bucket_width=20.0,
+    ).take_all()
+    got = sorted((r["pid"], r["iid"]) for r in out)
+    want = sorted(
+        (int(p), int(i))
+        for p in range(400)
+        for i in range(30)
+        if ivs.column("lo")[i].as_py() <= pvals[p] < ivs.column("hi")[i].as_py()
+    )
+    assert got == want and len(want) > 100
+
+
+def test_range_join_derived_width_and_boundaries():
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.joins import range_join
+
+    points = pa.table({"pid": pa.array([0, 1, 2, 3], pa.int64()),
+                       "v": pa.array([0.0, 10.0, 19.999, 20.0], pa.float64())})
+    ivs = pa.table({"iid": pa.array([0], pa.int64()),
+                    "lo": pa.array([0.0], pa.float64()),
+                    "hi": pa.array([20.0], pa.float64())})
+    out = range_join(ray.data.from_arrow(points), ray.data.from_arrow(ivs),
+                     "v", "lo", "hi").take_all()
+    # hi exclusive: 20.0 not matched; lo inclusive: 0.0 matched
+    assert sorted(r["pid"] for r in out) == [0, 1, 2]
+
+
+def test_range_join_bucket_guard():
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from etl_rs_ray.stages.joins import range_join
+
+    points = pa.table({"pid": pa.array(range(1000), pa.int64()),
+                       "v": pa.array([float(i % 10) for i in range(1000)], pa.float64())})
+    ivs = pa.table({"iid": pa.array(range(100), pa.int64()),
+                    "lo": pa.array([0.0] * 100, pa.float64()),
+                    "hi": pa.array([10.0] * 100, pa.float64())})
+    with pytest.raises(Exception, match="candidate pairs"):
+        range_join(ray.data.from_arrow(points), ray.data.from_arrow(ivs),
+                   "v", "lo", "hi", bucket_width=10.0, max_bucket_pairs=1000).take_all()
