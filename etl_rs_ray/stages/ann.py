@@ -369,3 +369,65 @@ def group_centroids(
     from ..util import drop_empty_blocks
 
     return drop_empty_blocks(folded)
+
+
+def append_ivf_index(ds, index_dir: str) -> dict:
+    """Append new vectors to an EXISTING physical IVF index (the daily
+    embedding increment): rows route with the STORED centroids — routing
+    stays stable, no retraining, old lists untouched — and each batch
+    writes one new file per touched list dir. File names derive from the
+    batch's id content (crc), so a retried task overwrites identical
+    bytes: idempotent under Ray task retry, crash-safe by construction
+    (a partial append leaves whole files that a re-run overwrites).
+
+    Mirrors incremental_dedup's bucket-partitioned append-only updates;
+    ivf_search_index needs no changes (it globs every file in each
+    probed list dir). Returns {'rows': n, 'lists_touched': m}."""
+    import json
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+    cent_ref = ray.put(cent)
+    lists_root = os.path.join(index_dir, "lists")
+
+    def spill(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"list_id": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        C = ray.get(cent_ref)
+        embs = _normalize(_as_matrix(batch.column(emb_col)))
+        lists = (embs @ C.T).argmax(axis=1).astype(np.int64)
+        batch = batch.append_column("list_id", pa.array(lists))
+        order = np.argsort(lists, kind="stable")
+        batch = batch.take(pa.array(order))
+        lists = lists[order]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        tag = f"{zlib.crc32(ids.tobytes()):08x}-{batch.num_rows}"
+        bounds = np.flatnonzero(np.diff(lists)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(lists)]))
+        out_l, out_n = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            c = int(lists[s])
+            d = os.path.join(lists_root, f"ivf_list={c}")
+            os.makedirs(d, exist_ok=True)
+            fpath = os.path.join(d, f"append-{tag}.parquet")
+            tmp = fpath + f".tmp-{os.getpid()}"
+            pq.write_table(batch.slice(s, e - s), tmp)
+            os.replace(tmp, fpath)
+            out_l.append(c)
+            out_n.append(e - s)
+        return pa.table({"list_id": pa.array(out_l, pa.int64()),
+                         "rows": pa.array(out_n, pa.int64())})
+
+    acct = ds.map_batches(spill, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return {
+        "rows": int(sum(r["rows"] for r in acct)),
+        "lists_touched": len({r["list_id"] for r in acct}),
+    }

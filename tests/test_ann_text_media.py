@@ -273,3 +273,72 @@ def test_group_centroids_matches_numpy_oracle():
     b = {r["g"]: r["centroid"] for r in group_centroids(
         ray.data.from_arrow(t).repartition(11), "g", quantize=1e6).take_all()}
     assert a == b
+
+
+def test_append_ivf_index_incremental():
+    """Build on 60% of the corpus, append the remaining 40% with the
+    STORED centroids: row conservation, correct routing of appended rows,
+    idempotent re-append, and search recall over the full corpus."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from etl_rs_ray.stages.ann import (
+        append_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search_index,
+        _as_matrix,
+        _normalize,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = ds.count()
+    cut = int(n * 0.6)
+    base = ds.filter(lambda r: r["vec_id"] < cut)
+    inc = ds.filter(lambda r: r["vec_id"] >= cut)
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    cent = build_ivf_index(base, d, n_centroids=8)
+    res = append_ivf_index(inc.repartition(3), d)
+    assert res["rows"] == n - cut
+
+    files = glob.glob(os.path.join(d, "lists", "ivf_list=*", "*.parquet"))
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == n  # row conservation
+
+    # appended rows routed to the argmax stored centroid
+    for f in glob.glob(os.path.join(d, "lists", "ivf_list=*", "append-*.parquet")):
+        t = pq.read_table(f)
+        embs = _normalize(_as_matrix(t.column("embedding")))
+        want = (embs @ cent.T).argmax(axis=1)
+        assert t.column("list_id").to_pylist() == want.tolist()
+
+    # idempotent: re-appending the same increment overwrites, not duplicates
+    res2 = append_ivf_index(inc.repartition(3), d)
+    files2 = glob.glob(os.path.join(d, "lists", "ivf_list=*", "*.parquet"))
+    total2 = sum(pq.ParquetFile(f).metadata.num_rows for f in files2)
+    assert total2 == total and res2["rows"] == res["rows"]
+
+    # search over the appended index sees the new vectors
+    rows = ds.take(3)
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    approx, _paths = ivf_search_index(d, q, k=10, nprobe=6)
+    exact = brute_force_topk(ds, q, k=10)
+    a, e = {}, {}
+    for r in approx.to_pylist():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in exact.to_pylist():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(qi, set()) & e[qi]) / len(e[qi]) for qi in e]
+    assert min(recalls) >= 0.6
+    # and at least one appended (>= cut) vector is findable
+    assert any(v >= cut for s in a.values() for v in s)
