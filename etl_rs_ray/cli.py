@@ -156,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--docs", required=True, help="parquet file/dir with (doc_id, text)")
     cu.add_argument("--out", default=None, help="output dir (omit for stats only)")
     cu.add_argument("--min-quality", type=float, default=0.2)
+    cu.add_argument("--reference", default=None,
+                    help="parquet with a benchmark corpus (doc_id, text): near-dups "
+                    "of it are decontaminated out of the output")
+    cu.add_argument("--splits", default=None,
+                    help="train/val/test recipe, e.g. 'train=0.9,val=0.05,test=0.05' "
+                    "— adds a deterministic `split` column")
 
     q = sub.add_parser("query", help="run a named operator query over an sf dir")
     q.add_argument("--name", help="query name (omit or use 'list' to list all)", default="list")
@@ -243,8 +249,18 @@ def main(argv: list[str] | None = None) -> int:
 
         ds = _rd.read_parquet(args.docs, columns=["doc_id", "text"])
         small = ds.count() < 200_000
+        reference = (
+            _rd.read_parquet(args.reference, columns=["doc_id", "text"])
+            if args.reference
+            else None
+        )
+        splits = (
+            {k: float(v) for k, v in (p.split("=") for p in args.splits.split(","))}
+            if args.splits
+            else None
+        )
         stats = curate_corpus(ds, out_dir=args.out, min_quality=args.min_quality,
-                              small_input=small)
+                              reference=reference, splits=splits, small_input=small)
         print(json.dumps(stats))
         import ray as _ray
 

@@ -6,7 +6,10 @@ composition of the engine's operators.
       -> quality / language filter       (vectorized predicate)
       -> exact dedup                     (hash combiner -> one shuffle)
       -> MinHash-LSH near-dup dedup      (banded buckets, CC removal)
+      -> benchmark decontamination       (cross-corpus LSH anti-join,
+                                          optional `reference` corpus)
       -> token counting                  (RE2)
+      -> train/val/test split            (optional `splits`, zero shuffle)
       -> resumable partitioned export    (one dir per language, _SUCCESS
                                           markers, re-run skips finished)
 
@@ -30,6 +33,9 @@ def curate_corpus(
     min_quality: float = 0.2,
     langs: tuple = ("en", "fr", "es", "de"),
     near_dup: bool = True,
+    reference=None,
+    splits: dict | None = None,
+    split_seed: str = "s0",
     small_input: bool = False,
     resume: bool = True,
     stage_counts: bool = False,
@@ -75,6 +81,17 @@ def curate_corpus(
         if stage_counts:
             stats["after_near_dedup"] = deduped.count()
 
+    if reference is not None:
+        # strip near-duplicates of the held-out benchmark corpus (the
+        # training-set hygiene step) — same LSH band space as near-dup
+        from ..stages.dedup import decontaminate
+
+        deduped = decontaminate(
+            deduped, reference, text_col, id_col, small_input=small_input
+        )
+        if stage_counts:
+            stats["after_decontaminate"] = deduped.count()
+
     def add_tokens(batch: pa.Table) -> pa.Table:
         # n_tokens already rode in from quality_stats; add the BPE-ish one
         txt = batch.column(text_col)
@@ -83,6 +100,13 @@ def curate_corpus(
         )
 
     final = deduped.map_batches(add_tokens, batch_format="pyarrow", zero_copy_batch=True)
+
+    if splits:
+        # deterministic train/val/test tag — rides along to the export so
+        # downstream loaders filter by the `split` column (zero shuffle)
+        from ..stages.sampling import assign_split
+
+        final = assign_split(final, id_col, splits, seed=split_seed)
 
     # corpus-level token totals: tiny per-batch partials, one gather
     def token_partial(b: pa.Table) -> pa.Table:
