@@ -947,6 +947,35 @@ def events_range_join(sf_dir: str):
     return out.select_columns(["event_id", "band_id", "value"])
 
 
+def events_salted_agg(sf_dir: str):
+    """Skew-safe per-user aggregation: Misra-Gries auto-detects hot keys
+    (no shuffle), their rows spread over `fanout` reducers via a salt
+    column, per-(key, salt) partials re-aggregate by key — the salting
+    playbook end-to-end (stages/salted.py). Sums micro-quantized so the
+    parallel fold order can't flip the driver's value hash."""
+    from ..stages.salted import salted_sum_count
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = salted_sum_count(ds, "user_id", "value", auto_detect=5)
+
+    def quantize(b: pa.Table) -> pa.Table:
+        micros = pc.cast(
+            pc.round(pc.multiply(b.column("sum_value"), pa.scalar(1e6))), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "sum_value_micros": micros,
+                "n": pc.cast(b.column("n"), pa.int64()),
+            }
+        )
+
+    return drop_empty_blocks(
+        out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def docs_top_tokens(sf_dir: str):
     """Vocabulary mining: exact top-25 corpus tokens via the two-pass
     Misra-Gries heavy-hitter stage over a lazily exploded token stream —
@@ -1056,6 +1085,7 @@ QUERIES = {
     "embeddings_group_centroids": embeddings_group_centroids,
     "docs_top_tokens": docs_top_tokens,
     "events_range_join": events_range_join,
+    "events_salted_agg": events_salted_agg,
 }
 
 ORACLE_SQL = {
@@ -1482,6 +1512,12 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["events_salted_agg"] = """
+    SELECT user_id,
+           CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_micros,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+"""
 ORACLE_SQL["events_range_join"] = """
     WITH bands AS (
       SELECT CAST(i AS BIGINT) AS band_id,
