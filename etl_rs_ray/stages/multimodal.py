@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import re
 import struct
 
 import numpy as np
@@ -249,6 +250,57 @@ def y4m_frame_luma(payload: bytes, frame_idx: int) -> float:
     return float(y.mean())
 
 
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """Binary netpbm from (h, w) grayscale (P5) or (h, w, 3) RGB (P6)."""
+    if pixels.ndim == 2:
+        magic = b"P5"
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"expected (h, w) or (h, w, 3), got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def _parse_netpbm_header(payload: bytes):
+    """(magic, w, h, data_offset) for a binary netpbm payload, or None if
+    the header does not FULLY validate (magic, whitespace-separated dims,
+    maxval 255, payload length exactly header + w*h*channels) — same
+    full-validation stance as is_bmp: text that merely starts with 'P5'
+    must not route to the real decoder."""
+    if len(payload) < 10 or payload[:2] not in (b"P5", b"P6"):
+        return None
+    m = re.match(rb"^(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", payload[:64])
+    if m is None:
+        return None
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval != 255 or w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        return None
+    channels = 1 if magic == b"P5" else 3
+    if len(payload) != m.end() + w * h * channels:
+        return None
+    return magic, w, h, m.end()
+
+
+def is_netpbm(payload: bytes) -> bool:
+    return _parse_netpbm_header(payload) is not None
+
+
+def decode_netpbm(payload: bytes) -> tuple[int, int, float]:
+    """Real decode of a binary P5/P6 netpbm: (width, height, mean luma;
+    BT.601 from the actual pixels for P6, plain mean for P5)."""
+    parsed = _parse_netpbm_header(payload)
+    if parsed is None:
+        raise ValueError("not a binary netpbm payload")
+    magic, w, h, off = parsed
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=off)
+    if magic == b"P5":
+        return w, h, float(raw.astype(np.float64).mean())
+    rgb = raw.reshape(h, w, 3).astype(np.float64)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return w, h, float(luma.mean())
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, float]:
     """Stub decode outputs from the payload's md5 digest — deterministic
     AND mirrorable in SQL (md5 hex bytes), unlike a real codec."""
@@ -274,9 +326,11 @@ class DecodeImage:
         for payload in batch.column("payload").to_pylist():
             if is_bmp(payload):
                 w, h, luma = decode_bmp(payload)
+            elif is_netpbm(payload):
+                w, h, luma = decode_netpbm(payload)
             elif self.strict:
                 raise NotImplementedError(
-                    "non-BMP image decode requires Pillow; not available in this environment"
+                    "non-BMP/netpbm image decode requires Pillow; not available in this environment"
                 )
             else:
                 w, h, luma = _fake_dims(payload)

@@ -342,3 +342,35 @@ def test_append_ivf_index_incremental():
     assert min(recalls) >= 0.6
     # and at least one appended (>= cut) vector is findable
     assert any(v >= cut for s in a.values() for v in s)
+
+
+def test_netpbm_real_decode_and_routing():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_rs_ray.stages.multimodal import (
+        DecodeImage,
+        decode_netpbm,
+        encode_ppm,
+        is_netpbm,
+    )
+
+    rgb = np.zeros((4, 6, 3), dtype=np.uint8)
+    rgb[..., 0] = 200  # red plane
+    p6 = encode_ppm(rgb)
+    gray = np.full((3, 5), 77, dtype=np.uint8)
+    p5 = encode_ppm(gray)
+    assert is_netpbm(p6) and is_netpbm(p5)
+    w, h, luma = decode_netpbm(p6)
+    assert (w, h) == (6, 4) and abs(luma - 0.299 * 200) < 1e-9
+    w, h, luma = decode_netpbm(p5)
+    assert (w, h) == (5, 3) and luma == 77.0
+
+    # text starting with P5/P6 must NOT route to the real decoder
+    assert not is_netpbm(b"P5 is a chess engine rating; P6 is not")
+    assert not is_netpbm(b"P6\n10 10\n255\nshort")  # truncated payload
+
+    batch = pa.table({"payload": pa.array([p6, p5], pa.binary())})
+    out = DecodeImage(strict=True)(batch)
+    assert out.column("width").to_pylist() == [6, 5]
+    assert out.column("height").to_pylist() == [4, 3]
