@@ -947,6 +947,50 @@ def events_range_join(sf_dir: str):
     return out.select_columns(["event_id", "band_id", "value"])
 
 
+def customers_pii_redact(sf_dir: str):
+    """PII redaction over a deterministically constructed contact blob
+    (c_comment + real c_phone + synthesized email — the synthetic corpus
+    has no PII, so the blob supplies real-shaped patterns): emails then
+    phone-shaped numbers scrubbed, per-row match counts emitted, all RE2
+    (stages/text_stats.py::redact_pii). The oracle rebuilds the same
+    blob and mirrors both regexes with regexp_replace(..., 'g')."""
+    from ..stages.text_stats import redact_pii
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def build_and_redact(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        # phone segments constructed >= their field width, so no padding
+        # is needed and the SQL mirror is plain CAST || CAST
+        phone = (
+            np.char.add(
+                np.char.add((10 + k % 90).astype(str), "-"),
+                np.char.add(
+                    np.char.add((100 + k % 900).astype(str), "-"),
+                    np.char.add(
+                        np.char.add((100 + (k * 7) % 900).astype(str), "-"),
+                        (1000 + (k * 13) % 9000).astype(str),
+                    ),
+                ),
+            )
+        )
+        text = pc.binary_join_element_wise(
+            b.column("c_name"),
+            pa.array([" call "] * n),
+            pa.array(phone.tolist(), pa.string()),
+            pa.array([" or c"] * n),
+            pc.cast(b.column("c_custkey"), pa.string()),
+            pa.array(["@example.com soon"] * n),
+            "",
+        )
+        t = pa.table({"c_custkey": b.column("c_custkey"), "text": text})
+        t = redact_pii(t, "text")
+        return t.select(["c_custkey", "n_emails", "n_phones", "text_redacted"])
+
+    return ds.map_batches(build_and_redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def events_salted_agg(sf_dir: str):
     """Skew-safe per-user aggregation: Misra-Gries auto-detects hot keys
     (no shuffle), their rows spread over `fanout` reducers via a salt
@@ -1086,6 +1130,7 @@ QUERIES = {
     "docs_top_tokens": docs_top_tokens,
     "events_range_join": events_range_join,
     "events_salted_agg": events_salted_agg,
+    "customers_pii_redact": customers_pii_redact,
 }
 
 ORACLE_SQL = {
@@ -1512,6 +1557,31 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["customers_pii_redact"] = r"""
+    WITH blob AS (
+      SELECT c_custkey,
+             c_name || ' call '
+               || CAST(10 + c_custkey % 90 AS VARCHAR) || '-'
+               || CAST(100 + c_custkey % 900 AS VARCHAR) || '-'
+               || CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-'
+               || CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR)
+               || ' or c' || CAST(c_custkey AS VARCHAR) || '@example.com soon' AS text
+      FROM customer
+    ), emails AS (
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM blob
+    )
+    SELECT c_custkey, n_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\d{2,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{3,4}')) AS BIGINT) AS n_phones,
+           regexp_replace(t1,
+             '\d{2,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{3,4}', '<PHONE>', 'g') AS text_redacted
+    FROM emails
+"""
 ORACLE_SQL["events_salted_agg"] = """
     SELECT user_id,
            CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_micros,

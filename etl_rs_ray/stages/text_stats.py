@@ -244,3 +244,26 @@ def top_ngrams(ds, text_col: str = "text", n: int = 1, k: int = 20, m: int | Non
         explode_ngrams(text_col, n), batch_format="pyarrow", zero_copy_batch=True
     )
     return heavy_hitters(toks, "token", k=k, m=m)
+
+
+# --- PII redaction -----------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{2,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{3,4}"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text_redacted") -> pa.Table:
+    """Scrub emails then phone-shaped numbers from a text column — all
+    RE2, zero Python per row. Emits the redacted text plus per-row match
+    counts (n_emails, n_phones). Phones are counted/redacted AFTER email
+    redaction so an address's digits can't double-count; the SQL mirror
+    applies the same order."""
+    arr = batch.column(text_col)
+    n_emails = pc.count_substring_regex(arr, pattern=PII_EMAIL_RE)
+    red = pc.replace_substring_regex(arr, pattern=PII_EMAIL_RE, replacement="<EMAIL>")
+    n_phones = pc.count_substring_regex(red, pattern=PII_PHONE_RE)
+    red = pc.replace_substring_regex(red, pattern=PII_PHONE_RE, replacement="<PHONE>")
+    batch = batch.append_column("n_emails", pc.cast(n_emails, pa.int64()))
+    batch = batch.append_column("n_phones", pc.cast(n_phones, pa.int64()))
+    return batch.append_column(out_col, red)

@@ -277,3 +277,25 @@ def test_transform_chain_batch():
     assert out.column("NOM").to_pylist() == ["EL NINO", None]
     assert out.column("email").to_pylist() == ["LUCAS31@GMAIL.COM", None]
     assert out.column("other").to_pylist() == [1, 2]
+
+
+def test_redact_pii_patterns():
+    import pyarrow as pa
+
+    from etl_rs_ray.stages.text_stats import redact_pii
+
+    t = pa.table({"text": pa.array([
+        "reach me at jane.doe+spam@mail.example.org or 06-123-456-7890",
+        "two mails: a@b.co and x_1%y@z.io; no phone",
+        "digits 1234567 without separators are not a phone",
+        None,
+        "",
+    ])})
+    out = redact_pii(t, "text")
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "reach me at <EMAIL> or <PHONE>"
+    assert red[1] == "two mails: <EMAIL> and <EMAIL>; no phone"
+    assert red[2] == "digits 1234567 without separators are not a phone"
+    assert red[3] is None and red[4] == ""
+    assert out.column("n_emails").to_pylist() == [1, 2, 0, None, 0]
+    assert out.column("n_phones").to_pylist() == [1, 0, 0, None, 0]
