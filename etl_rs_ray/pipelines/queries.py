@@ -947,6 +947,22 @@ def events_range_join(sf_dir: str):
     return out.select_columns(["event_id", "band_id", "value"])
 
 
+def docs_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document: token count,
+    distinct-token ratio, top-token coverage
+    (stages/text_stats.py::repetition_stats). Embarrassingly parallel —
+    one map pass, no shuffle; the oracle recomputes via per-doc token
+    group-bys."""
+    from ..stages.text_stats import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: repetition_stats(b, "text", "doc_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def customers_pii_redact(sf_dir: str):
     """PII redaction over a deterministically constructed contact blob
     (c_comment + real c_phone + synthesized email — the synthetic corpus
@@ -1131,6 +1147,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_salted_agg": events_salted_agg,
     "customers_pii_redact": customers_pii_redact,
+    "docs_repetition_stats": docs_repetition_stats,
 }
 
 ORACLE_SQL = {
@@ -1557,6 +1574,19 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["docs_repetition_stats"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), per_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens_rep,
+           CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio,
+           CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac
+    FROM per_tok GROUP BY doc_id
+"""
 ORACLE_SQL["customers_pii_redact"] = r"""
     WITH blob AS (
       SELECT c_custkey,

@@ -267,3 +267,39 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
     batch = batch.append_column("n_emails", pc.cast(n_emails, pa.int64()))
     batch = batch.append_column("n_phones", pc.cast(n_phones, pa.int64()))
     return batch.append_column(out_col, red)
+
+
+# --- repetition signals (Gopher-style quality heuristics) --------------------
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-document token-repetition signals used by corpus quality
+    filters: total tokens, distinct-token ratio, and the fraction of the
+    document covered by its single most frequent token (near 1.0 =
+    degenerate repetition). One row per doc WITH at least one token —
+    matching the SQL mirror's group-by domain. Ratios are exact-operand
+    double divisions, so both sides produce identical bits."""
+    from collections import Counter
+
+    ids, n_out, d_out, m_out = [], [], [], []
+    for did, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        if t is None:
+            continue
+        toks = _WS_RE.findall(t.lower())
+        if not toks:
+            continue
+        c = Counter(toks)
+        ids.append(did)
+        n_out.append(len(toks))
+        d_out.append(len(c))
+        m_out.append(max(c.values()))
+    n = np.array(n_out, dtype=np.float64)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens_rep": pa.array(n_out, pa.int64()),
+            "distinct_ratio": pa.array(np.array(d_out, dtype=np.float64) / n if len(n) else [], pa.float64()),
+            "top_token_frac": pa.array(np.array(m_out, dtype=np.float64) / n if len(n) else [], pa.float64()),
+        }
+    )

@@ -299,3 +299,19 @@ def test_redact_pii_patterns():
     assert red[3] is None and red[4] == ""
     assert out.column("n_emails").to_pylist() == [1, 2, 0, None, 0]
     assert out.column("n_phones").to_pylist() == [1, 0, 0, None, 0]
+
+
+def test_repetition_stats():
+    import pyarrow as pa
+
+    from etl_rs_ray.stages.text_stats import repetition_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a a a a b", "all distinct words here", None, "   "]),
+    })
+    out = repetition_stats(t)
+    assert out.column("doc_id").to_pylist() == [1, 2]  # null + token-less skipped
+    assert out.column("n_tokens_rep").to_pylist() == [5, 4]
+    assert out.column("distinct_ratio").to_pylist() == [2 / 5, 1.0]
+    assert out.column("top_token_frac").to_pylist() == [4 / 5, 1 / 4]
