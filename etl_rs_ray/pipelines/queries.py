@@ -345,7 +345,11 @@ def nation_region_join(sf_dir: str):
         nation, region, on="n_regionkey", dim_key="r_regionkey",
         take_cols={"r_name": "r_name"},
     )
-    return out.select_columns(["n_nationkey", "n_name", "r_name"])
+    from ..util import drop_empty_blocks
+
+    # a 25-row read can split into blocks where one is empty/schema-less
+    # (seen at sf0.1); output is tiny, stripping is free
+    return drop_empty_blocks(out.select_columns(["n_nationkey", "n_name", "r_name"]))
 
 
 # --- documents: dedup / transforms / stats -----------------------------------
@@ -525,7 +529,13 @@ def events_type_stats(sf_dir: str):
             pc.round(batch.column("avg_value"), ndigits=6),
         )
 
-    return agg.map_batches(round_avg, batch_format="pyarrow", zero_copy_batch=True)
+    from ..util import drop_empty_blocks
+
+    # the groupby can emit zero-row schema-less blocks (seen at sf0.1);
+    # output is 5 rows, stripping via materialization is free
+    return drop_empty_blocks(
+        agg.map_batches(round_avg, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def supplier_nation_region(sf_dir: str):
@@ -711,17 +721,34 @@ def events_windowed_agg(sf_dir: str):
 
     def quantize(b: pa.Table) -> pa.Table:
         # parallel float reduction order differs from DuckDB's in the last
-        # ulp; integer micro-unit quantization compares hash-stably
+        # ulp; integer micro-unit quantization compares hash-stably. The
+        # avg must derive from the QUANTIZED sum (identical int operands
+        # on both sides) — round(avg_float * 1e6) still flipped last
+        # digits at sf0.1 where big windows amplify the sum-order ulp.
         def micros(col):
             return pc.cast(pc.round(pc.multiply(col, 1e6)), pa.int64())
 
+        sum_micros = micros(b.column("sum_value"))
+        # sum_micros / n hits exact .5 often (2-decimal inputs); DuckDB
+        # rounds half AWAY from zero, pyarrow defaults to half-to-even —
+        # match DuckDB explicitly
+        avg_micros = pc.cast(
+            pc.round(
+                pc.divide(
+                    pc.cast(sum_micros, pa.float64()),
+                    pc.cast(b.column("n_events"), pa.float64()),
+                ),
+                round_mode="half_towards_infinity",  # = half away from zero
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "window_start": b.column("window_start"),
                 "event_type": b.column("event_type"),
                 "n_events": b.column("n_events"),
-                "sum_value_micros": micros(b.column("sum_value")),
-                "avg_value_micros": micros(b.column("avg_value")),
+                "sum_value_micros": sum_micros,
+                "avg_value_micros": avg_micros,
             }
         )
 
@@ -1692,12 +1719,16 @@ ORACLE_SQL["events_session_agg"] = """
     FROM y GROUP BY user_id, sid
 """
 ORACLE_SQL["events_windowed_agg"] = """
-    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
-           count(*) AS n_events,
-           CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_micros,
-           CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_value_micros
-    FROM events
-    GROUP BY 1, 2
+    SELECT window_start, event_type, n_events, sum_value_micros,
+           CAST(round(CAST(sum_value_micros AS DOUBLE) / n_events) AS BIGINT)
+             AS avg_value_micros
+    FROM (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             count(*) AS n_events,
+             CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_micros
+      FROM events
+      GROUP BY 1, 2
+    )
 """
 # Invariant oracle: the Ray side measures IVF recall against the exact
 # brute-force top-k; the SQL states the required invariants as constants.

@@ -23,10 +23,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _mg_merge(summary: dict, keys, counts, m: int) -> None:
+def _mg_merge(summary: dict, keys, counts, m: int) -> int:
     """Merge exact (key, count) pairs into a Misra-Gries summary of at
     most m counters (merge = add, then subtract the (m+1)-th largest
-    weight from all and drop non-positive — the standard mergeable MG)."""
+    weight from all and drop non-positive — the standard mergeable MG).
+    Returns the amount subtracted from every counter this merge: the
+    cumulative sum over merges bounds any key's undercount, so it also
+    bounds the true count of any key ABSENT from the summary."""
     for k, c in zip(keys, counts):
         summary[k] = summary.get(k, 0) + int(c)
     if len(summary) > m:
@@ -35,6 +38,8 @@ def _mg_merge(summary: dict, keys, counts, m: int) -> None:
             del summary[k]
         for k in summary:
             summary[k] -= kth
+        return kth
+    return 0
 
 
 def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
@@ -53,8 +58,9 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
 
     partials = ds.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
     summary: dict = {}
+    err_bound = 0
     for r in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        _mg_merge(summary, r.column("key").to_pylist(), r.column("n").to_pylist(), m)
+        err_bound += _mg_merge(summary, r.column("key").to_pylist(), r.column("n").to_pylist(), m)
     candidates = list(summary)
     if not candidates:
         return pa.table({"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
@@ -80,6 +86,53 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
             exact[kk] = exact.get(kk, 0) + int(nn)
 
     top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    # Guarantee check: every key ABSENT from the summary has true count
+    # <= err_bound (it was decremented to zero), so the exact top-k is
+    # provably inside the candidate set iff the k-th candidate count
+    # clears err_bound. Near-uniform data (nothing crosses N/m) fails
+    # this — silently returning a wrong top-k is not acceptable, so
+    # escalate to an exact one-shuffle groupby top-k instead.
+    # (<= not <: an absent key with count == err_bound could still tie
+    # into the k-th slot and win on key order)
+    if err_bound > 0 and (len(top) < k or top[-1][1] <= err_bound):
+        return _exact_topk_shuffle(ds, col, k)
+    key_type = ds.schema().types[ds.schema().names.index(col)]
+    return pa.table(
+        {
+            "key": pa.array([t[0] for t in top], key_type),
+            "n": pa.array([t[1] for t in top], pa.int64()),
+        }
+    )
+
+
+def _exact_topk_shuffle(ds, col: str, k: int) -> pa.Table:
+    """Exact fallback when the MG guarantee cannot hold (near-uniform
+    keys): per-batch value_counts partials, ONE hash-shuffle groupby sum,
+    per-group partial top-k, tiny driver merge. O(distinct keys) moves —
+    the price of exactness on data where no sketch can certify."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _group_partitions, _hash_shuffle
+
+    def batch_counts(b: pa.Table) -> pa.Table:
+        vc = b.column(col).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"key": vc.field("values"), "n": vc.field("counts")})
+
+    partials = ds.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
+    totals = (
+        _hash_shuffle(partials)
+        .groupby("key", num_partitions=_group_partitions(8))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def group_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("n", "descending"), ("key", "ascending")])
+        return b.take(idx[: min(k, b.num_rows)])
+
+    cand = totals.map_batches(group_topk, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    top = sorted(((r["key"], int(r["n"])) for r in cand), key=lambda kv: (-kv[1], kv[0]))[:k]
     key_type = ds.schema().types[ds.schema().names.index(col)]
     return pa.table(
         {
