@@ -63,6 +63,11 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
         err_bound += _mg_merge(summary, r.column("key").to_pylist(), r.column("n").to_pylist(), m)
     candidates = list(summary)
     if not candidates:
+        if err_bound > 0:
+            # near-uniform data can evict EVERY counter (all weights fall
+            # below the k-th decrement) — an empty summary with a nonzero
+            # decrement history means "nothing certified", not "no keys"
+            return _exact_topk_shuffle(ds, col, k)
         return pa.table({"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
 
     import ray

@@ -74,3 +74,24 @@ def test_top_ngrams_unigrams_and_trigrams():
         ("alpha beta gamma", 30),
         ("beta gamma delta", 20),
     ]
+
+
+def test_heavy_hitters_escalates_on_near_uniform_keys():
+    """When no key clears the Misra-Gries N/m bound (near-uniform data),
+    the certification check must escalate to the exact shuffle instead of
+    silently returning a wrong top-k — the sf0.1 regression this guards:
+    2000 distinct keys, tiny m, counts 1..2000 known exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.heavy import heavy_hitters
+
+    rows = []
+    for key in range(2000):
+        rows.extend([{"k": f"key{key:04d}"}] * (1 + key % 5))
+    ds = ray.data.from_items(rows).repartition(8)
+    out = heavy_hitters(ds, "k", k=5, m=20)  # m << distinct: MG can't certify
+    got = [(r["key"], r["n"]) for r in out.to_pylist()]
+    # exact truth: every key with key%5==4 has count 5; smallest ids win ties
+    want = [(f"key{i:04d}", 5) for i in (4, 9, 14, 19, 24)]
+    assert got == want
