@@ -974,6 +974,21 @@ def events_range_join(sf_dir: str):
     return out.select_columns(["event_id", "band_id", "value"])
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase: per user, each
+    step matches the earliest event of that type strictly after the
+    previous match; output counts users completing each prefix
+    (stages/temporal.py::funnel_counts). The oracle chains per-step
+    min-ts CTEs."""
+    from ..stages.temporal import funnel_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, "user_id", "event_type", "ts", _FUNNEL_STEPS)
+
+
 def docs_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals per document: token count,
     distinct-token ratio, top-token coverage
@@ -1175,6 +1190,7 @@ QUERIES = {
     "events_salted_agg": events_salted_agg,
     "customers_pii_redact": customers_pii_redact,
     "docs_repetition_stats": docs_repetition_stats,
+    "events_funnel": events_funnel,
 }
 
 ORACLE_SQL = {
@@ -1601,6 +1617,26 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["events_funnel"] = """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+"""
 ORACLE_SQL["docs_repetition_stats"] = r"""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

@@ -278,3 +278,82 @@ def session_window_agg(
         .groupby(key_col, num_partitions=num_partitions)
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+def funnel_counts(
+    ds,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: "list[str]",
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Ordered conversion funnel: for each user, walk ``steps`` in order,
+    each step matched by the EARLIEST event of that type strictly after
+    the previous step's match. Returns one row per step:
+    (step_idx, step, n_users) where n_users = users who completed the
+    prefix through that step (non-increasing).
+
+    Scale shape: pre-filter to the step types at the read (tiny
+    projection), ONE hash-shuffle groupby on user, per-group numpy walk
+    (sort once, one boolean filter per step), then per-user max-step rows
+    fold to |steps| counters via per-batch partials — no second shuffle.
+    """
+    step_set = pa.array(steps)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column(type_col), value_set=step_set)).select(
+            [user_col, type_col, ts_col]
+        )
+
+    def walk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        g = group.take(idx)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        reached = -1
+        cur = -(1 << 62)
+        for i, step in enumerate(steps):
+            mask = (types == step) & (ts > cur)
+            if not mask.any():
+                break
+            cur = int(ts[mask].min())
+            reached = i
+        return pa.table(
+            {
+                user_col: g.column(user_col).slice(0, 1),
+                "_max_step": pa.array([reached], pa.int64()),
+            }
+        )
+
+    per_user = (
+        _hash_shuffle(ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby(user_col, num_partitions=num_partitions)
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = b.column("_max_step").to_numpy(zero_copy_only=False)
+        # completed step i  <=>  max_step >= i
+        counts = [(m >= i).sum() for i in range(len(steps))]
+        return pa.table(
+            {
+                "step_idx": pa.array(range(len(steps)), pa.int64()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg: dict[int, int] = {i: 0 for i in range(len(steps))}
+    for r in per_user.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        agg[r["step_idx"]] += int(r["n_users"])
+    return pa.table(
+        {
+            "step_idx": pa.array(range(len(steps)), pa.int64()),
+            "step": pa.array(steps, pa.string()),
+            "n_users": pa.array([agg[i] for i in range(len(steps))], pa.int64()),
+        }
+    )

@@ -220,3 +220,36 @@ def test_session_window_agg_matches_duckdb():
         for r in out.take_all()
     }
     assert got == want
+
+
+def test_funnel_counts_oracle():
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.temporal import funnel_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1 completes all 3 in order; u2 view+click only; u3 clicks BEFORE
+    # viewing (click must not count); u4 view only; u5 no relevant events
+    seq = {
+        1: [("view", 0), ("click", 10), ("purchase", 20)],
+        2: [("view", 0), ("click", 5)],
+        3: [("click", 0), ("view", 5), ("purchase", 10)],
+        4: [("view", 3)],
+        5: [("error", 1)],
+    }
+    for u, evs in seq.items():
+        for t, s in evs:
+            rows.append({"user_id": u, "event_type": t,
+                         "ts": base + dt.timedelta(seconds=s)})
+    t = pa.Table.from_pylist(rows).cast(pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("ts", pa.timestamp("us"))]))
+    out = funnel_counts(ray.data.from_arrow(t).repartition(3),
+                        "user_id", "event_type", "ts", ["view", "click", "purchase"])
+    got = {r["step"]: r["n_users"] for r in out.to_pylist()}
+    # view: u1,u2,u3,u4; click after view: u1,u2; purchase after that: u1,u3?
+    # u3: view at 5, purchase at 10 but no click after 5 -> stops at view
+    assert got == {"view": 4, "click": 2, "purchase": 1}
