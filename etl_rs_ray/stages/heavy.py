@@ -23,23 +23,30 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _mg_trim(summary: dict, m: int) -> int:
+    """Trim a counter dict to at most m entries (subtract the (m+1)-th
+    largest weight from all, drop non-positive — the standard mergeable
+    Misra-Gries step). Returns the amount subtracted, which bounds the
+    undercount this trim introduced."""
+    if len(summary) <= m:
+        return 0
+    kth = sorted(summary.values(), reverse=True)[m]
+    for k in [k for k, v in summary.items() if v - kth <= 0]:
+        del summary[k]
+    for k in summary:
+        summary[k] -= kth
+    return kth
+
+
 def _mg_merge(summary: dict, keys, counts, m: int) -> int:
-    """Merge exact (key, count) pairs into a Misra-Gries summary of at
-    most m counters (merge = add, then subtract the (m+1)-th largest
-    weight from all and drop non-positive — the standard mergeable MG).
-    Returns the amount subtracted from every counter this merge: the
-    cumulative sum over merges bounds any key's undercount, so it also
+    """Merge (key, count) pairs into a Misra-Gries summary of at most m
+    counters. Returns the amount subtracted from every counter this
+    merge: the cumulative sum over merges AND over the per-batch trims
+    that produced the inputs bounds any key's undercount, so it also
     bounds the true count of any key ABSENT from the summary."""
     for k, c in zip(keys, counts):
         summary[k] = summary.get(k, 0) + int(c)
-    if len(summary) > m:
-        kth = sorted(summary.values(), reverse=True)[m]
-        for k in [k for k, v in summary.items() if v - kth <= 0]:
-            del summary[k]
-        for k in summary:
-            summary[k] -= kth
-        return kth
-    return 0
+    return _mg_trim(summary, m)
 
 
 def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
@@ -51,16 +58,49 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
     m = m or 20 * k
 
     def batch_counts(b: pa.Table) -> pa.Table:
+        # exact per-batch counts, then a batch-local MG trim so AT MOST m
+        # rows per block reach the driver (a 100-TB block can hold millions
+        # of distinct keys — shipping them all was the old behavior). The
+        # trim's decrement rides along in `_dec` (first row): it is part of
+        # the global undercount bound, keeping the certificate exact.
         vc = b.column(col).value_counts()
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
-        return pa.table({"key": vc.field("values"), "n": vc.field("counts")})
+        local = dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+        dec = _mg_trim(local, m)
+        keys = list(local)
+        if not keys and dec:
+            # the trim can evict EVERY counter (near-uniform batch) — the
+            # decrement must still reach the driver or the undercount
+            # bound silently shrinks: carry it on a null-key row
+            return pa.table(
+                {
+                    "key": pa.array([None], b.column(col).type),
+                    "n": pa.array([0], pa.int64()),
+                    "_dec": pa.array([dec], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "key": pa.array(keys, b.column(col).type),
+                "n": pa.array([local[k] for k in keys], pa.int64()),
+                "_dec": pa.array([dec] + [0] * (len(keys) - 1), pa.int64())
+                if keys
+                else pa.array([], pa.int64()),
+            }
+        )
 
     partials = ds.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
     summary: dict = {}
     err_bound = 0
     for r in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        err_bound += _mg_merge(summary, r.column("key").to_pylist(), r.column("n").to_pylist(), m)
+        err_bound += sum(r.column("_dec").to_pylist())
+        pairs = [
+            (kk, nn)
+            for kk, nn in zip(r.column("key").to_pylist(), r.column("n").to_pylist())
+            if kk is not None  # null key = accounting-only row
+        ]
+        err_bound += _mg_merge(summary, [p[0] for p in pairs], [p[1] for p in pairs], m)
     candidates = list(summary)
     if not candidates:
         if err_bound > 0:
