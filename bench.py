@@ -68,39 +68,47 @@ def run_cdc_replay(
     # so spill durability is irrelevant. A disk-spill run is also timed
     # and reported (cdc_replay_disk) to quantify the difference.
     shm = "ETL_RS_RAY_SHUFFLE_BASE" not in os.environ and os.path.isdir("/dev/shm")
-    if shm:
-        os.environ["ETL_RS_RAY_SHUFFLE_BASE"] = "/dev/shm"
-    repeats = 1
-    if warmup:
-        # steady-state measurement: spawn + import the worker pool on a
-        # small LSN prefix before the timed runs; best-of-2 damps shared-VM
-        # noise (observed ~15% run-to-run swing at fixed configuration)
-        wt = table_dir + "_warm"
-        shutil.rmtree(wt, ignore_errors=True)
-        replay(log_dir, wt, target_lsn=50_000, num_buckets=max(16, num_cpus * 2),
-               normalize=curate_batch if curate else None)
-        shutil.rmtree(wt, ignore_errors=True)
-        repeats = 2
-    def timed_replay():
+    try:
+        if shm:
+            os.environ["ETL_RS_RAY_SHUFFLE_BASE"] = "/dev/shm"
+        repeats = 1
+        if warmup:
+            # steady-state measurement: spawn + import the worker pool on a
+            # small LSN prefix before the timed runs; best-of-2 damps
+            # shared-VM noise (observed ~15% run-to-run swing)
+            wt = table_dir + "_warm"
+            shutil.rmtree(wt, ignore_errors=True)
+            replay(log_dir, wt, target_lsn=50_000, num_buckets=max(16, num_cpus * 2),
+                   normalize=curate_batch if curate else None)
+            shutil.rmtree(wt, ignore_errors=True)
+            repeats = 2
+
+        def timed_replay():
+            shutil.rmtree(table_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            res = replay(
+                log_dir,
+                table_dir,
+                num_buckets=max(16, num_cpus * 2),
+                normalize=curate_batch if curate else None,
+            )
+            return time.perf_counter() - t0, res
+
+        wall = None
+        res = None
+        for _ in range(repeats):
+            w, res = timed_replay()
+            wall = w if wall is None else min(wall, w)
+        wall_disk = None
+        if shm and disk_variant:
+            del os.environ["ETL_RS_RAY_SHUFFLE_BASE"]
+            wall_disk, _ = timed_replay()
         shutil.rmtree(table_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        res = replay(
-            log_dir,
-            table_dir,
-            num_buckets=max(16, num_cpus * 2),
-            normalize=curate_batch if curate else None,
-        )
-        return time.perf_counter() - t0, res
-    wall = None
-    res = None
-    for _ in range(repeats):
-        w, res = timed_replay()
-        wall = w if wall is None else min(wall, w)
-    wall_disk = None
-    if shm and disk_variant:
-        del os.environ["ETL_RS_RAY_SHUFFLE_BASE"]
-        wall_disk, _ = timed_replay()
-    shutil.rmtree(table_dir, ignore_errors=True)
+    finally:
+        # never leak the /dev/shm setting into the rest of the process
+        # (disk_variant=False and exception paths used to leave it set)
+        if shm:
+            os.environ.pop("ETL_RS_RAY_SHUFFLE_BASE", None)
     return {
         "wall": wall,
         "wall_disk": wall_disk,

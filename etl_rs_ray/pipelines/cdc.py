@@ -187,7 +187,7 @@ def make_spiller(
     # via the closure.
     if rg_rows is None:
         fold_env = int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024))
-        rg_rows = max(1024, min(128 * 1024, fold_env))
+        rg_rows = max(16, min(128 * 1024, fold_env))
 
     empty = pa.table(
         {
@@ -368,19 +368,25 @@ def _merge_xpart_task(
             if pending[b] >= fold_rows:
                 fold(b)
 
-    readers: dict[str, pq.ParquetFile] = {}
+    # the plan is sorted by file name, so each spill file's row groups are
+    # consumed consecutively: ONE reader open at a time, closed on file
+    # change — at O(100k) map blocks per 100-TB epoch, holding every
+    # reader open would exhaust the task's fd limit
+    cur_fname, cur_pf = None, None
     for fname, rg in sorted(plan):
-        pf = readers.get(fname)
-        if pf is None:
-            pf = readers[fname] = pq.ParquetFile(os.path.join(shuffle_dir, fname))
-        data = pf.read_row_group(rg)
+        if fname != cur_fname:
+            if cur_pf is not None:
+                cur_pf.close()
+            cur_fname = fname
+            cur_pf = pq.ParquetFile(os.path.join(shuffle_dir, fname))
+        data = cur_pf.read_row_group(rg)
         raw.append(data)
         raw_rows += data.num_rows
         if raw_rows >= fold_rows:
             drain_raw()
+    if cur_pf is not None:
+        cur_pf.close()
     drain_raw()
-    for pf in readers.values():
-        pf.close()
 
     entries = []
     for b in sorted(acc):

@@ -619,12 +619,17 @@ def embeddings_ann_ivf(sf_dir: str):
     # per coarse centroid), then search reads ONLY the probed lists — the
     # in-memory ivf_topk full-scan stays a test-only cross-check
     index_dir = tempfile.mkdtemp(prefix="ivf_query_")
-    build_ivf_index(ds, index_dir, n_centroids=16)
-    approx, probed_paths = ivf_search_index(index_dir, q, k=k, nprobe=8)
-    total_lists = len(glob.glob(os.path.join(index_dir, "lists", "ivf_list=*")))
-    assert 0 < len(probed_paths) < total_lists, (
-        f"IVF pruning evidence failed: probed {len(probed_paths)} of {total_lists} lists"
-    )
+    try:
+        build_ivf_index(ds, index_dir, n_centroids=16)
+        approx, probed_paths = ivf_search_index(index_dir, q, k=k, nprobe=8)
+        total_lists = len(glob.glob(os.path.join(index_dir, "lists", "ivf_list=*")))
+        assert 0 < len(probed_paths) < total_lists, (
+            f"IVF pruning evidence failed: probed {len(probed_paths)} of {total_lists} lists"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # a full embedding copy per run otherwise
     exact = brute_force_topk(ds, q, k=k)
 
     def _sets(t: pa.Table) -> dict[int, set]:

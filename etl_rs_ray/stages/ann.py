@@ -385,7 +385,6 @@ def append_ivf_index(ds, index_dir: str) -> dict:
     probed list dir). Returns {'rows': n, 'lists_touched': m}."""
     import json
     import os
-    import zlib
 
     import pyarrow.parquet as pq
 
@@ -408,7 +407,15 @@ def append_ivf_index(ds, index_dir: str) -> dict:
         batch = batch.take(pa.array(order))
         lists = lists[order]
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        tag = f"{zlib.crc32(ids.tobytes()):08x}-{batch.num_rows}"
+        # full md5 of the id payload + id range: these files are DURABLE
+        # (unlike the transient cdc spill) — a 32-bit crc birthday
+        # collision between two batches would silently overwrite data
+        import hashlib
+
+        tag = (
+            f"{hashlib.md5(ids.tobytes()).hexdigest()}-"
+            f"{int(ids.min())}-{int(ids.max())}-{batch.num_rows}"
+        )
         bounds = np.flatnonzero(np.diff(lists)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(lists)]))

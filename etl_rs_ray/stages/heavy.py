@@ -56,6 +56,9 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
     realistically skewed distribution at m=20k; raise m for near-uniform
     data). Output: (key, n) sorted by n desc, key asc."""
     m = m or 20 * k
+    # NULL keys are EXCLUDED from the top-k domain (documented semantics:
+    # a null is "no key", not a key) — counting them under the accounting
+    # row's null sentinel would corrupt the exactness certificate instead.
 
     def batch_counts(b: pa.Table) -> pa.Table:
         # exact per-batch counts, then a batch-local MG trim so AT MOST m
@@ -63,7 +66,7 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int | None = None) -> pa.Table:
         # of distinct keys — shipping them all was the old behavior). The
         # trim's decrement rides along in `_dec` (first row): it is part of
         # the global undercount bound, keeping the certificate exact.
-        vc = b.column(col).value_counts()
+        vc = b.column(col).drop_null().value_counts()
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         local = dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
@@ -160,7 +163,7 @@ def _exact_topk_shuffle(ds, col: str, k: int) -> pa.Table:
     from .dedup import _group_partitions, _hash_shuffle
 
     def batch_counts(b: pa.Table) -> pa.Table:
-        vc = b.column(col).value_counts()
+        vc = b.column(col).drop_null().value_counts()
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         return pa.table({"key": vc.field("values"), "n": vc.field("counts")})

@@ -145,7 +145,10 @@ def is_bmp(payload: bytes) -> bool:
     stride = w * 3 + (4 - (w * 3) % 4) % 4
     if data_offset < 54 or data_offset + stride * abs(h) > len(payload):
         return False
-    return file_size == len(payload)
+    # bfSize is famously unreliable in the wild (many encoders write 0);
+    # accept 0 or the true length — the structural checks above already
+    # make a text/garbage false positive practically impossible
+    return file_size in (0, len(payload))
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, float]:

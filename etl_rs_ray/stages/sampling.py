@@ -61,13 +61,15 @@ def deterministic_sample(ds, id_col: str, frac: float, seed: str = "s0", hash: s
 
 
 def weighted_mixture(ds, source_col: str, id_col: str, fractions: dict[str, float],
-                     seed: str = "s0", default_frac: float = 0.0, hash: str = "fast"):
+                     seed: str = "s0", default_frac: float = 0.0, hash: str = "md5"):
     """Per-source sampling fractions in ONE pass: row kept iff its hash
     clears its source's threshold. Sources absent from ``fractions`` get
-    ``default_frac``. hash="fast" (default) is fully vectorized — one
-    stable_hash64 over the keys, per-row thresholds via a dictionary
-    index_in + take; hash="md5" is the SQL-mirrorable per-row path,
-    kept for oracle queries only."""
+    ``default_frac``. hash="md5" (default — kept so existing recipes keep
+    selecting the SAME rows across releases; the whole point of the
+    function is reproducibility) mirrors DuckDB md5_number_lower;
+    hash="fast" is the fully vectorized scale path — one stable_hash64
+    over the keys, per-row thresholds via a dictionary index_in + take —
+    opt in for production mixing where a SQL oracle isn't needed."""
     for f in fractions.values():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f)

@@ -257,75 +257,124 @@ def exact_quantiles(ds, col: str, qs: list[float], buckets: int = 2048,
         f, c = int(np.floor(p)), int(np.ceil(p))
         pos[q] = (p, f, c)
         needed.update((f, c))
-    r_min, r_max = min(needed), max(needed)
+    # Each needed rank gets its OWN candidate interval (intervals merge
+    # when ranks land in the same histogram bin and SPLIT as refinement
+    # separates them). Refining one interval spanning min..max rank would
+    # keep ~(q_max - q_min) of all rows as candidates forever — e.g.
+    # qs=[0.5, 0.9] pins ~40% of the table into the final gather. A
+    # massive duplicate run resolves WITHOUT gathering: when an interval
+    # collapses to lo == hi the value of every rank inside is known.
+    intervals = [{"lo": lo, "hi": hi, "below": 0, "count": total,
+                  "ranks": sorted(needed), "value": None, "pinned": False}]
 
-    below = 0  # values strictly left of the candidate interval
-    count_in = total
+    def _active(ivs):
+        return [iv for iv in ivs
+                if iv["value"] is None and iv["count"] > gather_max and not iv["pinned"]]
+
     for _ in range(64):
-        if count_in <= gather_max or lo == hi:
+        active = _active(intervals)
+        if not active:
             break
-        span_lo, span_hi, nb = lo, hi, buckets
+        spans = [(iv["lo"], iv["hi"]) for iv in active]
+        nb = buckets
 
         def hist_pass(b: pa.Table) -> pa.Table:
             v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-            v = v[(v >= span_lo) & (v <= span_hi)]
-            idx = np.clip(
-                np.floor((v - span_lo) / (span_hi - span_lo) * nb).astype(np.int64), 0, nb - 1
-            )
-            counts = np.bincount(idx, minlength=nb)
-            return pa.table({"counts": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+            v = v[~np.isnan(v)]
+            out = np.empty(len(spans) * nb, dtype=np.int64)
+            for si, (slo, shi) in enumerate(spans):
+                w = v[(v >= slo) & (v <= shi)]
+                idx = np.clip(
+                    np.floor((w - slo) / (shi - slo) * nb).astype(np.int64), 0, nb - 1
+                )
+                out[si * nb:(si + 1) * nb] = np.bincount(idx, minlength=nb)
+            return pa.table({"counts": pa.array([out.tolist()], pa.list_(pa.int64()))})
 
-        counts = np.zeros(nb, dtype=np.int64)
+        merged = np.zeros(len(spans) * nb, dtype=np.int64)
         for r in ds.map_batches(hist_pass, batch_format="pyarrow",
                                 zero_copy_batch=True).take_all():
-            counts += np.array(r["counts"], dtype=np.int64)
-        cum = np.cumsum(counts)
-        # bins holding order stats r_min..r_max (ranks are global: subtract
-        # the below-interval population first)
-        b0 = int(np.searchsorted(cum, r_min - below + 1, side="left"))
-        b1 = int(np.searchsorted(cum, r_max - below + 1, side="left"))
-        width = (span_hi - span_lo) / nb
-        new_lo = span_lo + b0 * width
-        new_hi = span_hi if b1 >= nb - 1 else span_lo + (b1 + 1) * width
-        below += int(cum[b0 - 1]) if b0 > 0 else 0
-        new_count = int(cum[b1] - (cum[b0 - 1] if b0 > 0 else 0))
-        if new_count == count_in and (new_lo, new_hi) == (lo, hi):
-            break  # duplicates pinned the interval; gather handles it
-        lo, hi, count_in = new_lo, new_hi, new_count
+            merged += np.array(r["counts"], dtype=np.int64)
 
-    # expand the gather interval by one final-pass bin width on each side:
-    # the histogram's floor() binning and the gather's direct comparison can
-    # disagree by an ulp at bin boundaries, and this makes the disagreement
-    # harmless (a few extra candidates, never a missing rank)
-    eps = (hi - lo) / buckets
-    g_lo, g_hi = lo - eps, hi + eps
+        done = [iv for iv in intervals if iv not in active]
+        for si, iv in enumerate(active):
+            counts = merged[si * nb:(si + 1) * nb]
+            cum = np.cumsum(counts)
+            span_lo, span_hi = iv["lo"], iv["hi"]
+            width = (span_hi - span_lo) / nb
+            # group this interval's ranks by the bin that contains them
+            by_bin: dict[int, list[int]] = {}
+            for rk in iv["ranks"]:
+                b0 = int(np.searchsorted(cum, rk - iv["below"] + 1, side="left"))
+                by_bin.setdefault(min(b0, nb - 1), []).append(rk)
+            for b0, rks in sorted(by_bin.items()):
+                new_lo = span_lo + b0 * width
+                new_hi = span_hi if b0 >= nb - 1 else span_lo + (b0 + 1) * width
+                sub = {
+                    "lo": new_lo,
+                    "hi": new_hi,
+                    "below": iv["below"] + (int(cum[b0 - 1]) if b0 > 0 else 0),
+                    "count": int(counts[b0]),
+                    "ranks": rks,
+                    "value": None,
+                    "pinned": False,
+                }
+                if new_lo == new_hi or width == 0.0 or not new_hi > new_lo:
+                    # collapsed to a point (duplicate run): value known, no
+                    # gather — this is the heavy-duplicate short-circuit
+                    sub["value"] = new_lo
+                elif (new_lo, new_hi, sub["count"]) == (span_lo, span_hi, iv["count"]) and len(by_bin) == 1:
+                    sub["pinned"] = True  # cannot shrink further; gather as-is
+                done.append(sub)
+        intervals = done
 
-    def gather_pass(b: pa.Table) -> pa.Table:
-        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
-        keep = v[(v >= g_lo) & (v <= g_hi)]
-        # recount below-interval locally: the refinement's accumulated
-        # `below` steered the interval, but the gather pass is the rank
-        # authority — one row per batch, tiny list payload
-        return pa.table(
-            {
-                "vals": pa.array([keep.tolist()], pa.list_(pa.float64())),
-                "n_below": pa.array([int((v < g_lo).sum())], pa.int64()),
-            }
-        )
+    # gather candidates for every unresolved interval in ONE pass
+    unresolved = [iv for iv in intervals if iv["value"] is None]
+    value_of_rank: dict[int, float] = {}
+    for iv in intervals:
+        if iv["value"] is not None:
+            for rk in iv["ranks"]:
+                value_of_rank[rk] = iv["value"]
+    if unresolved:
+        # expand each gather interval by one bin width: histogram floor()
+        # binning and the gather comparison can disagree by an ulp at bin
+        # edges; the expansion makes that harmless
+        bounds = [
+            (iv["lo"] - (iv["hi"] - iv["lo"]) / buckets,
+             iv["hi"] + (iv["hi"] - iv["lo"]) / buckets)
+            for iv in unresolved
+        ]
 
-    rows = ds.map_batches(gather_pass, batch_format="pyarrow",
-                          zero_copy_batch=True).take_all()
-    vals = np.sort(np.concatenate(
-        [np.asarray(r["vals"], dtype=np.float64) for r in rows]
-    ))
-    below_final = sum(int(r["n_below"]) for r in rows)
+        def gather_pass(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            vals_cols, below_cols = [], []
+            for g_lo, g_hi in bounds:
+                vals_cols.append(v[(v >= g_lo) & (v <= g_hi)].tolist())
+                below_cols.append(int((v < g_lo).sum()))
+            return pa.table(
+                {
+                    "vals": pa.array([vals_cols], pa.list_(pa.list_(pa.float64()))),
+                    "n_below": pa.array([below_cols], pa.list_(pa.int64())),
+                }
+            )
+
+        rows = ds.map_batches(gather_pass, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        for gi, iv in enumerate(unresolved):
+            vals = np.sort(np.concatenate(
+                [np.asarray(r["vals"][gi], dtype=np.float64) for r in rows]
+            )) if rows else np.array([])
+            below_final = sum(int(r["n_below"][gi]) for r in rows)
+            for rk in iv["ranks"]:
+                value_of_rank[rk] = float(
+                    vals[min(max(rk - below_final, 0), len(vals) - 1)]
+                )
 
     out = []
     for q in qs:
         p, f, c = pos[q]
-        vf = vals[min(max(f - below_final, 0), len(vals) - 1)]
-        vc = vals[min(max(c - below_final, 0), len(vals) - 1)]
+        vf = value_of_rank[f]
+        vc = value_of_rank[c]
         out.append(float(vf + (p - f) * (vc - vf)))
     return out
 

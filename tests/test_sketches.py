@@ -170,3 +170,24 @@ def test_hll_small_m_alpha_constants():
     assert h._SMALL_M_ALPHA[16] == 0.673
     h.add_hashed(stable_hash64(pa.array([f"x{i}" for i in range(2_000)])))
     assert abs(h.estimate() - 2_000) / 2_000 < 0.35  # ~26% stderr at m=16
+
+
+def test_exact_quantiles_spread_ranks_bounded_gather():
+    """Regression (r3 review): spread quantiles used to pin one interval
+    spanning min..max rank, gathering ~40% of all rows to the driver.
+    Per-rank intervals must stay exact under a tiny gather budget, and a
+    100k-duplicate run must resolve via interval collapse, not gather."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.sketches import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.normal(0, 100, 80_000), np.full(20_000, 42.0)])
+    rng.shuffle(v)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)})).repartition(6)
+    for qs in ([0.5, 0.9], [0.01, 0.25, 0.5, 0.75, 0.99], [0.0, 1.0]):
+        got = exact_quantiles(ds, "x", qs, gather_max=1024)
+        want = [float(np.quantile(v, q)) for q in qs]
+        assert got == want, (qs, got, want)
