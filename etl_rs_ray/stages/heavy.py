@@ -2,14 +2,18 @@
 EXACT output from two streaming passes, no shuffle.
 
 Pass 1 — candidates: each batch folds to its exact per-key counts
-(np.unique, vectorized) and the driver merges them through a Misra-Gries
-summary of m counters. MG guarantees every key with true frequency
-> N/m survives the summary, so with m >= k * headroom the true top-k is
-a subset of the candidates (undercount error <= N/m).
+(value_counts, vectorized), trims them to a batch-local Misra-Gries
+summary of m counters (so at most m rows per block reach the driver),
+and the driver merges the summaries. Every decrement — batch-local and
+driver-side — accumulates into an undercount bound: any key absent from
+the final summary has true count <= that bound.
 
 Pass 2 — exact: the candidate set (m keys) broadcasts into a filtered
-count pass; the emitted top-k counts are exact, so the result is
-SQL-hash-checkable despite the sketch in the middle.
+count pass; the emitted top-k counts are exact. If the k-th candidate's
+exact count does not clear the undercount bound the top-k CANNOT be
+certified (near-uniform keys) and the stage escalates to an exact
+one-shuffle groupby top-k instead of answering wrong. Null keys are
+excluded from the domain by definition.
 
 At 100 TB this replaces a full groupby shuffle of every key with
 2 map-only passes + O(m) driver state. Also useful operationally: run
