@@ -1139,6 +1139,18 @@ def embeddings_group_centroids(sf_dir: str):
     return out.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_stratified_sample(sf_dir: str):
+    """Exactly 20 events per event_type, selected by per-group hash rank
+    (stages/sampling.py::stratified_sample_n) — the balanced-subset
+    primitive; oracle mirrors it with row_number over md5 order."""
+    from ..stages.sampling import stratified_sample_n
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    out = stratified_sample_n(ds, "event_type", "event_id", 20)
+    return drop_empty_blocks(out.select_columns(["event_id", "event_type"]))
+
+
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -1196,6 +1208,7 @@ QUERIES = {
     "customers_pii_redact": customers_pii_redact,
     "docs_repetition_stats": docs_repetition_stats,
     "events_funnel": events_funnel,
+    "events_stratified_sample": events_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -1622,6 +1635,17 @@ ORACLE_SQL["docs_deterministic_sample"] = f"""
 # == cut belongs to the earlier interval on both sides)
 _SPLIT_C0 = min(int(0.9 * (1 << 64)), (1 << 64) - 1)
 _SPLIT_C1 = min(int(0.95 * (1 << 64)), (1 << 64) - 1)
+ORACLE_SQL["events_stratified_sample"] = """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5_number_lower('s0:' || CAST(event_id AS VARCHAR)),
+                        event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 20
+"""
 ORACLE_SQL["events_funnel"] = """
     WITH s0 AS (
       SELECT user_id, min(ts) AS t FROM events

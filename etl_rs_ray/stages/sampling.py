@@ -152,3 +152,32 @@ def assign_split(ds, id_col: str, splits: "dict[str, float]", seed: str = "s0",
         return b.append_column(split_col, pa.array(labels.tolist(), pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_n(ds, group_col: str, id_col: str, n_per_group: int,
+                        seed: str = "s0", num_partitions: int = 8):
+    """EXACTLY min(n, group size) rows per group, selected by hash rank:
+    within each group keep the n rows with the smallest
+    md5(seed || ':' || id) — deterministic, layout-independent, and
+    SQL-mirrorable as row_number() OVER (PARTITION BY g ORDER BY
+    md5_number_lower(...), id) <= n. One hash-shuffle groupby; per-group
+    work is one sort + head. The balanced-subset primitive fraction
+    sampling can't give (deterministic_sample only hits fractions)."""
+    import pyarrow.compute as _pc
+
+    from .dedup import md5_u64, _group_partitions, _hash_shuffle
+
+    def pick(group: pa.Table) -> pa.Table:
+        ids = _pc.cast(group.column(id_col).combine_chunks(), pa.string()).to_pylist()
+        import numpy as np
+
+        h = np.array([md5_u64(f"{seed}:{i}") for i in ids], dtype=np.uint64)
+        t = group.append_column("_h", pa.array(h))
+        idx = _pc.sort_indices(t, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+        return t.take(idx[: min(n_per_group, t.num_rows)]).drop_columns(["_h"])
+
+    return (
+        _hash_shuffle(ds)
+        .groupby(group_col, num_partitions=min(num_partitions, _group_partitions()))
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -161,3 +161,25 @@ def test_assign_split_validates_fractions():
     ds = ray.data.from_arrow(_docs(10))
     with pytest.raises(ValueError):
         assign_split(ds, "doc_id", {"train": 0.9, "val": 0.2})
+
+
+def test_stratified_sample_n_exact_and_layout_independent():
+    from etl_rs_ray.stages.sampling import stratified_sample_n
+
+    t = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "src": pa.array([("a", "b", "c")[i % 3] for i in range(300)]),
+    })
+    a = sorted((r["src"], r["doc_id"]) for r in stratified_sample_n(
+        ray.data.from_arrow(t).repartition(2), "src", "doc_id", 7).take_all())
+    b = sorted((r["src"], r["doc_id"]) for r in stratified_sample_n(
+        ray.data.from_arrow(t).repartition(9), "src", "doc_id", 7).take_all())
+    assert a == b
+    from collections import Counter
+    c = Counter(s for s, _ in a)
+    assert c == {"a": 7, "b": 7, "c": 7}
+    # groups smaller than n keep everything
+    small = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "src": pa.array(["x", "x"])})
+    out = stratified_sample_n(ray.data.from_arrow(small), "src", "doc_id", 10).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
