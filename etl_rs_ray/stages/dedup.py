@@ -965,6 +965,8 @@ def decontaminate(
     num_perm: int = 64,
     bands: int = 8,
     small_input: bool = False,
+    broadcast_reference: bool | None = None,
+    broadcast_max_bands: int = 2_000_000,
 ):
     """Benchmark decontamination: remove from ``corpus`` every document
     that shares a minhash LSH band bucket with ANY ``reference`` document
@@ -973,16 +975,58 @@ def decontaminate(
     — same perms31 word-trigram signature pipeline, so a SQL oracle
     recomputes the removed set exactly.
 
-    Scale shape: both corpora band in one map pass each (no cross join);
-    a union + ONE hash-shuffle groupby on (band, sig) finds buckets
-    containing a reference doc — per-bucket work is a filter, O(bucket),
-    so a hot bucket (boilerplate text) cannot go quadratic. Survivors
-    come from a hash-partitioned ANTI JOIN (contaminated ids stay a
-    Dataset); ``small_input=True`` gathers the tiny bands table into one
-    task and broadcasts the removal set instead.
+    Scale shapes, chosen by ``broadcast_reference`` (auto: broadcast when
+    the reference's band set fits ``broadcast_max_bands``):
+
+    - BROADCAST (the common case — benchmark sets are tiny next to the
+      training corpus): the reference's distinct (band, sig) keys are
+      collected once, ``ray.put`` once, and the corpus is banded, probed
+      and FILTERED in a single map pass — zero shuffles, zero joins, the
+      corpus streams through exactly once.
+    - SHUFFLE (both sides large): both corpora band in one map pass each,
+      a union + ONE hash-shuffle groupby on (band, sig) finds buckets
+      containing a reference doc (per-bucket work is a filter, O(bucket),
+      so a hot boilerplate bucket cannot go quadratic); survivors come
+      from a hash-partitioned ANTI JOIN. ``small_input=True`` gathers the
+      tiny bands table into one task instead.
     """
     ref_text_col = ref_text_col or text_col
     ref_id_col = ref_id_col or id_col
+
+    if broadcast_reference is None:
+        # bands-per-doc rows: count() is parquet metadata when available
+        broadcast_reference = reference.count() * bands <= broadcast_max_bands
+    if broadcast_reference:
+        import ray as _ray
+
+        ref_bands = reference.map_batches(
+            make_minhash_bands_pairwise(ref_text_col, ref_id_col, num_perm, bands),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        keys = set()
+        for b in ref_bands.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for band, sig in zip(b.column("band").to_pylist(), b.column("sig").to_pylist()):
+                keys.add(f"{band}|{sig}")
+        key_ref = _ray.put(pa.array(sorted(keys)))
+        band_fn = make_minhash_bands_pairwise(text_col, id_col, num_perm, bands)
+
+        def filter_contaminated(batch: pa.Table) -> pa.Table:
+            ref_keys = _ray.get(key_ref)
+            bd = band_fn(batch)
+            key = pc.binary_join_element_wise(
+                pc.cast(bd.column("band"), pa.string()), bd.column("sig"), "|"
+            )
+            hit_ids = pc.unique(
+                bd.filter(pc.is_in(key, value_set=ref_keys)).column(id_col).combine_chunks()
+            )
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(id_col), value_set=hit_ids))
+            )
+
+        return corpus.map_batches(
+            filter_contaminated, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     corp_bands = corpus.map_batches(
         make_minhash_bands_pairwise(text_col, id_col, num_perm, bands),

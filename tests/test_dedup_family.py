@@ -337,3 +337,33 @@ def test_decontaminate_distinct_ref_columns():
         ref_text_col="content", ref_id_col="bench_id", small_input=True,
     ).take_all())
     assert out == [2]
+
+
+def test_decontaminate_broadcast_path_agrees():
+    """The zero-shuffle broadcast path must remove exactly the same docs
+    as the shuffle and gathered paths."""
+    import ray.data
+
+    from etl_rs_ray.stages.dedup import decontaminate
+
+    bench = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "machine learning benchmarks must never leak into the training corpus",
+    ]
+    corpus_rows = [
+        {"doc_id": 1, "text": bench[0].replace("lazy", "sleepy")},
+        {"doc_id": 2, "text": bench[1]},
+        {"doc_id": 3, "text": "completely unrelated content about ray data pipelines"},
+        {"doc_id": 4, "text": None},
+    ]
+    ref_rows = [{"doc_id": 100 + i, "text": t} for i, t in enumerate(bench)]
+    corpus = ray.data.from_items(corpus_rows).repartition(2)
+    reference = ray.data.from_items(ref_rows)
+
+    bc = sorted(r["doc_id"] for r in decontaminate(
+        corpus, reference, broadcast_reference=True).take_all())
+    sh = sorted(r["doc_id"] for r in decontaminate(
+        corpus, reference, broadcast_reference=False, small_input=False).take_all())
+    ga = sorted(r["doc_id"] for r in decontaminate(
+        corpus, reference, broadcast_reference=False, small_input=True).take_all())
+    assert bc == sh == ga == [3, 4]
