@@ -129,7 +129,18 @@ def _minhash_segments(
                 hi += 1
             s, e = starts[lo], starts[hi] if hi < ndocs else n
             seg = flat[s:e]
-            terms = (a[:, None] * seg[None, :] + b[:, None]) % modulus  # (perm, seg)
+            terms = a[:, None] * seg[None, :] + b[:, None]  # (perm, seg) < 2^62
+            if modulus == MINHASH_P31:
+                # Mersenne 2^61-1: shift-add reduction instead of integer
+                # division — x mod M = (x & M) + (x >> 61), one conditional
+                # subtract (~3x faster than %, same exact values). Constants
+                # in the array's own dtype: mixing uint64 with python ints
+                # promotes to float64 and breaks.
+                m_t = terms.dtype.type(MINHASH_P31)
+                terms = (terms & m_t) + (terms >> terms.dtype.type(61))
+                terms[terms >= m_t] -= m_t
+            else:
+                terms %= modulus
             out[lo:hi] = np.minimum.reduceat(terms, starts[lo:hi] - s, axis=1).T
             lo = hi
     return out
@@ -690,20 +701,32 @@ def make_minhash_bands_pairwise(text_col: str, id_col: str, num_perm: int, bands
             live_ids.append(doc_id)
             hlists.append(_memo_hashes(sh, "md5u32", lambda s: md5_u64(s) & 0xFFFFFFFF).astype(np.int64))
         flat, starts, keep = _flatten_hash_lists(hlists)
-        out_band, out_sig, out_id = [], [], []
-        if flat is not None:
-            sigs = _minhash_segments(flat, starts, a, b, MINHASH_P31)
-            for row, doc_id in enumerate(live_ids):
-                sig = sigs[row]
-                for bi in range(bands):
-                    chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                    out_band.append(bi)
-                    out_sig.append("-".join(str(int(v)) for v in chunk))
-                    out_id.append(doc_id)
+        if flat is None:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "sig": pa.array([], pa.string()),
+                    id_col: pa.array([]),
+                }
+            )
+        sigs = _minhash_segments(flat, starts, a, b, MINHASH_P31)
+        nlive = len(live_ids)
+        # '-'-joined band strings entirely in Arrow kernels: the flattened
+        # doc-major signature order puts each band's rows_per_band values
+        # consecutively, so one int->string cast + a zero-copy ListArray
+        # wrap + ONE binary_join produce every band string (the per-value
+        # Python str()/join loop was ~20% of the whole UDF)
+        flat_strs = pc.cast(pa.array(sigs.ravel()), pa.string())
+        offsets = pa.array(
+            np.arange(0, nlive * num_perm + 1, rows_per_band, dtype=np.int32)
+        )
+        out_sig = pc.binary_join(pa.ListArray.from_arrays(offsets, flat_strs), "-")
+        out_band = np.tile(np.arange(bands, dtype=np.int32), nlive)
+        out_id = np.repeat(np.asarray(live_ids), bands)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "sig": pa.array(out_sig, pa.string()),
+                "band": pa.array(out_band),
+                "sig": out_sig,
                 id_col: pa.array(out_id),
             }
         )
