@@ -1165,6 +1165,139 @@ def docs_split(sf_dir: str):
     return assign_split(ds, "doc_id", _SPLITS, seed="s0", hash="md5")
 
 
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    # value is exact 2-decimal in the testdata, so x*100 is never near a
+    # rounding boundary — integer cents are bit-exact on both sides
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def events_scd2_history(sf_dir: str):
+    """SCD2 (slowly-changing-dimension type-2) history materialization
+    from the change stream — the canonical CDC output the LWW state
+    collapses away: each event opens a version of its user's state valid
+    from its own LSN (event_id) until the user's NEXT event, exclusive;
+    the last event leaves an open current version (valid_to = -1
+    sentinel keeps the column non-null int64 for the driver hash). ONE
+    keyed shuffle + a vectorized LEAD kernel
+    (stages/ordered.py::scd2_history)."""
+    from ..stages.ordered import scd2_history
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["value"]).append_column("value_cents", _cents(b.column("value")))
+
+    out = scd2_history(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "event_id",
+        ["event_type", "value_cents"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("valid_to"),
+            "valid_to",
+            pc.fill_null(b.column("valid_to"), -1),
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def events_running_total(sf_dir: str):
+    """Per-key ordered running aggregates — cumulative revenue per user
+    over LSN order plus LAG(value) and ROW_NUMBER — the SQL window
+    functions Ray Data lacks, in one keyed shuffle with a numpy
+    segment-scan kernel (stages/ordered.py::running_per_key). Values are
+    quantized to integer cents BEFORE the fold so the cumulative sum is
+    exact under any execution order."""
+    from ..stages.ordered import running_per_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["value"]).append_column("value_cents", _cents(b.column("value")))
+
+    out = running_per_key(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "event_id",
+        "value_cents",
+        sum_col="run_value_cents",
+        lag_col="prev_value_cents",
+        rownum_col="rn",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("prev_value_cents"),
+            "prev_value_cents",
+            pc.fill_null(b.column("prev_value_cents"), -1),
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def events_watermark(sf_dir: str):
+    """Streaming watermark + late-event flags over the whole stream: the
+    low watermark at each event is the running MAX of event-time over
+    all PRIOR events in LSN (arrival) order, and an event is late when
+    its own time lags the watermark by more than the allowed lateness
+    (60 s). Plus an inclusive running max of value as a non-monotone
+    check of the same scan. No global sort: a two-pass distributed
+    prefix scan over event_id ranges (stages/ordered.py::prefix_scan —
+    O(ranges) driver state, one balanced keyed shuffle)."""
+    from ..stages.ordered import prefix_scan
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts_micros": pc.cast(b.column("ts"), pa.int64()),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    out = prefix_scan(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "event_id",
+        [
+            ("ts_micros", "max", "wm_micros", False),
+            ("value_cents", "max", "run_max_value_cents", True),
+        ],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        late = pc.fill_null(
+            pc.less(b.column("ts_micros"), pc.subtract(b.column("wm_micros"), 60_000_000)),
+            False,
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "wm_micros": pc.fill_null(b.column("wm_micros"), -1),
+                "late": late,
+                "run_max_value_cents": b.column("run_max_value_cents"),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1209,6 +1342,9 @@ QUERIES = {
     "docs_repetition_stats": docs_repetition_stats,
     "events_funnel": events_funnel,
     "events_stratified_sample": events_stratified_sample,
+    "events_scd2_history": events_scd2_history,
+    "events_running_total": events_running_total,
+    "events_watermark": events_watermark,
 }
 
 ORACLE_SQL = {
@@ -1814,4 +1950,37 @@ ORACLE_SQL["media_features"] = """
            THEN CAST(((1 + octet_length(encode(text)) % 97) + 9) // 10 AS BIGINT)
            ELSE NULL END AS n_offsets
     FROM documents
+"""
+
+ORACLE_SQL["events_scd2_history"] = """
+    SELECT user_id,
+           event_id AS valid_from,
+           COALESCE(LEAD(event_id) OVER w, -1) AS valid_to,
+           LEAD(event_id) OVER w IS NULL AS is_current,
+           event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+ORACLE_SQL["events_running_total"] = """
+    SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS run_value_cents,
+           COALESCE(LAG(CAST(round(value * 100) AS BIGINT)) OVER w, -1)
+               AS prev_value_cents,
+           ROW_NUMBER() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+ORACLE_SQL["events_watermark"] = """
+    SELECT event_id,
+           COALESCE(MAX(epoch_us(ts)) OVER wprior, -1) AS wm_micros,
+           COALESCE(epoch_us(ts) < MAX(epoch_us(ts)) OVER wprior - 60000000,
+                    FALSE) AS late,
+           MAX(CAST(round(value * 100) AS BIGINT)) OVER
+               (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+               AS run_max_value_cents
+    FROM events
+    WINDOW wprior AS
+        (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """

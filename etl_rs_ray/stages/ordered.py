@@ -1,0 +1,332 @@
+"""Ordered window operators: per-key SCD2 / running aggregates and a
+distributed global prefix scan.
+
+Ray Data has no native ordered window functions (LEAD / LAG / cumulative
+aggregates / ROW_NUMBER); these implement the two shapes that cover
+them, both shuffle-minimal:
+
+- **per-key ordered kernels** (`per_key_ordered` + the kernels built on
+  it): ONE keyed hash shuffle (`groupby().map_groups`), then a single
+  vectorized numpy pass over each group block sorted by the order
+  column — segment boundaries come from the first-per-key mask, so one
+  block may hold many groups and no Python row loop ever runs. Covers
+  SCD2 interval materialization (the classic CDC history table),
+  per-key running totals, lag deltas, and row numbers.
+
+- **global ordered prefix scan** (`prefix_scan`): running min/max/sum
+  over ONE total order (an LSN / event-id axis) without a global sort.
+  Two passes: (1) a bounded-domain partial pass folds each batch to at
+  most R per-range partial aggregates (R = number of order ranges, the
+  same no-shuffle gather shape as the Q1 aggregate), the driver
+  exclusive-scans the R carries; (2) one keyed shuffle on the range id
+  co-locates each range, and a vectorized fold applies the carry-in.
+  Per-task state is O(rows/R); driver state is O(R). This is the
+  watermark primitive: the exclusive running max of event-time over
+  arrival (LSN) order IS the stream's low watermark, and late rows are
+  `ts < watermark - allowed_lateness`.
+
+Semantics are pinned to the equivalent ANSI SQL window functions — the
+oracle queries in pipelines/queries.py state them explicitly. Reference
+parity: the reference engine exposes no window functions (its CDC state
+is last-writer-wins only, crates/libs/lib-etl — see stages/merge_apply
+for that path); SCD2 extends the same event envelope (key, lsn, op)
+to full history, deletes closing intervals without opening new ones.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from .merge_apply import _first_per_key_mask
+
+
+def _hash_shuffle(ds):
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
+def _num_partitions(cap: int = 32) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cap, cpus))
+
+
+# --- per-key ordered kernels --------------------------------------------------
+
+
+def per_key_ordered(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    kernel: Callable[[pa.Table, np.ndarray, np.ndarray], pa.Table],
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """ONE keyed shuffle, then ``kernel(sorted_block, first_mask, gidx)``
+    over each group block sorted by ``(key_cols..., order_col)`` asc.
+    ``first_mask[i]`` is True on the first row of each key run and
+    ``gidx`` maps rows to 0-based group indices — everything a
+    vectorized window kernel needs. A block may hold many groups."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sort_keys = [(k, "ascending") for k in keys] + [(order_col, "ascending")]
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _first_per_key_mask(t, tuple(keys)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        return kernel(t, first, gidx)
+
+    nparts = num_partitions or _num_partitions()
+    return (
+        _hash_shuffle(ds)
+        .groupby(keys if len(keys) > 1 else keys[0], num_partitions=nparts)
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def _lead_within(arr: np.ndarray, first: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEAD(arr) within segments: value of the next row, null (mask True)
+    on each segment's last row."""
+    n = len(arr)
+    out = np.empty(n, dtype=arr.dtype)
+    nullmask = np.empty(n, dtype=bool)
+    if n:
+        out[:-1] = arr[1:]
+        out[-1] = arr[-1]
+        nullmask[:-1] = first[1:]
+        nullmask[-1] = True
+    return out, nullmask
+
+
+def _lag_within(arr: np.ndarray, first: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LAG(arr) within segments: value of the previous row, null on each
+    segment's first row."""
+    n = len(arr)
+    out = np.empty(n, dtype=arr.dtype)
+    if n:
+        out[1:] = arr[:-1]
+        out[0] = arr[0]
+    return out, first.copy()
+
+
+def _segment_positions(first: np.ndarray, gidx: np.ndarray) -> np.ndarray:
+    """0-based position of each row within its segment."""
+    starts = np.flatnonzero(first)
+    return np.arange(len(first)) - starts[gidx]
+
+
+def scd2_history(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    lsn_col: str,
+    attr_cols: Sequence[str],
+    *,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 history from an ordered change
+    stream: every change event opens a version valid from its own LSN
+    until the key's NEXT event (exclusive); the key's last event leaves
+    an open (null ``valid_to``) current version. With ``op_col``, rows
+    whose op equals ``delete_op`` close the preceding version without
+    opening one (the delete row itself is not a version).
+
+    Equivalent SQL: ``LEAD(lsn) OVER (PARTITION BY key ORDER BY lsn)``
+    as ``valid_to``, filtering out delete rows after the LEAD.
+
+    One keyed shuffle; the per-group kernel is pure numpy. Output
+    columns: ``key_cols..., valid_from, valid_to, is_current,
+    attr_cols...``."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def kernel(t: pa.Table, first: np.ndarray, gidx: np.ndarray) -> pa.Table:
+        lsn = t.column(lsn_col).to_numpy(zero_copy_only=False)
+        lead, nullmask = _lead_within(lsn, first)
+        cols = {k: t.column(k) for k in keys}
+        cols["valid_from"] = t.column(lsn_col)
+        cols["valid_to"] = pa.array(lead, pa.int64(), mask=nullmask)
+        cols["is_current"] = pa.array(nullmask)
+        for a in attr_cols:
+            cols[a] = t.column(a)
+        out = pa.table(cols)
+        if op_col is not None:
+            keep = pc.not_equal(t.column(op_col), pa.scalar(delete_op))
+            out = out.filter(pc.fill_null(keep, True))
+        return out
+
+    return per_key_ordered(ds, keys, lsn_col, kernel, num_partitions=num_partitions)
+
+
+def running_per_key(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    sum_col: str | None = "run_sum",
+    lag_col: str | None = None,
+    rownum_col: str | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key ordered running aggregates in one keyed shuffle:
+    cumulative sum of ``value_col`` (int64 — quantize floats to integer
+    units first so the fold is exact and order-proof), LAG(value) (null
+    on each key's first row), and 1-based ROW_NUMBER. Equivalent SQL:
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ord)``, ``LAG(v) OVER
+    (...)``, ``ROW_NUMBER() OVER (...)``."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def kernel(t: pa.Table, first: np.ndarray, gidx: np.ndarray) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"running_per_key needs an integer {value_col!r}; quantize floats first"
+            )
+        cols = dict(zip(t.column_names, t.columns))
+        if sum_col:
+            cs = np.cumsum(v)
+            starts = np.flatnonzero(first)
+            base = np.where(starts == 0, 0, cs[np.maximum(starts - 1, 0)])
+            cols[sum_col] = pa.array(cs - base[gidx], pa.int64())
+        if lag_col:
+            lagged, nullmask = _lag_within(v, first)
+            cols[lag_col] = pa.array(lagged, pa.int64(), mask=nullmask)
+        if rownum_col:
+            cols[rownum_col] = pa.array(_segment_positions(first, gidx) + 1, pa.int64())
+        return pa.table(cols)
+
+    return per_key_ordered(ds, keys, order_col, kernel, num_partitions=num_partitions)
+
+
+# --- global ordered prefix scan ----------------------------------------------
+
+_OPS = {
+    "max": (np.maximum, np.iinfo(np.int64).min),
+    "min": (np.minimum, np.iinfo(np.int64).max),
+    "sum": (np.add, 0),
+}
+
+
+def prefix_scan(
+    ds: ray.data.Dataset,
+    order_col: str,
+    specs: Sequence[tuple[str, str, str, bool]],
+    *,
+    ranges: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed prefix scan over ONE total order. Each spec is
+    ``(value_col, op, out_col, inclusive)`` with op in {max,min,sum};
+    value columns must be non-null int64 (quantize first). Exclusive
+    scans emit null on the global first row (no prior value).
+
+    Two passes: (1) bounded-domain partials — each batch folds to ≤R
+    rows keyed by the order range (uniform split of [min,max]; an LSN
+    axis is dense so ranges are balanced — for a skewed order column
+    pick boundaries from a histogram), gathered and exclusive-scanned
+    on the driver (O(R) state); (2) one keyed shuffle on ``_range_id``
+    and a numpy accumulate per range with the carry-in applied. No
+    global sort at any scale.
+
+    Equivalent SQL: ``AGG(v) OVER (ORDER BY ord ROWS UNBOUNDED
+    PRECEDING [AND 1 PRECEDING for exclusive])``. Requires distinct
+    ``order_col`` values (an LSN); ties within one range would scan in
+    sort order but ties ACROSS a range boundary would see a carry that
+    includes only the earlier range — an LSN axis has no ties."""
+    for _, op, _, _ in specs:
+        if op not in _OPS:
+            raise ValueError(f"unknown op {op!r}")
+
+    stats = ds.aggregate(Min(order_col), Max(order_col), Count())
+    lo, hi = stats[f"min({order_col})"], stats[f"max({order_col})"]
+    n_rows = stats["count()"]
+    if n_rows == 0:
+        return ds
+    nparts = num_partitions or _num_partitions()
+    r = int(ranges or min(64, max(2, n_rows // 10_000 + 1), nparts * 2))
+    span = max(1, (int(hi) - int(lo) + 1))
+
+    def _range_ids(order: np.ndarray) -> np.ndarray:
+        return ((order.astype(np.int64) - int(lo)) * r // span).astype(np.int64)
+
+    value_cols = sorted({s[0] for s in specs})
+    agg_ops = sorted({(s[0], s[1]) for s in specs if s[1] != "sum"}) + sorted(
+        {(s[0], "sum") for s in specs if s[1] == "sum"}
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("_range_id", pa.array(
+            _range_ids(b.column(order_col).to_numpy(zero_copy_only=False))))
+        g = pa.TableGroupBy(b.select(["_range_id", *value_cols]), "_range_id").aggregate(
+            [(c, op) for c, op in agg_ops]
+        )
+        return g.rename_columns(["_range_id"] + [f"{c}_{op}" for c, op in agg_ops])
+
+    partials = (
+        ds.select_columns([order_col, *value_cols])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # ≤ R rows per input block — tiny by construction
+    )
+
+    # fold partials per range, then exclusive-scan the R carries
+    folded: dict[int, dict[tuple[str, str], int]] = {}
+    for row in partials:
+        d = folded.setdefault(int(row["_range_id"]), {})
+        for c, op in agg_ops:
+            v = int(row[f"{c}_{op}"])
+            fn, _ = _OPS[op]
+            d[(c, op)] = int(fn(d[(c, op)], v)) if (c, op) in d else v
+    carries: dict[int, dict[tuple[str, str], int | None]] = {}
+    acc: dict[tuple[str, str], int | None] = {k: None for k in agg_ops}
+    for rid in range(r):
+        carries[rid] = dict(acc)
+        if rid in folded:
+            for k, v in folded[rid].items():
+                fn, _ = _OPS[k[1]]
+                acc[k] = v if acc[k] is None else int(fn(acc[k], v))
+    carries_ref = ray.put(carries)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_range_id", pa.array(
+            _range_ids(b.column(order_col).to_numpy(zero_copy_only=False))))
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_range_id"])
+        t = t.take(pc.sort_indices(t, sort_keys=[(order_col, "ascending")]))
+        carry = ray.get(carries_ref)[int(t.column("_range_id")[0].as_py())]
+        cols = dict(zip(t.column_names, t.columns))
+        for value_col, op, out_col, inclusive in specs:
+            v = t.column(value_col).to_numpy(zero_copy_only=False)
+            if v.dtype != np.int64:
+                raise TypeError(f"prefix_scan needs int64 {value_col!r}")
+            fn, ident = _OPS[op]
+            c = carry[(value_col, op)]
+            inc = getattr(fn, "accumulate")(
+                np.concatenate(([c if c is not None else ident], v))
+            )
+            if inclusive:
+                cols[out_col] = pa.array(inc[1:], pa.int64())
+            else:
+                nullmask = np.zeros(t.num_rows, dtype=bool)
+                nullmask[0] = c is None
+                cols[out_col] = pa.array(inc[:-1], pa.int64(), mask=nullmask)
+        return pa.table(cols).drop_columns(["_range_id"])
+
+    return (
+        _hash_shuffle(ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("_range_id", num_partitions=min(nparts, r))
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -1,0 +1,173 @@
+"""Ordered window operators (stages/ordered.py): SCD2 interval
+materialization, per-key running aggregates, and the distributed global
+prefix scan — each cross-checked against DuckDB window functions on
+randomized inputs (the same SQL shapes the driver oracles state)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from etl_rs_ray.stages.ordered import (
+    per_key_ordered,
+    prefix_scan,
+    running_per_key,
+    scd2_history,
+)
+
+
+def _rand_stream(n: int, keys: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    lsn = rng.permutation(n).astype(np.int64)  # distinct, shuffled arrival
+    return pa.table(
+        {
+            "k": rng.integers(0, keys, n).astype(np.int64),
+            "lsn": lsn,
+            "op": rng.choice(["I", "U", "D"], n, p=[0.3, 0.55, 0.15]),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        }
+    )
+
+
+def _sorted_df(df, by):
+    return df.sort_values(by).reset_index(drop=True)
+
+
+def test_scd2_matches_lead_window():
+    t = _rand_stream(5000, 40, seed=1)
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = scd2_history(ds, "k", "lsn", ["v"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT k, lsn AS valid_from,
+                  LEAD(lsn) OVER w AS valid_to,
+                  LEAD(lsn) OVER w IS NULL AS is_current, v
+           FROM t WINDOW w AS (PARTITION BY k ORDER BY lsn)"""
+    ).fetchdf()
+    got = _sorted_df(got[want.columns.tolist()], ["k", "valid_from"])
+    want = _sorted_df(want, ["k", "valid_from"])
+    assert got["valid_from"].tolist() == want["valid_from"].tolist()
+    assert got["valid_to"].fillna(-1).tolist() == want["valid_to"].fillna(-1).tolist()
+    assert got["is_current"].tolist() == want["is_current"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+
+
+def test_scd2_delete_closes_without_opening():
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 1, 2],
+            "lsn": [10, 20, 30, 40, 5],
+            "op": ["I", "D", "I", "U", "D"],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    got = (
+        scd2_history(ray.data.from_arrow(t).repartition(3), "k", "lsn", ["v"], op_col="op")
+        .to_pandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    # k=1: I@10 closed by D@20 (no version for the delete), I@30 closed
+    # by U@40, U@40 open. k=2: only a delete -> NO versions at all.
+    assert got["valid_from"].tolist() == [10, 30, 40]
+    assert got["valid_to"].fillna(-1).tolist() == [20, 40, -1]
+    assert got["is_current"].tolist() == [False, False, True]
+    assert (got["k"] == 1).all()
+
+
+def test_running_per_key_matches_window_sql():
+    t = _rand_stream(5000, 25, seed=2)
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = running_per_key(
+        ds, "k", "lsn", "v", sum_col="rs", lag_col="prev", rownum_col="rn"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT k, lsn, v,
+                  SUM(v) OVER w AS rs, LAG(v) OVER w AS prev,
+                  ROW_NUMBER() OVER w AS rn
+           FROM t WINDOW w AS (PARTITION BY k ORDER BY lsn)"""
+    ).fetchdf()
+    got = _sorted_df(got[["k", "lsn", "v", "rs", "prev", "rn"]], ["k", "lsn"])
+    want = _sorted_df(want, ["k", "lsn"])
+    assert got["rs"].tolist() == want["rs"].tolist()
+    assert got["prev"].fillna(-9).tolist() == want["prev"].fillna(-9).tolist()
+    assert got["rn"].tolist() == want["rn"].tolist()
+
+
+def test_running_per_key_rejects_floats():
+    t = pa.table({"k": [1], "lsn": [1], "v": [1.5]})
+    with pytest.raises(Exception):  # TypeError inside the task -> RayTaskError
+        running_per_key(ray.data.from_arrow(t), "k", "lsn", "v").materialize()
+
+
+@pytest.mark.parametrize("nparts,ranges", [(1, 2), (6, 5), (13, 16)])
+def test_prefix_scan_matches_numpy(nparts, ranges):
+    rng = np.random.default_rng(3)
+    n = 4000
+    order = rng.permutation(np.arange(100, 100 + 2 * n, 2)[:n]).astype(np.int64)
+    v = rng.integers(-500, 500, n).astype(np.int64)
+    t = pa.table({"o": order, "v": v})
+    ds = ray.data.from_arrow(t).repartition(nparts)
+    got = (
+        prefix_scan(
+            ds,
+            "o",
+            [
+                ("v", "max", "rmax", True),
+                ("v", "max", "xmax", False),
+                ("v", "min", "rmin", True),
+                ("v", "sum", "rsum", True),
+            ],
+            ranges=ranges,
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    srt = np.argsort(order)
+    vs = v[srt]
+    assert got["rmax"].tolist() == np.maximum.accumulate(vs).tolist()
+    assert got["rmin"].tolist() == np.minimum.accumulate(vs).tolist()
+    assert got["rsum"].tolist() == np.cumsum(vs).tolist()
+    xm = got["xmax"].to_numpy()
+    assert np.isnan(xm[0])
+    np.testing.assert_array_equal(xm[1:], np.maximum.accumulate(vs)[:-1])
+
+
+def test_prefix_scan_single_row_and_empty():
+    t = pa.table({"o": pa.array([7], pa.int64()), "v": pa.array([3], pa.int64())})
+    got = prefix_scan(
+        ray.data.from_arrow(t), "o", [("v", "max", "m", True), ("v", "sum", "x", False)]
+    ).to_pandas()
+    assert got["m"].tolist() == [3]
+    assert got["x"].isna().all()
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    assert prefix_scan(empty, "o", [("v", "max", "m", True)]).count() == 0
+
+
+def test_per_key_ordered_multikey():
+    t = pa.table(
+        {
+            "a": [1, 1, 1, 2],
+            "b": ["x", "x", "y", "x"],
+            "lsn": [3, 1, 2, 9],
+            "v": [30, 10, 20, 90],
+        }
+    )
+
+    def kernel(tt, first, gidx):
+        import numpy as np
+
+        pos = np.arange(len(first)) - np.flatnonzero(first)[gidx]
+        return tt.append_column("pos", pa.array(pos, pa.int64()))
+
+    got = (
+        per_key_ordered(ray.data.from_arrow(t).repartition(2), ["a", "b"], "lsn", kernel)
+        .to_pandas()
+        .sort_values(["a", "b", "lsn"])
+    )
+    assert got["pos"].tolist() == [0, 1, 0, 0]
