@@ -1298,6 +1298,23 @@ def events_watermark(sf_dir: str):
     )
 
 
+def orders_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered semi join — the scale path for "fact rows whose
+    key is in a big filtered dimension": the BUILDING customers' keys
+    fold to one 2^20-bit Bloom bitmap (no shuffle), each orders batch
+    drops non-members with 4 vectorized bit probes, and only the
+    survivors (members + ~0.24% false positives) pay the exact
+    verification — so the result is EXACT and SQL-checkable while the
+    fact side never moves (stages/joins.py::bloom_semi_join)."""
+    from ..stages.joins import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    dim = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    ).select_columns(["c_custkey"])
+    return bloom_semi_join(orders, dim, on="o_custkey", dim_key="c_custkey")
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1345,6 +1362,7 @@ QUERIES = {
     "events_scd2_history": events_scd2_history,
     "events_running_total": events_running_total,
     "events_watermark": events_watermark,
+    "orders_bloom_semi_join": orders_bloom_semi_join,
 }
 
 ORACLE_SQL = {
@@ -1983,4 +2001,11 @@ ORACLE_SQL["events_watermark"] = """
     FROM events
     WINDOW wprior AS
         (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+ORACLE_SQL["orders_bloom_semi_join"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """

@@ -97,6 +97,136 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _key_hash64(arr: "pa.Array | pa.ChunkedArray") -> "np.ndarray":
+    """Vectorized version-stable 64-bit hash of a key column: integers go
+    straight through splitmix64; strings/binary use the owned poly64-v1
+    rolling hash (sources/event_log.stable_hash64)."""
+    import numpy as np
+
+    from ..sources.event_log import _splitmix64, stable_hash64
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        return _splitmix64(v.copy())
+    return stable_hash64(arr)
+
+
+def build_bloom(keys_ds, on: str, *, bits_log2: int = 20, k: int = 4):
+    """Distributed Bloom-filter build over a key column: each batch folds
+    to ONE partial bitmap (numpy bitwise_or at k probe positions derived
+    Kirsch-Mitzenmacher style from one 64-bit hash), the driver OR-merges
+    the per-block partials — m/8 bytes each, no shuffle. Returns the
+    bitmap (np.uint64 words) ready for ``ray.put``.
+
+    Size ``bits_log2`` to the key cardinality: false-positive rate is
+    (1 - e^(-k*n/m))^k — at m/n = 16 and k = 4 that is ~0.24%."""
+    import numpy as np
+
+    m_words = (1 << bits_log2) >> 6
+
+    def partial(b: pa.Table) -> pa.Table:
+        bm = np.zeros(m_words, dtype=np.uint64)
+        h = _key_hash64(b.column(on))
+        h1 = h >> np.uint64(64 - bits_log2)
+        h2 = (h & np.uint64((1 << 32) - 1)) | np.uint64(1)  # odd -> full-period step
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) & np.uint64((1 << bits_log2) - 1)
+            np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    parts = keys_ds.select_columns([on]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    bitmap = np.zeros(m_words, dtype=np.uint64)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint64)
+    return bitmap
+
+
+def bloom_semi_join(
+    fact,
+    dim,
+    on: str,
+    dim_key: str | None = None,
+    *,
+    bits_log2: int = 20,
+    k: int = 4,
+    anti: bool = False,
+    verify: str | None = "broadcast",
+    counters: dict | None = None,
+):
+    """Semi/anti join with a Bloom prefilter — the 100-TB shape: the
+    dimension's keys fold to ONE m-bit bitmap (``build_bloom``, no
+    shuffle), every fact batch drops non-members with k vectorized bit
+    probes against the broadcast bitmap, and only the tiny survivor set
+    pays for exact verification. ``verify="broadcast"`` re-checks
+    survivors against the exact distinct key set (collected
+    dataset-side), making the result EXACT — at a scale where even the
+    distinct key set can't broadcast, verify the survivors with one
+    keyed shuffle join instead (they are ~sel + 0.24% of the fact side,
+    not the fact side). ``verify=None`` returns the probabilistic
+    prefilter output alone (supersets the true result by the FPR; not
+    valid for ``anti``).
+
+    ``counters`` (optional dict) receives ``bloom_survivors`` — the
+    per-run evidence of how much the prefilter pruned."""
+    import ray
+
+    if anti and verify is None:
+        raise ValueError("anti join requires exact verification")
+    dim_key = dim_key or on
+    dkeys = dim.select_columns([dim_key])
+    if dim_key != on:
+        dkeys = dkeys.map_batches(
+            lambda b, _d=dim_key, _o=on: b.rename_columns([_o]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    bitmap_ref = ray.put(build_bloom(dkeys, on, bits_log2=bits_log2, k=k))
+
+    def make_probe(keep_members: bool):
+        def probe(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            bm = ray.get(bitmap_ref)
+            h = _key_hash64(batch.column(on))
+            h1 = h >> np.uint64(64 - bits_log2)
+            h2 = (h & np.uint64((1 << 32) - 1)) | np.uint64(1)
+            member = np.ones(len(h), dtype=bool)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) & np.uint64((1 << bits_log2) - 1)
+                bit = (bm[(pos >> np.uint64(6)).astype(np.int64)]
+                       >> (pos & np.uint64(63))) & np.uint64(1)
+                member &= bit.astype(bool)
+            return batch.filter(pa.array(member if keep_members else ~member))
+
+        return probe
+
+    survivors = fact.map_batches(
+        make_probe(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if verify is None:
+        return survivors
+    if verify != "broadcast":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    if counters is not None:
+        survivors = survivors.materialize()
+        counters["bloom_survivors"] = survivors.count()
+    if not anti:
+        return broadcast_semi_join(survivors, dkeys, on)
+    # a Bloom filter has no false negatives, so bloom-rejected rows are
+    # DEFINITE non-members; only the survivors (members + ~0.24% false
+    # positives) pay the exact check to recover the rest of the anti set
+    rejected = fact.map_batches(
+        make_probe(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    false_pos = broadcast_semi_join(survivors, dkeys, on, anti=True)
+    return rejected.union(false_pos)
+
+
 def range_join(
     points,
     intervals,

@@ -143,3 +143,62 @@ def test_range_join_bucket_guard():
     with pytest.raises(Exception, match="candidate pairs"):
         range_join(ray.data.from_arrow(points), ray.data.from_arrow(ivs),
                    "v", "lo", "hi", bucket_width=10.0, max_bucket_pairs=1000).take_all()
+
+
+def test_bloom_semi_join_exact_semi_and_anti():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(11)
+    fact_keys = rng.integers(0, 10_000, 20_000).astype(np.int64)
+    dim_keys = np.unique(rng.integers(0, 10_000, 800).astype(np.int64))
+    fact = ray.data.from_arrow(
+        pa.table({"fk": fact_keys, "payload": np.arange(20_000)})
+    ).repartition(6)
+    dim = ray.data.from_arrow(pa.table({"dk": dim_keys})).repartition(3)
+
+    member = np.isin(fact_keys, dim_keys)
+    counters = {}
+    semi = bloom_semi_join(fact, dim, on="fk", dim_key="dk", counters=counters)
+    got = sorted(r["payload"] for r in semi.take_all())
+    assert got == sorted(np.flatnonzero(member).tolist())
+    # the bloom pruned: survivors ≈ true members + tiny FP margin
+    assert counters["bloom_survivors"] >= int(member.sum())
+    assert counters["bloom_survivors"] <= int(member.sum()) + 0.01 * len(fact_keys)
+
+    anti = bloom_semi_join(fact, dim, on="fk", dim_key="dk", anti=True)
+    got_anti = sorted(r["payload"] for r in anti.take_all())
+    assert got_anti == sorted(np.flatnonzero(~member).tolist())
+
+
+def test_bloom_semi_join_string_keys_and_prefilter_superset():
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.joins import bloom_semi_join
+
+    fact = ray.data.from_arrow(
+        pa.table({"k": [f"key-{i}" for i in range(500)]})
+    ).repartition(4)
+    dim = ray.data.from_arrow(pa.table({"k": [f"key-{i}" for i in range(0, 500, 7)]}))
+    exact = {f"key-{i}" for i in range(0, 500, 7)}
+    got = {r["k"] for r in bloom_semi_join(fact, dim, on="k").take_all()}
+    assert got == exact
+    # verify=None: probabilistic prefilter output supersets the truth
+    approx = {r["k"] for r in bloom_semi_join(fact, dim, on="k", verify=None).take_all()}
+    assert exact <= approx
+
+
+def test_bloom_anti_requires_verification():
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from etl_rs_ray.stages.joins import bloom_semi_join
+
+    ds = ray.data.from_arrow(pa.table({"k": [1]}))
+    with pytest.raises(ValueError, match="verification"):
+        bloom_semi_join(ds, ds, on="k", anti=True, verify=None)
