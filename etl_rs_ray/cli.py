@@ -308,6 +308,34 @@ def main(argv: list[str] | None = None) -> int:
             want = con.sql(ORACLE_SQL[args.name]).arrow()
             out["oracle_rows"] = want.num_rows
             out["rows_match"] = want.num_rows == tbl.num_rows
+
+            # order-insensitive value compare, same canon the test
+            # harness uses (floats rounded to 6dp, nulls unified)
+            import math as _math
+
+            def _canon(t: _pa.Table):
+                df = t.to_pandas()
+                df = df[sorted(df.columns)]
+                rows = []
+                for row in df.itertuples(index=False):
+                    c = []
+                    for v in row:
+                        if isinstance(v, float):
+                            c.append(None if _math.isnan(v) else round(v, 6))
+                        else:
+                            try:
+                                import pandas as _pd
+
+                                c.append(None if _pd.isna(v) else v)
+                            except (TypeError, ValueError):
+                                c.append(v)
+                    rows.append(tuple(c))
+                return sorted(rows, key=repr)
+
+            out["schema_match"] = sorted(tbl.column_names) == sorted(want.column_names)
+            out["values_match"] = bool(
+                out["rows_match"] and out["schema_match"] and _canon(tbl) == _canon(want)
+            )
         print(json.dumps(out, default=str))
         _ray.shutdown()
         return 0

@@ -1315,6 +1315,54 @@ def orders_bloom_semi_join(sf_dir: str):
     return bloom_semi_join(orders, dim, on="o_custkey", dim_key="c_custkey")
 
 
+def orders_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP status, priority) in ONE
+    keyed shuffle: per-batch partials fold every grouping set to its
+    distinct cells before anything moves, sentinel keys keep the merged
+    shuffle key non-null (stages/grouping.py::grouping_sets). Prices are
+    quantized to integer cents pre-aggregation so every level's sum is
+    exact under any fold order."""
+    from ..stages.grouping import grouping_sets, rollup_sets
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["o_totalprice"]).append_column(
+            "revenue_cents", _cents(b.column("o_totalprice"))
+        )
+
+    return grouping_sets(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        rollup_sets(["o_orderstatus", "o_orderpriority"]),
+        ["revenue_cents"],
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_by_type(sf_dir: str):
+    """Long→wide pivot: one row per user with a revenue column per event
+    type (bounded, declared category domain — no discovery pre-pass) —
+    per-batch (user, type) partials, one keyed shuffle, vectorized
+    scatter to the wide layout (stages/grouping.py::pivot_wide)."""
+    from ..stages.grouping import pivot_wide
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["value"]).append_column("value_cents", _cents(b.column("value")))
+
+    return pivot_wide(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "event_type",
+        "value_cents",
+        _EVENT_TYPES,
+        total_col="total_cents",
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1363,6 +1411,8 @@ QUERIES = {
     "events_running_total": events_running_total,
     "events_watermark": events_watermark,
     "orders_bloom_semi_join": orders_bloom_semi_join,
+    "orders_rollup": orders_rollup,
+    "events_pivot_by_type": events_pivot_by_type,
 }
 
 ORACLE_SQL = {
@@ -2008,4 +2058,25 @@ ORACLE_SQL["orders_bloom_semi_join"] = """
     FROM orders
     WHERE o_custkey IN
         (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+ORACLE_SQL["orders_rollup"] = """
+    SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+ORACLE_SQL["events_pivot_by_type"] = """
+    SELECT user_id,
+      SUM(CASE WHEN event_type='click'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS click_sum,
+      SUM(CASE WHEN event_type='error'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS error_sum,
+      SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS purchase_sum,
+      SUM(CASE WHEN event_type='signup'   THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS signup_sum,
+      SUM(CASE WHEN event_type='view'     THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS view_sum,
+      SUM(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+               THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS total_cents
+    FROM events
+    GROUP BY user_id
 """

@@ -1,0 +1,185 @@
+"""Multi-level aggregation: GROUPING SETS / ROLLUP / CUBE and pivot —
+the warehouse operators Ray Data has no native verbs for, built
+combiner-first so every level shares ONE keyed shuffle.
+
+``grouping_sets`` replicates each input row logically once per grouping
+set, but the replication happens AFTER a per-batch partial aggregate:
+each batch folds to at most Σ_s |groups_s(batch)| tiny partial rows
+(set id + keys with aggregated-away dimensions pinned to a sentinel +
+partial sums), and one hash shuffle on (set id, keys) merges them. The
+data volume entering the shuffle is the number of distinct group cells
+per batch, not rows × sets. Sentinels (not nulls) keep the shuffle keys
+non-null and the driver hash stable; the SQL mirror is
+``GROUP BY ROLLUP(...)`` with the same COALESCE sentinels.
+
+``pivot_wide`` turns a long (key, category, value) stream into one wide
+row per key with a column per category — per-batch partial (key,
+category) sums first, one keyed shuffle, then a vectorized long→wide
+scatter per group block. The category domain must be bounded and known
+(pass it explicitly — at 100 TB you do not want a full pre-pass to
+discover it; mirror is ``SUM(CASE WHEN ...)``).
+
+Values must be integers (quantize currency to cents first) so partial
+sums are exact under any fold order.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _hash_shuffle(ds):
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
+def _num_partitions(cap: int = 32) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cap, cpus))
+
+
+ALL_SENTINEL = "(all)"
+ALL_SENTINEL_INT = -1
+
+
+def rollup_sets(keys: Sequence[str]) -> list[tuple[str, ...]]:
+    """ROLLUP(a, b, c) = [(a,b,c), (a,b), (a,), ()]."""
+    return [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+
+
+def cube_sets(keys: Sequence[str]) -> list[tuple[str, ...]]:
+    """CUBE(a, b) = every subset, fixed order."""
+    out = []
+    n = len(keys)
+    for mask in range((1 << n) - 1, -1, -1):
+        out.append(tuple(k for i, k in enumerate(keys) if mask & (1 << i)))
+    return out
+
+
+def grouping_sets(
+    ds: ray.data.Dataset,
+    sets: Sequence[Sequence[str]],
+    sum_cols: Sequence[str],
+    *,
+    count_col: str = "n",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Aggregate ``sum_cols`` (int64) + a row count over every grouping
+    set in one shuffle. Output: one row per group cell per set, with
+    aggregated-away string keys pinned to ``"(all)"`` and integer keys
+    to ``-1`` (the SQL mirror coalesces the same sentinels)."""
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    sets = [tuple(s) for s in sets]
+    schema = ds.schema()
+    key_types = {n: t for n, t in zip(schema.names, schema.types)}
+    for k in all_keys:
+        if not (pa.types.is_string(key_types[k]) or pa.types.is_integer(key_types[k])):
+            raise TypeError(f"grouping key {k!r} must be string or integer")
+
+    def sentinel(k: str, n: int) -> pa.Array:
+        if pa.types.is_string(key_types[k]):
+            return pa.array([ALL_SENTINEL] * n, pa.string())
+        return pa.array([ALL_SENTINEL_INT] * n, pa.int64())
+
+    out_cols = all_keys + list(sum_cols) + [count_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        pieces = []
+        for s in sets:
+            aggs = [(c, "sum") for c in sum_cols] + [
+                (sum_cols[0] if sum_cols else all_keys[0], "count", pc.CountOptions(mode="all"))
+            ]
+            if s:
+                g = pa.TableGroupBy(b.select(list(s) + list(sum_cols)), list(s)).aggregate(aggs)
+                g = g.rename_columns(list(s) + list(sum_cols) + [count_col])
+            else:
+                vals = {c: pa.array([pc.sum(b.column(c)).as_py() or 0], pa.int64())
+                        for c in sum_cols}
+                vals[count_col] = pa.array([b.num_rows], pa.int64())
+                g = pa.table(vals)
+            n = g.num_rows
+            cols = {}
+            for k in all_keys:
+                cols[k] = g.column(k) if k in s else sentinel(k, n)
+            for c in sum_cols:
+                cols[c] = g.column(c)
+            cols[count_col] = g.column(count_col)
+            pieces.append(pa.table(cols).select(out_cols))
+        return pa.concat_tables(pieces)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, all_keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [(count_col, "sum")]
+        )
+        return g.rename_columns(all_keys + list(sum_cols) + [count_col])
+
+    nparts = num_partitions or _num_partitions()
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        _hash_shuffle(partials)
+        .groupby(all_keys if len(all_keys) > 1 else all_keys[0], num_partitions=nparts)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def pivot_wide(
+    ds: ray.data.Dataset,
+    key: str,
+    pivot_col: str,
+    value_col: str,
+    categories: Sequence[str],
+    *,
+    total_col: str | None = "total",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Long→wide pivot: one output row per ``key`` with a
+    ``{category}_sum`` column per category (int64, 0 when absent) and an
+    optional grand total. Rows whose category is not in ``categories``
+    are ignored (the domain is a declared input, not discovered)."""
+    cats = list(categories)
+    cat_idx = {c: i for i, c in enumerate(cats)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            b.select([key, pivot_col, value_col]), [key, pivot_col]
+        ).aggregate([(value_col, "sum")])
+        return g.rename_columns([key, pivot_col, value_col])
+
+    def widen(t: pa.Table) -> pa.Table:
+        ks = t.column(key)
+        uniq = pc.unique(ks)
+        kpos = pc.index_in(ks, value_set=uniq).to_numpy(zero_copy_only=False)
+        cpos_arr = pc.index_in(t.column(pivot_col), value_set=pa.array(cats, pa.string()))
+        cpos = cpos_arr.to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(cpos) if cpos.dtype.kind == "f" else np.ones(len(cpos), bool)
+        mat = np.zeros((len(uniq), len(cats)), dtype=np.int64)
+        np.add.at(mat, (kpos[known].astype(np.int64), cpos[known].astype(np.int64)),
+                  vals[known])
+        cols = {key: uniq}
+        for c in cats:
+            cols[f"{c}_sum"] = pa.array(mat[:, cat_idx[c]], pa.int64())
+        if total_col:
+            cols[total_col] = pa.array(mat.sum(axis=1), pa.int64())
+        return pa.table(cols)
+
+    nparts = num_partitions or _num_partitions()
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        _hash_shuffle(partials)
+        .groupby(key, num_partitions=nparts)
+        .map_groups(widen, batch_format="pyarrow")
+    )

@@ -1,0 +1,118 @@
+"""grouping_sets / rollup / cube / pivot_wide (stages/grouping.py) —
+cross-checked against DuckDB GROUP BY ROLLUP / CUBE / conditional
+aggregation on randomized inputs."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from etl_rs_ray.stages.grouping import cube_sets, grouping_sets, pivot_wide, rollup_sets
+
+
+def _data(n=5000, seed=5) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "a": rng.choice(["x", "y", "z"], n).astype(object),
+            "b": rng.integers(0, 4, n).astype(np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+
+
+def _ints(df):
+    return df.astype({c: "int64" for c in df.columns if c != "a"})
+
+
+def test_rollup_matches_duckdb():
+    t = _data()
+    got = (
+        grouping_sets(ray.data.from_arrow(t).repartition(6), rollup_sets(["a", "b"]), ["v"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT COALESCE(a,'(all)') AS a, COALESCE(b,-1) AS b,
+                  SUM(v) AS v, COUNT(*) AS n
+           FROM t GROUP BY ROLLUP(a,b) ORDER BY a,b"""
+    ).fetchdf()
+    assert _ints(got[["a", "b", "v", "n"]]).equals(_ints(want))
+
+
+def test_cube_matches_duckdb():
+    t = _data(seed=6)
+    got = (
+        grouping_sets(ray.data.from_arrow(t).repartition(4), cube_sets(["a", "b"]), ["v"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT COALESCE(a,'(all)') AS a, COALESCE(b,-1) AS b,
+                  SUM(v) AS v, COUNT(*) AS n
+           FROM t GROUP BY CUBE(a,b) ORDER BY a,b"""
+    ).fetchdf()
+    assert _ints(got[["a", "b", "v", "n"]]).equals(_ints(want))
+
+
+def test_grouping_sets_count_only():
+    t = _data(seed=7)
+    got = (
+        grouping_sets(ray.data.from_arrow(t).repartition(3), [("a",), ()], [])
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT COALESCE(a,'(all)') AS a, COUNT(*) AS n
+           FROM t GROUP BY GROUPING SETS ((a), ()) ORDER BY a"""
+    ).fetchdf()
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+
+
+def test_pivot_wide_matches_conditional_agg():
+    t = _data(seed=8)
+    got = (
+        pivot_wide(ray.data.from_arrow(t).repartition(5), "b", "a", "v", ["x", "y", "z"])
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT b,
+             SUM(CASE WHEN a='x' THEN v ELSE 0 END) AS x_sum,
+             SUM(CASE WHEN a='y' THEN v ELSE 0 END) AS y_sum,
+             SUM(CASE WHEN a='z' THEN v ELSE 0 END) AS z_sum,
+             SUM(v) AS total
+           FROM t GROUP BY b ORDER BY b"""
+    ).fetchdf()
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_pivot_wide_ignores_undeclared_categories():
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "c": pa.array(["x", "unknown", "x"], pa.string()),
+            "v": pa.array([10, 99, 20], pa.int64()),
+        }
+    )
+    got = (
+        pivot_wide(ray.data.from_arrow(t), "k", "c", "v", ["x"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["x_sum"].tolist() == [10, 20]
+    assert got["total"].tolist() == [10, 20]  # undeclared rows excluded
