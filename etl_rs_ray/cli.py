@@ -23,7 +23,9 @@ def _init_ray(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
+        # log_to_driver=False: raylet warnings would otherwise stream into
+        # stdout and corrupt the one-JSON-line output contract
+        kwargs = {"include_dashboard": False, "log_to_driver": False}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(address="local", **kwargs)

@@ -1363,6 +1363,82 @@ def events_pivot_by_type(sf_dir: str):
     )
 
 
+def events_cms_frequencies(sf_dir: str):
+    """Count-min-sketch frequency estimation over user_id (one
+    map_batches partial pass + driver merge — constant communication at
+    any scale), judged against exact per-user counts computed
+    distributedly. Invariant oracle: CMS never underestimates, and the
+    worst overestimate stays within the (e/w)*N bound at width 65536 —
+    both deterministic for the fixed poly64/splitmix hash family."""
+    import math
+
+    from ..stages.sketches import CountMinSketch, cms_frequencies
+    from ..sources.event_log import stable_hash64
+
+    width, depth = 65536, 4
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    sketch = cms_frequencies(ds, "user_id", width=width, depth=depth)
+
+    # exact side: bounded-domain per-batch partial -> one keyed shuffle
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "user_id").aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "n"])
+
+    exact = (
+        _hash_shuffle(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("user_id", num_partitions=_partitions(rows=_table_rows(sf_dir, "events")))
+        .sum("n")
+    )
+    rows = exact.take_all()  # one tiny row per distinct user
+    keys = pa.array([r["user_id"] for r in rows], pa.int64())
+    exact_n = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    est = sketch.estimate(stable_hash64(pc.cast(keys, pa.string())))
+    bound = math.ceil(math.e / width * sketch.total())
+    return pa.table(
+        {
+            "n_keys": pa.array([len(rows)], pa.int64()),
+            "cms_never_underestimates": pa.array([bool((est >= exact_n).all())]),
+            "cms_within_bound": pa.array([bool((est - exact_n <= bound).all())]),
+        }
+    )
+
+
+def events_distinct_users_by_type(sf_dir: str):
+    """COUNT(DISTINCT user) GROUP BY type two ways: a per-group
+    HyperLogLog (mergeable, no shuffle of user ids —
+    stages/sketches.py::grouped_approx_distinct) judged by the exact
+    distributed answer (unique-pair partials -> keyed shuffle). The
+    oracle recomputes the exact counts; the 5%-error flag (HLL p=12
+    standard error 1.6%) is asserted Ray-side and stated constant."""
+    from ..stages.sketches import grouped_approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    hll = grouped_approx_distinct(ds, "event_type", "user_id", p=12)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["event_type", "user_id"]).aggregate([])
+        return g
+
+    pairs = (
+        _hash_shuffle(ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby(["event_type", "user_id"], num_partitions=_partitions())
+        .count()
+        .groupby("event_type", num_partitions=_partitions(cap=8))
+        .count()
+    )
+    out = pairs.take_all()  # one row per event type (bounded domain)
+    types = [r["event_type"] for r in out]
+    exact = np.array([r["count()"] for r in out], dtype=np.int64)
+    est = np.array([hll.get(t, 0.0) for t in types])
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "exact_distinct": pa.array(exact, pa.int64()),
+            "hll_within_5pct": pa.array(np.abs(est - exact) / exact <= 0.05),
+        }
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1413,6 +1489,8 @@ QUERIES = {
     "orders_bloom_semi_join": orders_bloom_semi_join,
     "orders_rollup": orders_rollup,
     "events_pivot_by_type": events_pivot_by_type,
+    "events_cms_frequencies": events_cms_frequencies,
+    "events_distinct_users_by_type": events_distinct_users_by_type,
 }
 
 ORACLE_SQL = {
@@ -2079,4 +2157,21 @@ ORACLE_SQL["events_pivot_by_type"] = """
                THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS total_cents
     FROM events
     GROUP BY user_id
+"""
+
+# Invariant oracles: the Ray side computes BOTH the sketch and the exact
+# judge and asserts the error bounds; the SQL restates the exact values
+# and the bound flags as constants (same pattern as events_sketch_stats).
+ORACLE_SQL["events_cms_frequencies"] = """
+    SELECT count(DISTINCT user_id) AS n_keys,
+           true AS cms_never_underestimates,
+           true AS cms_within_bound
+    FROM events
+"""
+ORACLE_SQL["events_distinct_users_by_type"] = """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_distinct,
+           true AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
 """

@@ -429,3 +429,134 @@ def approx_quantiles(ds, col: str, qs: list[float], lo: float, hi: float,
     for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
         merged.counts += np.array(r["counts"], dtype=np.int64)
     return [merged.quantile(q) for q in qs]
+
+
+class CountMinSketch:
+    """Count-min frequency sketch (Cormode & Muthukrishnan '05): d
+    hash rows x w counters. Point estimate = min over rows — NEVER an
+    underestimate, and over by at most (e/w)*N with probability
+    1 - (1/e)^d. Rows merge by element-wise addition, so per-batch
+    partials fold exactly like the other sketches: one map_batches pass,
+    #blocks * d*w*8 bytes to the driver, no shuffle at any scale."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.w, self.d = int(width), int(depth)
+        self.counts = np.zeros((self.d, self.w), dtype=np.int64)
+
+    def add_hashed(self, hashes: "np.ndarray", weights: "np.ndarray | None" = None) -> None:
+        from ..sources.event_log import _splitmix64
+
+        h = hashes.astype(np.uint64, copy=True)
+        wts = weights if weights is not None else 1
+        for row in range(self.d):
+            # independent row hash: one extra splitmix round per row
+            h = _splitmix64(h + np.uint64(row + 1))
+            idx = (h % np.uint64(self.w)).astype(np.int64)
+            np.add.at(self.counts[row], idx, wts)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+    def estimate(self, hashes: "np.ndarray") -> "np.ndarray":
+        from ..sources.event_log import _splitmix64
+
+        h = hashes.astype(np.uint64, copy=True)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for row in range(self.d):
+            h = _splitmix64(h + np.uint64(row + 1))
+            idx = (h % np.uint64(self.w)).astype(np.int64)
+            est = np.minimum(est, self.counts[row][idx])
+        return est
+
+    def total(self) -> int:
+        return int(self.counts[0].sum())
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, width: int = 2048, depth: int = 4) -> "CountMinSketch":
+        s = cls(width, depth)
+        s.counts = np.frombuffer(b, dtype=np.int64).reshape(depth, width).copy()
+        return s
+
+
+def _string_hashes(col_arr) -> "np.ndarray":
+    from ..sources.event_log import stable_hash64
+
+    arr = col_arr.combine_chunks() if isinstance(col_arr, pa.ChunkedArray) else col_arr
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return stable_hash64(arr)
+
+
+def cms_frequencies(ds, col: str, width: int = 2048, depth: int = 4) -> CountMinSketch:
+    """Build one merged count-min sketch over a column: per-batch
+    partials -> driver merge. Query the result with
+    ``sketch.estimate(stable_hash64(keys))``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = CountMinSketch(width, depth)
+        col_arr = b.column(col)
+        if col_arr.null_count:
+            col_arr = pc.drop_null(col_arr)
+        if len(col_arr):
+            s.add_hashed(_string_hashes(col_arr))
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = CountMinSketch(width, depth)
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        merged.merge(CountMinSketch.from_bytes(r["sketch"], width, depth))
+    return merged
+
+
+def grouped_approx_distinct(ds, group_col: str, col: str, p: int = 12) -> dict:
+    """Distinct count per group via one HLL per (batch, group) — the
+    mergeable-sketch answer to ``COUNT(DISTINCT x) GROUP BY g`` when the
+    x-domain is unbounded but the group domain is small (event types,
+    languages, shards): communication is #blocks * |groups| * 2^p bytes,
+    no shuffle of the x values ever. For a LARGE group domain route the
+    sketch rows through one keyed shuffle instead (the per-group blobs
+    are already tiny)."""
+    from ..sources.event_log import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, col])
+        if t.column(col).null_count:
+            t = t.filter(pc.is_valid(t.column(col)))
+        groups, sketches = [], []
+        # vectorized per group: sort by group, slice runs
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending")])
+        t = t.take(idx)
+        garr = t.column(group_col)
+        import numpy as np_
+
+        keys = garr.to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({group_col: pa.array([], garr.type),
+                             "sketch": pa.array([], pa.binary())})
+        bounds = np_.flatnonzero(np_.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np_.concatenate((bounds[1:], [len(keys)]))
+        arr = t.column(col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+            arr = pc.cast(arr, pa.string())
+        hashes = stable_hash64(arr)
+        for s_i, e_i in zip(bounds.tolist(), ends.tolist()):
+            h = HyperLogLog(p)
+            h.add_hashed(hashes[s_i:e_i])
+            groups.append(keys[s_i])
+            sketches.append(h.to_bytes())
+        return pa.table({group_col: pa.array(groups, garr.type),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    merged: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        g = r[group_col]
+        h = HyperLogLog.from_bytes(r["sketch"], p)
+        if g in merged:
+            merged[g].merge(h)
+        else:
+            merged[g] = h
+    return {g: h.estimate() for g, h in merged.items()}

@@ -191,3 +191,69 @@ def test_exact_quantiles_spread_ranks_bounded_gather():
         got = exact_quantiles(ds, "x", qs, gather_max=1024)
         want = [float(np.quantile(v, q)) for q in qs]
         assert got == want, (qs, got, want)
+
+
+def test_cms_never_underestimates_and_bounds():
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.sources.event_log import stable_hash64
+    from etl_rs_ray.stages.sketches import CountMinSketch, cms_frequencies
+
+    rng = np.random.default_rng(9)
+    # zipf-ish key stream: heavy keys + long tail
+    keys = np.concatenate(
+        [np.repeat(np.arange(20), 500), rng.integers(100, 5000, 10_000)]
+    ).astype(np.int64)
+    rng.shuffle(keys)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    width, depth = 8192, 4
+    sketch = cms_frequencies(ds, "k", width=width, depth=depth)
+    assert sketch.total() == len(keys)
+
+    uniq, exact = np.unique(keys, return_counts=True)
+    est = sketch.estimate(stable_hash64(pa.array([str(u) for u in uniq])))
+    assert (est >= exact).all()  # structural: min of non-negative adds
+    bound = math.ceil(math.e / width * len(keys))
+    assert (est - exact <= bound).all()
+
+    # merge associativity: two half-sketches == one full sketch
+    half_a = cms_frequencies(
+        ray.data.from_arrow(pa.table({"k": keys[: len(keys) // 2]})), "k", width, depth
+    )
+    half_b = cms_frequencies(
+        ray.data.from_arrow(pa.table({"k": keys[len(keys) // 2:]})), "k", width, depth
+    )
+    assert (half_a.merge(half_b).counts == sketch.counts).all()
+
+    # serialization roundtrip
+    rt = CountMinSketch.from_bytes(sketch.to_bytes(), width, depth)
+    assert (rt.counts == sketch.counts).all()
+
+
+def test_grouped_approx_distinct():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.sketches import grouped_approx_distinct
+
+    rng = np.random.default_rng(10)
+    groups = rng.choice(["a", "b", "c"], 30_000)
+    # distinct domains of very different sizes per group
+    vals = np.where(
+        groups == "a",
+        rng.integers(0, 5_000, 30_000),
+        np.where(groups == "b", rng.integers(0, 200, 30_000), rng.integers(0, 17, 30_000)),
+    )
+    t = pa.table({"g": groups, "x": vals.astype(np.int64)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    est = grouped_approx_distinct(ds, "g", "x", p=12)
+    import pandas as pd
+
+    exact = pd.DataFrame({"g": groups, "x": vals}).groupby("g")["x"].nunique()
+    for g in ["a", "b", "c"]:
+        assert abs(est[g] - exact[g]) / exact[g] <= 0.05, (g, est[g], exact[g])
