@@ -1439,6 +1439,28 @@ def events_distinct_users_by_type(sf_dir: str):
     )
 
 
+def events_quantiles_by_type(sf_dir: str):
+    """EXACT per-group quantiles (percentile_disc) over a discrete value
+    domain: per-batch partials fold to distinct (type, cents) cells, ONE
+    keyed shuffle, sorted-cumsum order statistics
+    (stages/grouping.py::grouped_quantiles_discrete) — the
+    ``median(...) GROUP BY`` every quality-score pipeline wants, exact
+    at any scale because cost tracks distinct values, not rows."""
+    from ..stages.grouping import grouped_quantiles_discrete
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["value"]).append_column("value_cents", _cents(b.column("value")))
+
+    return grouped_quantiles_discrete(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "value_cents",
+        [0.5, 0.9, 0.99],
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1491,6 +1513,7 @@ QUERIES = {
     "events_pivot_by_type": events_pivot_by_type,
     "events_cms_frequencies": events_cms_frequencies,
     "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_quantiles_by_type": events_quantiles_by_type,
 }
 
 ORACLE_SQL = {
@@ -2172,6 +2195,19 @@ ORACLE_SQL["events_distinct_users_by_type"] = """
     SELECT event_type,
            count(DISTINCT user_id) AS exact_distinct,
            true AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["events_quantiles_by_type"] = """
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY CAST(round(value*100) AS BIGINT)) AS p05,
+           percentile_disc(0.9) WITHIN GROUP
+               (ORDER BY CAST(round(value*100) AS BIGINT)) AS p09,
+           percentile_disc(0.99) WITHIN GROUP
+               (ORDER BY CAST(round(value*100) AS BIGINT)) AS p099,
+           count(*) AS n
     FROM events
     GROUP BY event_type
 """

@@ -183,3 +183,84 @@ def pivot_wide(
         .groupby(key, num_partitions=nparts)
         .map_groups(widen, batch_format="pyarrow")
     )
+
+
+def grouped_quantiles_discrete(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    prefix: str = "p",
+    count_col: str = "n",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles (``percentile_disc`` semantics: the
+    smallest value whose cumulative count reaches ``ceil(q*n)``) for a
+    DISCRETE value domain — prices in cents, token counts, scores.
+
+    Per-batch partials fold to distinct (group, value) cells before
+    anything moves (the shuffle carries at most |groups|x|domain| rows
+    per block, not the input), one keyed shuffle co-locates each group,
+    and a sorted-cumsum kernel reads the order statistics. For an
+    unbounded/continuous domain use sketches.exact_quantiles (iterative
+    refinement) or tdigest_quantiles per group instead — this operator's
+    cost is proportional to distinct values, not rows.
+
+    ``value_col`` must be integer (quantize first). Output: one row per
+    group: ``group_col, {prefix}{q}..., n``."""
+    qs = [float(q) for q in qs]
+    out_names = [f"{prefix}{str(q).replace('.', '')}" for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select([group_col, value_col]), [group_col, value_col]).aggregate(
+            [(value_col, "count")]
+        )
+        return g.rename_columns([group_col, value_col, "_cnt"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"), (value_col, "ascending")]
+        ))
+        garr = t.column(group_col)
+        keys = garr.to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = t.column("_cnt").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            cols = {group_col: garr}
+            for name in out_names:
+                cols[name] = pa.array([], pa.int64())
+            cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        first = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(first)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        out = {group_col: garr.take(pa.array(starts))}
+        qcols = {name: np.empty(len(starts), dtype=np.int64) for name in out_names}
+        ns = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+            cum = np.cumsum(cnts[s:e])
+            n = int(cum[-1])
+            ns[i] = n
+            for q, name in zip(qs, out_names):
+                target = max(1, int(np.ceil(q * n)))
+                j = int(np.searchsorted(cum, target, side="left"))
+                qcols[name][i] = vals[s + j]
+        for name in out_names:
+            out[name] = pa.array(qcols[name], pa.int64())
+        out[count_col] = pa.array(ns, pa.int64())
+        return pa.table(out)
+
+    nparts = num_partitions or _num_partitions()
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # merge duplicate (group, value) cells from different blocks, then
+    # run the order-statistic kernel over each group's sorted cells
+    def merge_cells(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, [group_col, value_col]).aggregate([("_cnt", "sum")])
+        return kernel(g.rename_columns([group_col, value_col, "_cnt"]))
+
+    return (
+        _hash_shuffle(partials)
+        .groupby(group_col, num_partitions=nparts)
+        .map_groups(merge_cells, batch_format="pyarrow")
+    )

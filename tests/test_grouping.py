@@ -7,7 +7,13 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from etl_rs_ray.stages.grouping import cube_sets, grouping_sets, pivot_wide, rollup_sets
+from etl_rs_ray.stages.grouping import (
+    cube_sets,
+    grouped_quantiles_discrete,
+    grouping_sets,
+    pivot_wide,
+    rollup_sets,
+)
 
 
 def _data(n=5000, seed=5) -> pa.Table:
@@ -116,3 +122,38 @@ def test_pivot_wide_ignores_undeclared_categories():
     )
     assert got["x_sum"].tolist() == [10, 20]
     assert got["total"].tolist() == [10, 20]  # undeclared rows excluded
+
+
+def test_grouped_quantiles_discrete_matches_percentile_disc():
+    rng = np.random.default_rng(12)
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], 20_000).astype(object),
+            # heavy duplicate mass + skewed tail, the discrete-domain case
+            "v": np.concatenate(
+                [np.repeat(np.int64(7), 5_000), rng.integers(0, 500, 15_000)]
+            ).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_quantiles_discrete(
+            ray.data.from_arrow(t).repartition(7), "g", "v", [0.0, 0.5, 0.9, 1.0]
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT g,
+             percentile_disc(0.0) WITHIN GROUP (ORDER BY v) AS p00,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p05,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p09,
+             percentile_disc(1.0) WITHIN GROUP (ORDER BY v) AS p10,
+             count(*) AS n
+           FROM t GROUP BY g ORDER BY g"""
+    ).fetchdf()
+    for c_got, c_want in [("p00", "p00"), ("p05", "p05"), ("p09", "p09"),
+                          ("p10", "p10"), ("n", "n")]:
+        assert got[c_got].astype("int64").tolist() == want[c_want].astype("int64").tolist(), c_got
