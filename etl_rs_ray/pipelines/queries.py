@@ -1461,6 +1461,30 @@ def events_quantiles_by_type(sf_dir: str):
     )
 
 
+def events_rolling_revenue(sf_dir: str):
+    """Per-user ROLLING 10-event revenue sum over LSN order — the moving
+    window SQL expresses as ROWS BETWEEN 9 PRECEDING AND CURRENT ROW —
+    via cumsum differencing inside sorted segments, one keyed shuffle
+    (stages/ordered.py::rolling_per_key). roll_n carries the true window
+    size near each user's start so averages derive exactly."""
+    from ..stages.ordered import rolling_per_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["value"]).append_column("value_cents", _cents(b.column("value")))
+
+    return rolling_per_key(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "event_id",
+        "value_cents",
+        10,
+        sum_col="roll_sum_cents",
+        count_col="roll_n",
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1514,6 +1538,7 @@ QUERIES = {
     "events_cms_frequencies": events_cms_frequencies,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_quantiles_by_type": events_quantiles_by_type,
+    "events_rolling_revenue": events_rolling_revenue,
 }
 
 ORACLE_SQL = {
@@ -2210,4 +2235,15 @@ ORACLE_SQL["events_quantiles_by_type"] = """
            count(*) AS n
     FROM events
     GROUP BY event_type
+"""
+
+ORACLE_SQL["events_rolling_revenue"] = """
+    SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           SUM(CAST(round(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_sum_cents,
+           LEAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id), 10)
+               AS roll_n
+    FROM events
 """

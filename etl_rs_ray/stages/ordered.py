@@ -330,3 +330,50 @@ def prefix_scan(
         .groupby("_range_id", num_partitions=min(nparts, r))
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def rolling_per_key(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int,
+    *,
+    sum_col: str = "roll_sum",
+    count_col: str | None = "roll_n",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key ROLLING sum over the last ``window`` rows in order —
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ord ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)`` — via cumsum differencing inside each
+    sorted segment (one keyed shuffle, no per-row loop). ``value_col``
+    must be int64 (quantize first); ``count_col`` emits the actual
+    window size (< window near each segment's start), so a rolling
+    average derives exactly as sum/n downstream."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def kernel(t: pa.Table, first: np.ndarray, gidx: np.ndarray) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(f"rolling_per_key needs an integer {value_col!r}")
+        n = len(v)
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(first)
+        base = np.where(starts == 0, 0, cs[np.maximum(starts - 1, 0)])
+        run = cs - base[gidx]  # inclusive per-segment cumsum
+        pos = _segment_positions(first, gidx)
+        # rolling = run[i] - run[i - window] within the segment (0 when
+        # the window reaches past the segment start)
+        idx = np.arange(n) - window
+        valid = pos >= window
+        prior = np.where(valid, run[np.maximum(idx, 0)], 0)
+        roll = run - prior
+        cols = dict(zip(t.column_names, t.columns))
+        cols[sum_col] = pa.array(roll, pa.int64())
+        if count_col:
+            cols[count_col] = pa.array(np.minimum(pos + 1, window), pa.int64())
+        return pa.table(cols)
+
+    return per_key_ordered(ds, keys, order_col, kernel, num_partitions=num_partitions)

@@ -171,3 +171,34 @@ def test_per_key_ordered_multikey():
         .sort_values(["a", "b", "lsn"])
     )
     assert got["pos"].tolist() == [0, 1, 0, 0]
+
+
+def test_rolling_per_key_matches_window_sql():
+    from etl_rs_ray.stages.ordered import rolling_per_key
+
+    t = _rand_stream(4000, 15, seed=4)
+    got = rolling_per_key(
+        ray.data.from_arrow(t).repartition(5), "k", "lsn", "v", 7
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT k, lsn,
+                  SUM(v) OVER (PARTITION BY k ORDER BY lsn
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_sum,
+                  LEAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY lsn), 7) AS roll_n
+           FROM t"""
+    ).fetchdf()
+    got = _sorted_df(got[["k", "lsn", "roll_sum", "roll_n"]], ["k", "lsn"])
+    want = _sorted_df(want, ["k", "lsn"])
+    assert got["roll_sum"].tolist() == want["roll_sum"].tolist()
+    assert got["roll_n"].tolist() == want["roll_n"].tolist()
+
+
+def test_rolling_window_one_is_identity():
+    from etl_rs_ray.stages.ordered import rolling_per_key
+
+    t = _rand_stream(500, 5, seed=5)
+    got = rolling_per_key(ray.data.from_arrow(t), "k", "lsn", "v", 1).to_pandas()
+    assert got["roll_sum"].tolist() == got["v"].tolist()
+    assert (got["roll_n"] == 1).all()
