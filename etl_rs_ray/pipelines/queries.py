@@ -1485,6 +1485,49 @@ def events_rolling_revenue(sf_dir: str):
     )
 
 
+def events_scd2_incremental(sf_dir: str):
+    """Incremental SCD2 maintenance, driver-checked end-to-end: build the
+    history over the first half of the LSN axis, then fold the second
+    half in with stages/ordered.py::scd2_apply_increment — only touched
+    keys' OPEN versions re-enter the shuffle; closed versions and
+    untouched keys pass through map-only. The oracle is the SAME full
+    LEAD window as events_scd2_history: incremental == full recompute is
+    the correctness contract."""
+    from ..stages.ordered import scd2_apply_increment, scd2_history
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["value"]).append_column("value_cents", _cents(b.column("value")))
+
+    q = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+    cut = _table_rows(sf_dir, "events") // 2  # event_id is the dense LSN axis
+    history = scd2_history(
+        q.filter(expr=f"event_id < {cut}"), "user_id", "event_id",
+        ["event_type", "value_cents"],
+    )
+    out = scd2_apply_increment(
+        history,
+        q.filter(expr=f"event_id >= {cut}"),
+        "user_id",
+        "event_id",
+        ["event_type", "value_cents"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("valid_to"),
+            "valid_to",
+            pc.fill_null(b.column("valid_to"), -1),
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1539,6 +1582,7 @@ QUERIES = {
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_quantiles_by_type": events_quantiles_by_type,
     "events_rolling_revenue": events_rolling_revenue,
+    "events_scd2_incremental": events_scd2_incremental,
 }
 
 ORACLE_SQL = {
@@ -2247,3 +2291,7 @@ ORACLE_SQL["events_rolling_revenue"] = """
                AS roll_n
     FROM events
 """
+
+# the incremental SCD2 result must equal the FULL-history window — the
+# oracle is identical to events_scd2_history's
+ORACLE_SQL["events_scd2_incremental"] = ORACLE_SQL["events_scd2_history"]

@@ -377,3 +377,161 @@ def rolling_per_key(
         return pa.table(cols)
 
     return per_key_ordered(ds, keys, order_col, kernel, num_partitions=num_partitions)
+
+
+def _multi_key_hash(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """One stable 64-bit hash per row over a composite key."""
+    from .joins import _key_hash64
+    from ..sources.event_log import _splitmix64
+
+    h = _key_hash64(t.column(keys[0]))
+    for k in keys[1:]:
+        h = _splitmix64(h + _key_hash64(t.column(k)))
+    return h
+
+
+def scd2_apply_increment(
+    history: ray.data.Dataset,
+    increment: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    lsn_col: str,
+    attr_cols: Sequence[str],
+    *,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental SCD2 maintenance: fold a new LSN window into an
+    existing history WITHOUT touching unaffected keys — the daily-delta
+    shape. Only each touched key's OPEN version re-enters the shuffle:
+    it is re-formed as an event (lsn = valid_from), unioned with the
+    increment, and re-derived by ``scd2_history``; every closed version
+    and every untouched key passes through map-only.
+
+    The touched-key filter is a broadcast set of 64-bit key hashes — a
+    hash collision only routes an untouched key through the (idempotent)
+    recompute, never changes the result. Requires the increment to be
+    strictly NEWER than the history (every increment LSN above the
+    touched key's open ``valid_from``); violations raise inside the
+    kernel rather than silently rewriting closed history.
+
+    Invariant (pinned by tests): ``apply_increment(scd2(e[:k]), e[k:])
+    == scd2(e)`` for any split point k."""
+    import ray
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(np.unique(_multi_key_hash(b, keys)), pa.uint64())})
+
+    touched = np.unique(
+        np.concatenate(
+            [
+                np.asarray(r["h"], dtype=np.uint64).reshape(-1)
+                for r in increment.map_batches(
+                    hash_partial, batch_format="pyarrow", zero_copy_batch=True
+                ).take_all()
+            ]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    touched_ref = ray.put(touched)
+
+    hist_cols = keys + ["valid_from", "valid_to", "is_current"] + list(attr_cols)
+
+    def split(keep_untouched: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            t = ray.get(touched_ref)
+            h = _multi_key_hash(b, keys)
+            hot = (
+                np.isin(h, t)
+                & b.column("is_current").to_numpy(zero_copy_only=False)
+            )
+            return b.select(hist_cols).filter(pa.array(~hot if keep_untouched else hot))
+
+        return fn
+
+    pass_through = history.map_batches(
+        split(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def to_events(b: pa.Table) -> pa.Table:
+        cols = {k: b.column(k) for k in keys}
+        cols[lsn_col] = b.column("valid_from")
+        for a in attr_cols:
+            cols[a] = b.column(a)
+        if op_col is not None:
+            # an open version is live state: re-form it as a non-delete
+            cols[op_col] = pa.array(["I"] * b.num_rows, pa.string())
+        cols["_hist"] = pa.array(np.ones(b.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    ev_cols = keys + [lsn_col] + list(attr_cols) + ([op_col] if op_col else [])
+
+    def tag_increment(b: pa.Table) -> pa.Table:
+        b = b.select(ev_cols)
+        return b.append_column("_hist", pa.array(np.zeros(b.num_rows, dtype=bool)))
+
+    reopened = history.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    union = reopened.map_batches(
+        to_events, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda b: b.select(ev_cols + ["_hist"]), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        increment.map_batches(tag_increment, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    # history already passed through a hash shuffle, so its empty blocks
+    # carry no schema; strip them before the next keyed shuffle (see
+    # util.drop_empty_blocks). The union is touched-open rows + the
+    # increment — the small side of the operation by construction.
+    from ..util import drop_empty_blocks
+
+    # flip the shuffle strategy BEFORE count() executes the plan — the
+    # context is snapshotted at first execution, and the downstream
+    # keyed groupby needs HASH_SHUFFLE
+    union = _hash_shuffle(drop_empty_blocks(union))
+    if union.count() == 0:
+        # empty increment (and no touched keys): the history IS the result.
+        # Ray's hash shuffle cannot aggregate a fully-empty dataset (every
+        # partition comes back schema-less), so skip the recompute.
+        return pass_through
+
+    recomputed = scd2_history(
+        union,
+        keys,
+        lsn_col,
+        list(attr_cols) + ["_hist"],
+        op_col=op_col,
+        delete_op=delete_op,
+        num_partitions=num_partitions,
+    )
+
+    def check_and_strip(b: pa.Table) -> pa.Table:
+        if b.num_rows:
+            # a history-sourced open version must be its key's OLDEST row
+            # in the recompute — an increment LSN below it would rewrite
+            # closed history. Blocks come straight from map_groups
+            # (batch_size=None below keeps them whole), so every key's
+            # rows are complete within one block and the check is sound.
+            t = b.take(pc.sort_indices(
+                b,
+                sort_keys=[(k, "ascending") for k in keys] + [("valid_from", "ascending")],
+            ))
+            first = _first_per_key_mask(t, tuple(keys)).to_numpy(zero_copy_only=False)
+            hist = t.column("_hist").to_numpy(zero_copy_only=False)
+            if (hist & ~first).any():
+                raise ValueError(
+                    "scd2_apply_increment: increment contains an LSN at or "
+                    "below a key's open valid_from — refusing to rewrite "
+                    "closed history"
+                )
+        return b.drop_columns(["_hist"]).select(hist_cols)
+
+    recomputed = recomputed.map_batches(
+        check_and_strip, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    # the OUTERMOST dataset's context governs the whole plan at execution
+    # time — without this the union would run the inner groupby under the
+    # default sort-shuffle strategy and fail
+    return _hash_shuffle(pass_through.union(recomputed))

@@ -202,3 +202,72 @@ def test_rolling_window_one_is_identity():
     got = rolling_per_key(ray.data.from_arrow(t), "k", "lsn", "v", 1).to_pandas()
     assert got["roll_sum"].tolist() == got["v"].tolist()
     assert (got["roll_n"] == 1).all()
+
+
+def _scd2_frame(ds):
+    df = ds.to_pandas()
+    df["valid_to"] = df["valid_to"].fillna(-1)
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df[cols].itertuples(index=False)), key=repr)
+
+
+@pytest.mark.parametrize("split_at,with_ops", [(2000, False), (2500, True), (0, False), (3999, True)])
+def test_scd2_apply_increment_equals_full_recompute(split_at, with_ops):
+    from etl_rs_ray.stages.ordered import scd2_apply_increment
+
+    t = _rand_stream(4000, 30, seed=6)
+    # make LSN order == split order so increments are strictly newer
+    t = t.take(pa.array(np.argsort(t.column("lsn").to_numpy(zero_copy_only=False))))
+    op = "op" if with_ops else None
+    base, inc = t.slice(0, split_at), t.slice(split_at)
+    if split_at == 0:
+        # empty history: Ray's hash shuffle can't aggregate a fully empty
+        # dataset, so an empty SCD2 table arrives as a typed empty block
+        history = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "valid_from": pa.array([], pa.int64()),
+                    "valid_to": pa.array([], pa.int64()),
+                    "is_current": pa.array([], pa.bool_()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        )
+    else:
+        history = scd2_history(
+            ray.data.from_arrow(base).repartition(4), "k", "lsn", ["v"], op_col=op
+        )
+    got = scd2_apply_increment(
+        history,
+        ray.data.from_arrow(inc).repartition(3),
+        "k",
+        "lsn",
+        ["v"],
+        op_col=op,
+    )
+    want = scd2_history(ray.data.from_arrow(t).repartition(5), "k", "lsn", ["v"], op_col=op)
+    assert _scd2_frame(got) == _scd2_frame(want)
+
+
+def test_scd2_apply_increment_refuses_stale_lsn():
+    from etl_rs_ray.stages.ordered import scd2_apply_increment
+
+    base = pa.table({"k": [1, 1], "lsn": [10, 20], "v": [1, 2]})
+    history = scd2_history(ray.data.from_arrow(base), "k", "lsn", ["v"])
+    stale = pa.table({"k": [1], "lsn": [15], "v": [9]})  # below open valid_from=20
+    with pytest.raises(Exception, match="rewrite|closed history"):
+        scd2_apply_increment(
+            history, ray.data.from_arrow(stale), "k", "lsn", ["v"]
+        ).materialize()
+
+
+def test_scd2_apply_empty_increment_is_identity():
+    from etl_rs_ray.stages.ordered import scd2_apply_increment
+
+    t = _rand_stream(1000, 10, seed=7)
+    history = scd2_history(ray.data.from_arrow(t).repartition(3), "k", "lsn", ["v"])
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    got = scd2_apply_increment(history, empty, "k", "lsn", ["v"])
+    want = scd2_history(ray.data.from_arrow(t), "k", "lsn", ["v"])
+    assert _scd2_frame(got) == _scd2_frame(want)
