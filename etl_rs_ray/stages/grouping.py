@@ -128,10 +128,12 @@ def grouping_sets(
 
     nparts = num_partitions or _num_partitions()
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # hash-repartition + whole-block merge (one TableGroupBy per
+    # partition), not per-group map_groups calls
     return (
         _hash_shuffle(partials)
-        .groupby(all_keys if len(all_keys) > 1 else all_keys[0], num_partitions=nparts)
-        .map_groups(merge, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=all_keys)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -178,10 +180,11 @@ def pivot_wide(
 
     nparts = num_partitions or _num_partitions()
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # widen() is multi-key-aware: one call per partition block
     return (
         _hash_shuffle(partials)
-        .groupby(key, num_partitions=nparts)
-        .map_groups(widen, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=[key])
+        .map_batches(widen, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -261,6 +264,6 @@ def grouped_quantiles_discrete(
 
     return (
         _hash_shuffle(partials)
-        .groupby(group_col, num_partitions=nparts)
-        .map_groups(merge_cells, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=[group_col])
+        .map_batches(merge_cells, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )

@@ -88,10 +88,15 @@ def per_key_ordered(
         return kernel(t, first, gidx)
 
     nparts = num_partitions or _num_partitions()
+    # hash-repartition + ONE whole-block kernel call per partition — NOT
+    # groupby().map_groups, which invokes the UDF once per group (500k
+    # keys = 500k python calls; measured 6x slower at 10M rows). The
+    # kernel is segment-aware, so a block holding many groups is the
+    # designed-for case. batch_size=None keeps partition blocks whole.
     return (
         _hash_shuffle(ds)
-        .groupby(keys if len(keys) > 1 else keys[0], num_partitions=nparts)
-        .map_groups(fold, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=keys)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
