@@ -210,9 +210,10 @@ def events_window_filter(sf_dir: str):
     partition count as a window column, keep partitions with > 60 rows."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
 
-    def add_count(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n <= 60:
+    def add_count(t: pa.Table) -> pa.Table:
+        # multi-group block: one vectorized segment-count pass (a hash
+        # partition co-locates each user but a block holds many users)
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "event_id": pa.array([], pa.int64()),
@@ -220,12 +221,18 @@ def events_window_filter(sf_dir: str):
                     "partition_size": pa.array([], pa.int64()),
                 }
             )
-        return group.append_column("partition_size", pa.array([n] * n, pa.int64()))
+        t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+        first = _first_per_key_mask(t, ("user_id",)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        sizes = np.bincount(gidx)
+        per_row = sizes[gidx]
+        t = t.append_column("partition_size", pa.array(per_row, pa.int64()))
+        return t.filter(pa.array(per_row > 60))
 
     ds = _hash_shuffle(ds)
     nparts = _partitions(rows=_table_rows(sf_dir, "events"))
-    return ds.groupby("user_id", num_partitions=nparts).map_groups(
-        add_count, batch_format="pyarrow"
+    return ds.repartition(num_blocks=nparts, keys=["user_id"]).map_batches(
+        add_count, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -312,8 +319,11 @@ def customer_order_revenue(sf_dir: str):
         )
     u = _hash_shuffle(u)
     nparts = _partitions(rows=_table_rows(sf_dir, "customer"))
-    return u.groupby("c_custkey", num_partitions=nparts).map_groups(
-        merge, batch_format="pyarrow"
+    # merge() folds via TableGroupBy, so one whole-block call per hash
+    # partition does all its groups at once (map_groups would pay one
+    # python call per customer)
+    return u.repartition(num_blocks=nparts, keys=["c_custkey"]).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -382,8 +392,10 @@ def docs_exact_dedup(sf_dir: str):
             _keep_min_per_md5, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
     ds = _hash_shuffle(ds)
-    return ds.groupby("text_md5", num_partitions=_partitions(rows=_table_rows(sf_dir, "documents"))).map_groups(
-        _keep_min_per_md5, batch_format="pyarrow"
+    nparts = _partitions(rows=_table_rows(sf_dir, "documents"))
+    # _keep_min_per_md5 is segment-safe: one call per hash partition
+    return ds.repartition(num_blocks=nparts, keys=["text_md5"]).map_batches(
+        _keep_min_per_md5, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -937,8 +949,13 @@ def orders_topk_per_customer(sf_dir: str):
     else:
         out = (
             _hash_shuffle(ds)
-            .groupby("o_custkey", num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")))
-            .map_groups(topk_mask, batch_format="pyarrow")
+            .repartition(
+                num_blocks=_partitions(rows=_table_rows(sf_dir, "orders")),
+                keys=["o_custkey"],
+            )
+            .map_batches(
+                topk_mask, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
         )
 
     def rank(t: pa.Table) -> pa.Table:
