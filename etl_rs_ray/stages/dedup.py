@@ -80,8 +80,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     ds = ds.map_batches(add_hash_and_precompact, batch_format="pyarrow", zero_copy_batch=True)
     ds = _hash_shuffle(ds)
-    return ds.groupby("_h", num_partitions=_group_partitions()).map_groups(
-        keep_first, batch_format="pyarrow"
+    # keep_first is segment-safe (sorts + first-per-key over the whole
+    # block): hash-repartition + ONE call per partition, not one python
+    # call per digest group
+    return ds.repartition(num_blocks=_group_partitions(), keys=["_h"]).map_batches(
+        keep_first, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -296,18 +299,18 @@ def _edges_ds_from_buckets(
             bands_ds, lambda b: _bucket_edges_table(b, keys, id_col, max_bucket)
         )
 
-    def bucket_edges(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        if len(ids) < 2 or len(ids) > max_bucket:  # skip degenerate mega-buckets
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        return pa.table(
-            {"a": pa.array([ids[0]] * (len(ids) - 1), pa.int64()), "b": pa.array(ids[1:], pa.int64())}
-        )
-
+    # the small-path kernel is already vectorized over ALL buckets in a
+    # block, so the scale path is just hash-repartition + one call per
+    # partition (was: one python call + to_pylist per bucket)
     bands_ds = _hash_shuffle(bands_ds)
-    return bands_ds.groupby(
-        list(keys), num_partitions=_group_partitions()
-    ).map_groups(bucket_edges, batch_format="pyarrow")
+    return bands_ds.repartition(
+        num_blocks=_group_partitions(), keys=list(keys)
+    ).map_batches(
+        lambda b: _bucket_edges_table(b, keys, id_col, max_bucket),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
 
 
 def _edges_from_buckets(bands_ds, id_col: str, max_bucket: int = 1000) -> list[tuple]:
@@ -746,15 +749,16 @@ def _pairwise_removal(bands_ds, id_col: str, max_bucket: int = 1000, small_input
         )
         return {r[id_col] for r in losers_ds.take_all()}
 
-    def bucket_losers(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pa.table({id_col: pa.array([], pa.int64())})
-        return pa.table({id_col: pa.array(ids[1:], pa.int64())})
-
     bands_ds = _hash_shuffle(bands_ds)
-    losers = bands_ds.groupby(["band", "sig"], num_partitions=_group_partitions()).map_groups(
-        bucket_losers, batch_format="pyarrow"
+    losers = bands_ds.repartition(
+        num_blocks=_group_partitions(), keys=["band", "sig"]
+    ).map_batches(
+        lambda b: pa.table(
+            {id_col: _bucket_edges_table(b, ("band", "sig"), id_col, max_bucket).column("b")}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
     )
     return {r[id_col] for r in losers.take_all()}
 
@@ -822,37 +826,37 @@ def simhash_dedup_pairwise(
             }
         )
 
-    def bucket_losers(group: pa.Table) -> pa.Table:
-        out = _hamming_losers(
-            group.column(id_col).to_pylist(), group.column("_sig").to_pylist(), max_hamming
+    def all_buckets(batch: pa.Table) -> pa.Table:
+        # sort into buckets, run the per-bucket hamming scan — handles
+        # every bucket in the block (used by BOTH the one-task small path
+        # and the hash-repartitioned scale path)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")],
         )
+        t = batch.take(idx)
+        from ..stages.merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(t, ("band", "band_hash")).to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(first).tolist() + [t.num_rows]
+        ids = t.column(id_col).to_pylist()
+        sigs = t.column("_sig").to_pylist()
+        out = []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            out.extend(_hamming_losers(ids[s0:s1], sigs[s0:s1], max_hamming))
         return pa.table({id_col: pa.array(out, pa.int64())})
 
     bands_ds = ds.map_batches(add_bands, batch_format="pyarrow", zero_copy_batch=True)
     if small_input:
-        def all_buckets(batch: pa.Table) -> pa.Table:
-            # one task: sort into buckets, run the per-bucket hamming scan
-            idx = pc.sort_indices(
-                batch,
-                sort_keys=[("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")],
-            )
-            t = batch.take(idx)
-            from ..stages.merge_apply import _first_per_key_mask
-
-            first = _first_per_key_mask(t, ("band", "band_hash")).to_numpy(zero_copy_only=False)
-            bounds = np.flatnonzero(first).tolist() + [t.num_rows]
-            ids = t.column(id_col).to_pylist()
-            sigs = t.column("_sig").to_pylist()
-            out = []
-            for s0, s1 in zip(bounds[:-1], bounds[1:]):
-                out.extend(_hamming_losers(ids[s0:s1], sigs[s0:s1], max_hamming))
-            return pa.table({id_col: pa.array(out, pa.int64())})
-
         losers = _gather(bands_ds, all_buckets)
     else:
         bands_ds = _hash_shuffle(bands_ds)
-        losers = bands_ds.groupby(["band", "band_hash"], num_partitions=_group_partitions()).map_groups(
-            bucket_losers, batch_format="pyarrow"
+        losers = bands_ds.repartition(
+            num_blocks=_group_partitions(), keys=["band", "band_hash"]
+        ).map_batches(
+            all_buckets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
     remove = {r[id_col] for r in losers.take_all()}
     return _filter_removed(ds, id_col, remove) if remove else ds
@@ -948,29 +952,48 @@ def embedding_dedup(
             }
         )
 
-    def bucket_edges(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        if len(ids) < 2:
+    def all_bucket_edges(batch: pa.Table) -> pa.Table:
+        # every bucket in the block: in-bucket cosine over each (band,
+        # band_hash) segment (buckets are LSH-bounded, so the per-bucket
+        # pair scan stays small)
+        if batch.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        embs = np.array(group.column(emb_col).to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(embs, axis=1)
-        normed = embs / np.maximum(norms[:, None], 1e-12)
-        sims = normed @ normed.T
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")],
+        )
+        t = batch.take(idx)
+        from ..stages.merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(t, ("band", "band_hash")).to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(first).tolist() + [t.num_rows]
+        all_ids = t.column(id_col).to_pylist()
+        all_embs = np.array(t.column(emb_col).to_pylist(), dtype=np.float64)
         ea, eb = [], []
-        order = np.argsort(ids)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if sims[i, j] >= threshold:
-                    ea.append(ids[i])
-                    eb.append(ids[j])
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            ids = all_ids[s0:s1]
+            if len(ids) < 2:
+                continue
+            embs = all_embs[s0:s1]
+            norms = np.linalg.norm(embs, axis=1)
+            normed = embs / np.maximum(norms[:, None], 1e-12)
+            sims = normed @ normed.T
+            order = np.argsort(ids)
+            for ii in range(len(order)):
+                for jj in range(ii + 1, len(order)):
+                    i, j = order[ii], order[jj]
+                    if sims[i, j] >= threshold:
+                        ea.append(ids[i])
+                        eb.append(ids[j])
         return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
 
     bands_ds = ds.map_batches(add_buckets, batch_format="pyarrow", zero_copy_batch=True)
     bands_ds = _hash_shuffle(bands_ds)
-    edges_ds = bands_ds.groupby(
-        ["band", "band_hash"], num_partitions=_group_partitions()
-    ).map_groups(bucket_edges, batch_format="pyarrow")
+    edges_ds = bands_ds.repartition(
+        num_blocks=_group_partitions(), keys=["band", "band_hash"]
+    ).map_batches(
+        all_bucket_edges, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     remove = _removal_set([(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in edges_ds.take_all()])
     return _filter_removed(ds, id_col, remove) if remove else ds
 
@@ -1074,40 +1097,34 @@ def decontaminate(
 
     all_bands = corp_bands.union(ref_bands)
 
-    def bucket_contaminated(group: pa.Table) -> pa.Table:
-        sides = group.column("side")
-        has_ref = pc.any(pc.equal(sides, 1)).as_py()
-        if not has_ref:
+    def all_buckets(batch: pa.Table) -> pa.Table:
+        # every (band, sig) bucket containing a reference row contaminates
+        # its corpus rows — exact composite-key is_in, so the kernel is
+        # correct over a block holding MANY buckets (used by both the
+        # one-task small path and the hash-repartitioned scale path)
+        ref_keys = batch.filter(pc.equal(batch.column("side"), 1)).select(["band", "sig"])
+        if ref_keys.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64())})
-        hit = group.filter(pc.equal(sides, 0)).column(id_col)
-        return pa.table({id_col: pc.unique(hit.combine_chunks()).cast(pa.int64())})
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("band"), pa.string()), batch.column("sig"), "|"
+        )
+        ref_key = pc.binary_join_element_wise(
+            pc.cast(ref_keys.column("band"), pa.string()), ref_keys.column("sig"), "|"
+        )
+        in_ref = pc.is_in(key, value_set=pc.unique(ref_key.combine_chunks()))
+        hit = batch.filter(pc.and_(in_ref, pc.equal(batch.column("side"), 0)))
+        return pa.table(
+            {id_col: pc.unique(hit.column(id_col).combine_chunks()).cast(pa.int64())}
+        )
 
     if small_input:
-        def all_buckets(batch: pa.Table) -> pa.Table:
-            # one task: every (band, sig) bucket that contains a reference
-            # row contaminates its corpus rows
-            ref_keys = batch.filter(pc.equal(batch.column("side"), 1)).select(["band", "sig"])
-            if ref_keys.num_rows == 0:
-                return pa.table({id_col: pa.array([], pa.int64())})
-            key = pc.binary_join_element_wise(
-                pc.cast(batch.column("band"), pa.string()), batch.column("sig"), "|"
-            )
-            ref_key = pc.binary_join_element_wise(
-                pc.cast(ref_keys.column("band"), pa.string()), ref_keys.column("sig"), "|"
-            )
-            in_ref = pc.is_in(key, value_set=pc.unique(ref_key.combine_chunks()))
-            hit = batch.filter(pc.and_(in_ref, pc.equal(batch.column("side"), 0)))
-            return pa.table(
-                {id_col: pc.unique(hit.column(id_col).combine_chunks()).cast(pa.int64())}
-            )
-
         remove = {r[id_col] for r in _gather(all_bands, all_buckets).take_all()}
         return _filter_removed(corpus, id_col, remove) if remove else corpus
 
     contaminated = (
         _hash_shuffle(all_bands)
-        .groupby(["band", "sig"], num_partitions=_group_partitions())
-        .map_groups(bucket_contaminated, batch_format="pyarrow")
+        .repartition(num_blocks=_group_partitions(), keys=["band", "sig"])
+        .map_batches(all_buckets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
     return _hash_shuffle(corpus).join(
         contaminated,

@@ -86,8 +86,10 @@ def salted_sum_count(
         .groupby([key_col, "_salt"], num_partitions=num_partitions)
         .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
     )
+    # merge_salt folds via TableGroupBy — one whole-block call per hash
+    # partition instead of one python call per key
     return (
         _hash_shuffle(per_salt)
-        .groupby(key_col, num_partitions=num_partitions)
-        .map_groups(merge_salt, batch_format="pyarrow")
+        .repartition(num_blocks=num_partitions, keys=[key_col])
+        .map_batches(merge_salt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )

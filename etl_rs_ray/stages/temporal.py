@@ -160,10 +160,11 @@ def tumbling_window_agg(
         return p.repartition(1).map_batches(
             merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
+    # merge folds via TableGroupBy — whole-block calls per hash partition
     return (
         _hash_shuffle(p)
-        .groupby(gkeys, num_partitions=num_partitions)
-        .map_groups(merge, batch_format="pyarrow")
+        .repartition(num_blocks=num_partitions, keys=gkeys)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -225,10 +226,11 @@ def hopping_window_agg(
         return p.repartition(1).map_batches(
             merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
+    # merge folds via TableGroupBy — whole-block calls per hash partition
     return (
         _hash_shuffle(p)
-        .groupby(gkeys, num_partitions=num_partitions)
-        .map_groups(merge, batch_format="pyarrow")
+        .repartition(num_blocks=num_partitions, keys=gkeys)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -249,23 +251,41 @@ def session_window_agg(
     state cannot span partitions)."""
     gap_us = gap_seconds * 1_000_000
 
-    def sessions(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(time_col, "ascending")])
-        g = group.take(idx)
+    def sessions(block: pa.Table) -> pa.Table:
+        # multi-key gaps-and-islands: sort by (key, ts); a session break
+        # is a key change OR a gap >= the timeout — the whole block folds
+        # in one vectorized pass no matter how many keys it holds
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], block.schema.field(key_col).type),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        idx = pc.sort_indices(
+            block, sort_keys=[(key_col, "ascending"), (time_col, "ascending")]
+        )
+        g = block.take(idx)
         ts = g.column(time_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         vals = g.column(value_col).to_numpy(zero_copy_only=False)
-        key = g.column(key_col)[0].as_py()
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) >= gap_us
+        from ..stages.merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(g, (key_col,)).to_numpy(zero_copy_only=False)
+        new_session = first.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) >= gap_us
         sid = np.cumsum(new_session) - 1
-        n_sessions = int(sid[-1]) + 1 if len(ts) else 0
-        starts = ts[new_session]
-        ends = np.maximum.reduceat(ts, np.flatnonzero(new_session))
+        n_sessions = int(sid[-1]) + 1
+        starts_idx = np.flatnonzero(new_session)
+        starts = ts[starts_idx]
+        ends = np.maximum.reduceat(ts, starts_idx)
         counts = np.bincount(sid, minlength=n_sessions)
         sums = np.bincount(sid, weights=np.nan_to_num(vals), minlength=n_sessions)
         return pa.table(
             {
-                key_col: pa.array([key] * n_sessions, group.schema.field(key_col).type),
+                key_col: g.column(key_col).take(pa.array(starts_idx)),
                 "session_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
                 "session_end": pa.array(ends, pa.int64()).cast(pa.timestamp("us")),
                 "n_events": pa.array(counts, pa.int64()),
@@ -275,8 +295,8 @@ def session_window_agg(
 
     return (
         _hash_shuffle(ds)
-        .groupby(key_col, num_partitions=num_partitions)
-        .map_groups(sessions, batch_format="pyarrow")
+        .repartition(num_blocks=num_partitions, keys=[key_col])
+        .map_batches(sessions, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
