@@ -339,29 +339,48 @@ def group_centroids(
             }
         )
 
-    def fold(group: pa.Table) -> pa.Table:
-        sums = _as_matrix(group.column("_sum")).astype(np.float64)
-        n = int(pc.sum(group.column("_n")).as_py())
-        centroid = sums.sum(axis=0) / n
+    def fold(t: pa.Table) -> pa.Table:
+        # whole-block kernel over MANY groups: sort by group, reduceat the
+        # partial sums/counts per segment — one python call per partition
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "centroid": pa.array(
+                        [], pa.list_(pa.int64() if quantize is not None else pa.float64())
+                    ),
+                    "n_vectors": pa.array([], pa.int64()),
+                }
+            )
+        t = t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending")]))
+        from .merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(t, (group_col,)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(_as_matrix(t.column("_sum")).astype(np.float64), starts, axis=0)
+        n = np.add.reduceat(
+            t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64), starts
+        )
+        cents = sums / n[:, None]
         if quantize is not None:
             cent_arr = pa.array(
-                [np.round(centroid * quantize).astype(np.int64)], pa.list_(pa.int64())
+                list(np.round(cents * quantize).astype(np.int64)), pa.list_(pa.int64())
             )
         else:
-            cent_arr = pa.array([centroid], pa.list_(pa.float64()))
+            cent_arr = pa.array(list(cents), pa.list_(pa.float64()))
         return pa.table(
             {
-                group_col: group.column(group_col).slice(0, 1),
+                group_col: t.column(group_col).take(pa.array(starts)),
                 "centroid": cent_arr,
-                "n_vectors": pa.array([n], pa.int64()),
+                "n_vectors": pa.array(n, pa.int64()),
             }
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     folded = (
         _hash_shuffle(partials)
-        .groupby(group_col, num_partitions=_group_partitions(8))
-        .map_groups(fold, batch_format="pyarrow")
+        .repartition(num_blocks=_group_partitions(8), keys=[group_col])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
     # hash-shuffled stages can emit zero-row schema-less blocks that break
     # downstream concat/union; the folded output is tiny (one row per

@@ -323,43 +323,60 @@ def range_join(
         ivs.map_batches(side_tag(1, pt_types), batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def bucket_match(group: pa.Table) -> pa.Table:
-        sides = group.column("_side").combine_chunks().to_numpy(zero_copy_only=False)
-        p_rows = group.filter(pa.array(sides == 0))
-        i_rows = group.filter(pa.array(sides == 1))
-        empty_cols = {c: pa.array([], group.schema.field(c).type) for c in pt_cols + iv_cols}
-        if p_rows.num_rows == 0 or i_rows.num_rows == 0:
+    def bucket_match(block: pa.Table) -> pa.Table:
+        # whole-block kernel: a hash partition holds MANY _rb buckets —
+        # sort by _rb, walk bucket segments in python (bounded by the
+        # bucket count, not the row count) with the numpy candidate
+        # expansion inside each segment
+        empty_cols = {c: pa.array([], block.schema.field(c).type) for c in pt_cols + iv_cols}
+        if block.num_rows == 0:
             return pa.table(empty_cols)
-        p = p_rows.column(point_col).combine_chunks().to_numpy(zero_copy_only=False)
-        lo = i_rows.column(lo_col).combine_chunks().to_numpy(zero_copy_only=False)
-        hi = i_rows.column(hi_col).combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.argsort(lo, kind="stable")
-        lo_s, hi_s = lo[order], hi[order]
-        # candidates per point: intervals with lo <= p (sorted prefix)
-        n_cand = np.searchsorted(lo_s, p, side="right")
-        if int(n_cand.sum()) > max_bucket_pairs:
-            raise ValueError(
-                f"range_join bucket exceeds {max_bucket_pairs} candidate pairs "
-                f"({p_rows.num_rows} points x {i_rows.num_rows} intervals); "
-                "shrink bucket_width or pre-split hot intervals"
-            )
-        p_idx = np.repeat(np.arange(len(p)), n_cand)
-        offs = np.concatenate([[0], np.cumsum(n_cand)[:-1]])
-        c_idx = np.arange(len(p_idx)) - offs[p_idx]
-        keep = hi_s[c_idx] > p[p_idx]
-        p_take, i_take = p_idx[keep], order[c_idx[keep]]
-        out = {}
-        for c in pt_cols:
-            out[c] = p_rows.column(c).take(pa.array(p_take))
-        for c in iv_cols:
-            out[c] = i_rows.column(c).take(pa.array(i_take))
-        return pa.table(out)
+        block = block.take(pc.sort_indices(block, sort_keys=[("_rb", "ascending")]))
+        from ..stages.merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(block, ("_rb",)).to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(first).tolist() + [block.num_rows]
+        pieces = []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            group = block.slice(s0, s1 - s0)
+            sides = group.column("_side").combine_chunks().to_numpy(zero_copy_only=False)
+            p_rows = group.filter(pa.array(sides == 0))
+            i_rows = group.filter(pa.array(sides == 1))
+            if p_rows.num_rows == 0 or i_rows.num_rows == 0:
+                continue
+            p = p_rows.column(point_col).combine_chunks().to_numpy(zero_copy_only=False)
+            lo = i_rows.column(lo_col).combine_chunks().to_numpy(zero_copy_only=False)
+            hi = i_rows.column(hi_col).combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(lo, kind="stable")
+            lo_s, hi_s = lo[order], hi[order]
+            # candidates per point: intervals with lo <= p (sorted prefix)
+            n_cand = np.searchsorted(lo_s, p, side="right")
+            if int(n_cand.sum()) > max_bucket_pairs:
+                raise ValueError(
+                    f"range_join bucket exceeds {max_bucket_pairs} candidate pairs "
+                    f"({p_rows.num_rows} points x {i_rows.num_rows} intervals); "
+                    "shrink bucket_width or pre-split hot intervals"
+                )
+            p_idx = np.repeat(np.arange(len(p)), n_cand)
+            offs = np.concatenate([[0], np.cumsum(n_cand)[:-1]])
+            c_idx = np.arange(len(p_idx)) - offs[p_idx]
+            keep = hi_s[c_idx] > p[p_idx]
+            p_take, i_take = p_idx[keep], order[c_idx[keep]]
+            out = {}
+            for c in pt_cols:
+                out[c] = p_rows.column(c).take(pa.array(p_take))
+            for c in iv_cols:
+                out[c] = i_rows.column(c).take(pa.array(i_take))
+            pieces.append(pa.table(out))
+        if not pieces:
+            return pa.table(empty_cols)
+        return pa.concat_tables(pieces)
 
     from .dedup import _group_partitions, _hash_shuffle
 
     nparts = num_partitions or _group_partitions(16)
     return (
         _hash_shuffle(both)
-        .groupby("_rb", num_partitions=nparts)
-        .map_groups(bucket_match, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=["_rb"])
+        .map_batches(bucket_match, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )

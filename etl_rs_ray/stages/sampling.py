@@ -167,17 +167,33 @@ def stratified_sample_n(ds, group_col: str, id_col: str, n_per_group: int,
 
     from .dedup import md5_u64, _group_partitions, _hash_shuffle
 
-    def pick(group: pa.Table) -> pa.Table:
-        ids = _pc.cast(group.column(id_col).combine_chunks(), pa.string()).to_pylist()
+    def pick(t: pa.Table) -> pa.Table:
+        # whole-block kernel over MANY groups: hash-rank every row, sort by
+        # (group, _h, id), keep the first n rows of each group segment
         import numpy as np
 
+        if t.num_rows == 0:
+            return t
+        ids = _pc.cast(t.column(id_col).combine_chunks(), pa.string()).to_pylist()
         h = np.array([md5_u64(f"{seed}:{i}") for i in ids], dtype=np.uint64)
-        t = group.append_column("_h", pa.array(h))
-        idx = _pc.sort_indices(t, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
-        return t.take(idx[: min(n_per_group, t.num_rows)]).drop_columns(["_h"])
+        t = t.append_column("_h", pa.array(h))
+        idx = _pc.sort_indices(
+            t,
+            sort_keys=[(group_col, "ascending"), ("_h", "ascending"), (id_col, "ascending")],
+        )
+        t = t.take(idx)
+        from .merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(t, (group_col,)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        gidx = np.cumsum(first) - 1
+        pos = np.arange(t.num_rows) - starts[gidx]
+        return t.filter(pa.array(pos < n_per_group)).drop_columns(["_h"])
 
     return (
         _hash_shuffle(ds)
-        .groupby(group_col, num_partitions=min(num_partitions, _group_partitions()))
-        .map_groups(pick, batch_format="pyarrow")
+        .repartition(
+            num_blocks=min(num_partitions, _group_partitions()), keys=[group_col]
+        )
+        .map_batches(pick, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )

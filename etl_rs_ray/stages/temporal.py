@@ -72,42 +72,56 @@ def asof_join(
 
     out_cols = [c for c, _t in out_fields]
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group.column("_side").to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        left = group.filter(pa.array(lmask))
-        right = group.filter(pa.array(~lmask))
-        if left.num_rows == 0:
-            return pa.schema(
-                [(c, group.schema.field(c).type) for c in out_cols]
-            ).empty_table()
-        lt = left.column(time_col).to_numpy(zero_copy_only=False)
-        if right.num_rows == 0:
-            return left.select(out_cols)
-        rt_idx = pc.sort_indices(right, sort_keys=[(time_col, "ascending")])
-        right = right.take(rt_idx)
-        rt = right.column(time_col).to_numpy(zero_copy_only=False)
-        # latest right index with rt <= lt, -1 = no match
-        pos = np.searchsorted(rt, lt, side="right") - 1
-        matched = pos >= 0
-        take_idx = pa.array(
-            np.where(matched, pos, 0), pa.int64()
-        )  # dummy 0 for unmatched, nulled below
+    def merge(t: pa.Table) -> pa.Table:
+        # segment-aware whole-block kernel: a block holds MANY keys. Sort
+        # by (key, time, _side DESC) so a right row ties-before a left row
+        # at equal time (backward as-of is inclusive), then compute each
+        # row's latest preceding right-row position within its key segment
+        # with ONE global cummax — the per-segment reset falls out of
+        # offsetting positions by gidx * (n + 1).
+        if t.num_rows == 0:
+            return pa.schema([(c, t.schema.field(c).type) for c in out_cols]).empty_table()
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (key_col, "ascending"),
+                (time_col, "ascending"),
+                ("_side", "descending"),
+            ],
+        )
+        t = t.take(idx)
+        from .merge_apply import _first_per_key_mask
+
+        n = t.num_rows
+        first = _first_per_key_mask(t, (key_col,)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        is_right = t.column("_side").to_numpy(zero_copy_only=False) == 1
+        pos = np.where(is_right, np.arange(n, dtype=np.int64), -1)
+        big = np.int64(n + 1)
+        last_right = np.maximum.accumulate(pos + gidx * big) - gidx * big
+        lpos = np.flatnonzero(~is_right)
+        if len(lpos) == 0:
+            return pa.schema([(c, t.schema.field(c).type) for c in out_cols]).empty_table()
+        matched = last_right[lpos] >= 0
+        src_pos = np.where(matched, last_right[lpos], 0)  # dummy 0, nulled below
+        left = t.take(pa.array(lpos))
         cols = {c: left.column(c) for c in left_cols}
+        right_rows = t.take(pa.array(src_pos))
+        m = pa.array(matched)
         for c in right_cols:
-            src = right.column(f"{c}{right_suffix}").take(take_idx)
-            cols[f"{c}{right_suffix}"] = pc.if_else(
-                pa.array(matched), src, pa.scalar(None, src.type)
-            )
+            src = right_rows.column(f"{c}{right_suffix}")
+            cols[f"{c}{right_suffix}"] = pc.if_else(m, src, pa.scalar(None, src.type))
         return pa.table(cols)
 
     u = left_ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
         right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     )
+    # hash-repartition by key + ONE whole-block kernel call per partition
+    # (map_groups would pay one python call per key)
     return (
         _hash_shuffle(u)
-        .groupby(key_col, num_partitions=num_partitions)
-        .map_groups(merge, batch_format="pyarrow")
+        .repartition(num_blocks=num_partitions, keys=[key_col])
+        .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -326,30 +340,55 @@ def funnel_counts(
             [user_col, type_col, ts_col]
         )
 
-    def walk(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
-        g = group.take(idx)
+    def walk(t: pa.Table) -> pa.Table:
+        # whole-block kernel over MANY users: one vectorized pass per step
+        # (|steps| is tiny) — for each user segment, the step matches at
+        # the EARLIEST event of that type strictly after the previous
+        # step's match (np.minimum.reduceat per segment).
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], t.schema.field(user_col).type),
+                    "_max_step": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            t, sort_keys=[(user_col, "ascending"), (ts_col, "ascending")]
+        )
+        g = t.take(idx)
+        from .merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(g, (user_col,)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        gidx = np.cumsum(first) - 1
+        nseg = len(starts)
         ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        types = g.column(type_col).to_numpy(zero_copy_only=False)
-        reached = -1
-        cur = -(1 << 62)
+        inf = np.iinfo(np.int64).max
+        cur = np.full(nseg, -(1 << 62), dtype=np.int64)
+        alive = np.ones(nseg, dtype=bool)
+        reached = np.full(nseg, -1, dtype=np.int64)
         for i, step in enumerate(steps):
-            mask = (types == step) & (ts > cur)
-            if not mask.any():
+            is_step = pc.equal(g.column(type_col), pa.scalar(step)).to_numpy(
+                zero_copy_only=False
+            )
+            cand = np.where(is_step & (ts > cur[gidx]) & alive[gidx], ts, inf)
+            seg_min = np.minimum.reduceat(cand, starts)
+            alive &= seg_min < inf
+            cur = np.where(alive, seg_min, cur)
+            reached = np.where(alive, i, reached)
+            if not alive.any():
                 break
-            cur = int(ts[mask].min())
-            reached = i
         return pa.table(
             {
-                user_col: g.column(user_col).slice(0, 1),
-                "_max_step": pa.array([reached], pa.int64()),
+                user_col: g.column(user_col).take(pa.array(starts)),
+                "_max_step": pa.array(reached, pa.int64()),
             }
         )
 
     per_user = (
         _hash_shuffle(ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True))
-        .groupby(user_col, num_partitions=num_partitions)
-        .map_groups(walk, batch_format="pyarrow")
+        .repartition(num_blocks=num_partitions, keys=[user_col])
+        .map_batches(walk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
     def partial_counts(b: pa.Table) -> pa.Table:
