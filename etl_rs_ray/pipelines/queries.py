@@ -1545,6 +1545,122 @@ def events_scd2_incremental(sf_dir: str):
     )
 
 
+def events_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle: users cohorted by FIRST active day,
+    counted per (cohort_day, day_offset). Per-batch partials fold to
+    distinct (user, day) rows before the ONE keyed shuffle on user; the
+    segment kernel emits (cohort, offset) cells; a second tiny shuffle
+    sums the bounded domain (stages/temporal.py::retention_cohorts)."""
+    from ..stages.temporal import retention_cohorts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        retention_cohorts(ds, "user_id", "ts", num_partitions=_partitions(8))
+    )
+
+
+def events_mad_outliers(sf_dir: str):
+    """Robust per-type outliers: |value - median| > 3 * MAD, all order
+    statistics integer-exact over the cents domain
+    (stages/grouping.py::mad_outliers — two grouped_quantiles_discrete
+    passes + one broadcast filter pass; no float mean/stddev to drift
+    under parallel fold order)."""
+    from ..stages.grouping import mad_outliers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    return mad_outliers(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "value_cents",
+        ["event_id", "event_type", "value_cents"],
+        k=3,
+    )
+
+
+def events_user_paths(sf_dir: str):
+    """Ordered string_agg per user: the first 8 event types in (ts,
+    event_id) order joined with '->' — the session-journey operator.
+    ONE keyed shuffle; the segment kernel joins strings with one
+    vectorized binary_join over a ListArray view
+    (stages/ordered.py::path_per_key)."""
+    from ..stages.ordered import path_per_key
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    return drop_empty_blocks(
+        path_per_key(ds, "user_id", ["ts", "event_id"], "event_type", limit_k=8)
+    )
+
+
+def events_rank_stats(sf_dir: str):
+    """Ranking window functions per event type over value DESC:
+    row_number, dense_rank (over the value alone), integer-exact
+    percent_rank in micros, ntile(4)
+    (stages/ordered.py::rank_stats_per_key — one keyed shuffle, all
+    ranks from segment positions and cumulative new-value markers)."""
+    from ..stages.ordered import rank_stats_per_key
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    return drop_empty_blocks(
+        rank_stats_per_key(
+            ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+            "event_type",
+            "value_cents",
+            "event_id",
+            ntile_k=4,
+        )
+    )
+
+
+def events_audience_overlap(sf_dir: str):
+    """INTERSECT / EXCEPT audience counts between two event types in one
+    pass: per-batch partials fold to one (user, has_a, has_b) row per
+    user per block, ONE keyed shuffle ORs the flags, per-block counters
+    sum on the driver (stages/joins.py::audience_overlap) — no DISTINCT
+    shuffle, no join."""
+    from ..stages.joins import audience_overlap
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return audience_overlap(ds, "user_id", "event_type", "purchase", "error")
+
+
+def docs_tfidf_top_terms(sf_dir: str):
+    """Top TF-IDF term per document: vectorized lower+split tokenize,
+    shuffle 1 co-locates TERMS to count df inside the segment (no
+    broadcast vocabulary), shuffle 2 co-locates DOCS for the argmax
+    (stages/text_stats.py::tfidf_top_terms). N comes from parquet
+    metadata, not a re-count."""
+    from ..stages.text_stats import tfidf_top_terms
+    from ..util import drop_empty_blocks
+
+    n_docs = _table_rows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return drop_empty_blocks(tfidf_top_terms(ds, n_docs))
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1599,6 +1715,12 @@ QUERIES = {
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_quantiles_by_type": events_quantiles_by_type,
     "events_rolling_revenue": events_rolling_revenue,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_mad_outliers": events_mad_outliers,
+    "events_user_paths": events_user_paths,
+    "events_rank_stats": events_rank_stats,
+    "events_audience_overlap": events_audience_overlap,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "events_scd2_incremental": events_scd2_incremental,
 }
 
@@ -2312,3 +2434,113 @@ ORACLE_SQL["events_rolling_revenue"] = """
 # the incremental SCD2 result must equal the FULL-history window — the
 # oracle is identical to events_scd2_history's
 ORACLE_SQL["events_scd2_incremental"] = ORACLE_SQL["events_scd2_history"]
+
+ORACLE_SQL["events_retention_cohorts"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts)) AS d
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS cohort FROM ud GROUP BY user_id)
+    SELECT f.cohort AS cohort_day, ud.d - f.cohort AS day_offset,
+           COUNT(*) AS n_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["events_mad_outliers"] = """
+    WITH e AS (
+      SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS med
+      FROM e GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP
+                 (ORDER BY abs(e.v - med.med)) AS BIGINT) AS mad
+      FROM e JOIN med USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.v AS value_cents
+    FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(e.v - med.med) > 3 * mad.mad
+"""
+
+ORACLE_SQL["events_user_paths"] = """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS path,
+           count(*) AS path_len
+    FROM r WHERE rn <= 8 GROUP BY user_id
+"""
+
+# dense_rank gets its OWN window ordered by the value alone: DuckDB
+# ranks over the full ORDER BY list, and the (v, event_id) tie-break
+# would make dense_rank == row_number
+ORACLE_SQL["events_rank_stats"] = """
+    WITH e AS (
+      SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id, v AS value_cents,
+             row_number() OVER w AS rn,
+             dense_rank() OVER (PARTITION BY event_type ORDER BY v DESC)
+                 AS dense_rank,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             ntile(4) OVER w AS ntile
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY v DESC, event_id)
+    )
+    SELECT event_type, event_id, value_cents, rn, dense_rank,
+           CASE WHEN n = 1 THEN 0
+                ELSE ((rn-1)*2000000 + (n-1)) // (2*(n-1)) END
+               AS pct_rank_micros,
+           ntile
+    FROM r
+"""
+
+ORACLE_SQL["events_audience_overlap"] = """
+    WITH f AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ha,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS hb
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT count(*) FILTER (ha = 1 AND hb = 1) AS n_both,
+           count(*) FILTER (ha = 1 AND hb = 0) AS n_only_a,
+           count(*) FILTER (ha = 0 AND hb = 1) AS n_only_b,
+           count(*) AS n_either
+    FROM f
+"""
+
+ORACLE_SQL["docs_tfidf_top_terms"] = """
+    WITH toks AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+      ) t WHERE term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT doc_id, count(*) AS tot FROM toks GROUP BY 1),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(tf.c * 1000000.0 / tot.tot * ln(nd * 1.0 / df.df))
+                  AS BIGINT) AS tfidf_micros
+      FROM tf JOIN tot USING (doc_id) JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tfidf_micros
+    FROM (SELECT *, row_number() OVER
+              (PARTITION BY doc_id ORDER BY tfidf_micros DESC, term) AS rn
+          FROM scored)
+    WHERE rn = 1
+"""

@@ -267,3 +267,73 @@ def grouped_quantiles_discrete(
         .repartition(num_blocks=nparts, keys=[group_col])
         .map_batches(merge_cells, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    keep_cols: Sequence[str],
+    *,
+    k: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Robust per-group outlier detection: rows with
+    ``|value - median(group)| > k * MAD(group)`` where MAD is the median
+    absolute deviation (``percentile_disc`` order statistics, so every
+    comparison is integer-exact — no float mean/stddev to drift under
+    parallel fold order).
+
+    Scale shape: two ``grouped_quantiles_discrete`` passes (each one
+    keyed shuffle whose volume is distinct (group, value) CELLS, not
+    rows), per-group stats broadcast via ``ray.put`` (one row per group
+    — the group domain must be bounded, e.g. event types / languages /
+    shards; for unbounded groups swap the broadcast for a keyed
+    shuffle join), then ONE streaming filter pass over the input.
+    ``value_col`` must be integer (quantize first)."""
+    import ray
+
+    med_rows = grouped_quantiles_discrete(
+        ds, group_col, value_col, [0.5], prefix="m", num_partitions=num_partitions
+    ).take_all()
+    med = {r[group_col]: int(r["m05"]) for r in med_rows}
+    med_ref = ray.put(med)
+
+    def _per_row(b: pa.Table, m: dict, pick) -> np.ndarray:
+        # dictionary-encode the group column so the python dict lookup
+        # runs once per DISTINCT group in the block, not once per row
+        genc = b.column(group_col).combine_chunks().dictionary_encode()
+        idx = genc.indices.to_numpy(zero_copy_only=False)
+        per_group = np.array([pick(m[g]) for g in genc.dictionary.to_pylist()], dtype=np.int64)
+        return per_group[idx]
+
+    def absdev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        meds = _per_row(b, m, lambda x: x)
+        return pa.table(
+            {group_col: b.column(group_col), "_absdev": pa.array(np.abs(v - meds), pa.int64())}
+        )
+
+    mad_rows = grouped_quantiles_discrete(
+        ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True),
+        group_col,
+        "_absdev",
+        [0.5],
+        prefix="m",
+        num_partitions=num_partitions,
+    ).take_all()
+    mad = {r[group_col]: int(r["m05"]) for r in mad_rows}
+    stats_ref = ray.put({g: (med[g], mad[g]) for g in med})
+
+    out_cols = list(keep_cols)
+
+    def flag(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        meds = _per_row(b, st, lambda x: x[0])
+        mads = _per_row(b, st, lambda x: x[1])
+        keep = np.abs(v - meds) > k * mads
+        return b.select(out_cols).filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -380,3 +380,67 @@ def range_join(
         .repartition(num_blocks=nparts, keys=["_rb"])
         .map_batches(bucket_match, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+
+
+def audience_overlap(
+    ds,
+    user_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Set-operation audience counts between two event types: how many
+    users did BOTH (INTERSECT), only A (EXCEPT), only B — plus the
+    union — in one pass.
+
+    Scale shape: pre-filter to the two types at the read, per-batch
+    partial folds to one (user, has_a, has_b) row per user per block
+    (TableGroupBy max), ONE keyed shuffle co-locates users, the segment
+    fold ORs the flags and each block emits four counters — the driver
+    sums a handful of rows. No DISTINCT shuffle, no join."""
+    from .dedup import _group_partitions, _hash_shuffle
+
+    def partial(b: pa.Table) -> pa.Table:
+        tv = b.column(type_col)
+        sel = pc.or_(pc.equal(tv, pa.scalar(type_a)), pc.equal(tv, pa.scalar(type_b)))
+        b = b.filter(pc.fill_null(sel, False))
+        ha = pc.cast(pc.equal(b.column(type_col), pa.scalar(type_a)), pa.int8())
+        hb = pc.cast(pc.equal(b.column(type_col), pa.scalar(type_b)), pa.int8())
+        t = pa.table({user_col: b.column(user_col), "_ha": ha, "_hb": hb})
+        g = pa.TableGroupBy(t, [user_col]).aggregate([("_ha", "max"), ("_hb", "max")])
+        return g.rename_columns([user_col, "_ha", "_hb"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_both": pa.array([], pa.int64()),
+                    "n_only_a": pa.array([], pa.int64()),
+                    "n_only_b": pa.array([], pa.int64()),
+                    "n_either": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(t, [user_col]).aggregate([("_ha", "max"), ("_hb", "max")])
+        ha = g.column("_ha_max").to_numpy(zero_copy_only=False) > 0
+        hb = g.column("_hb_max").to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "n_both": pa.array([int((ha & hb).sum())], pa.int64()),
+                "n_only_a": pa.array([int((ha & ~hb).sum())], pa.int64()),
+                "n_only_b": pa.array([int((~ha & hb).sum())], pa.int64()),
+                "n_either": pa.array([int(len(ha))], pa.int64()),
+            }
+        )
+
+    nparts = num_partitions or _group_partitions(16)
+    partial_counts = (
+        _hash_shuffle(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(num_blocks=nparts, keys=[user_col])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    totals = {"n_both": 0, "n_only_a": 0, "n_only_b": 0, "n_either": 0}
+    for r in partial_counts.take_all():
+        for k in totals:
+            totals[k] += int(r[k])
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in totals.items()})

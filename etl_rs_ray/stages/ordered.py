@@ -540,3 +540,141 @@ def scd2_apply_increment(
     # time — without this the union would run the inner groupby under the
     # default sort-shuffle strategy and fail
     return _hash_shuffle(pass_through.union(recomputed))
+
+
+def path_per_key(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    limit_k: int = 8,
+    sep: str = "->",
+    path_col: str = "path",
+    len_col: str = "path_len",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered ``string_agg`` per key: the first ``limit_k`` values of
+    each key in ``order_cols`` order, joined with ``sep`` — session /
+    journey paths (``string_agg(v, sep ORDER BY ...)`` over
+    ``row_number() <= k``).
+
+    ONE keyed shuffle; the segment kernel filters to each key's first k
+    rows, rebuilds segment offsets, and joins the strings with a single
+    vectorized ``pc.binary_join`` over a ListArray view — no per-key
+    python."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sort_keys = [(k, "ascending") for k in keys] + [(o, "ascending") for o in order_cols]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {k: pa.array([], t.schema.field(k).type) for k in keys}
+            cols[path_col] = pa.array([], pa.string())
+            cols[len_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _first_per_key_mask(t, tuple(keys)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        pos = _segment_positions(first, gidx)
+        t = t.filter(pa.array(pos < limit_k))
+        first = _first_per_key_mask(t, tuple(keys)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        offsets = np.append(starts, t.num_rows).astype(np.int32)
+        vals = t.column(value_col).combine_chunks().cast(pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        joined = pc.binary_join(lists, sep)
+        cols = {k: t.column(k).take(pa.array(starts)) for k in keys}
+        cols[path_col] = joined
+        cols[len_col] = pa.array(np.diff(offsets).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    nparts = num_partitions or _num_partitions()
+    return (
+        _hash_shuffle(ds)
+        .repartition(num_blocks=nparts, keys=keys)
+        .map_batches(kernel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def rank_stats_per_key(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    value_col: str,
+    id_col: str,
+    *,
+    ntile_k: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Ranking window functions per key over ``value_col`` DESC (ties
+    broken by ``id_col`` ASC): ``row_number``, ``dense_rank`` (over the
+    value alone), integer-exact ``percent_rank`` in micros
+    (``(rn-1)*1e6/(n-1)`` rounded half-away — 0 for single-row keys) and
+    ``ntile(ntile_k)``.
+
+    ONE keyed shuffle; every rank derives from segment positions and
+    cumulative new-value markers — pure numpy, no per-key python.
+    ``value_col`` must be integer (quantize first)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sort_keys = [(k, "ascending") for k in keys] + [
+        (value_col, "descending"),
+        (id_col, "ascending"),
+    ]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        cols_empty = {
+            **{k: pa.array([], t.schema.field(k).type) for k in keys},
+            id_col: pa.array([], t.schema.field(id_col).type),
+            value_col: pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+            "dense_rank": pa.array([], pa.int64()),
+            "pct_rank_micros": pa.array([], pa.int64()),
+            "ntile": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(cols_empty)
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _first_per_key_mask(t, tuple(keys)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        seg_len = np.append(starts[1:], t.num_rows) - starts
+        n = seg_len[gidx]  # segment size per row
+        r0 = _segment_positions(first, gidx)  # 0-based row_number - 1
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_new = first.copy()
+        is_new[1:] |= v[1:] != v[:-1]
+        c = np.cumsum(is_new)
+        dense = c - c[starts][gidx] + 1
+        # integer-exact percent_rank micros: round-half-away of
+        # (r0 * 1e6) / (n-1); 0 when n == 1
+        d = np.maximum(n - 1, 1)
+        pct = (r0 * 2_000_000 + d) // (2 * d)
+        pct[n == 1] = 0
+        # SQL-standard ntile: the first n % k buckets get one extra row
+        size_small = n // ntile_k
+        n_big = n % ntile_k
+        size_big = size_small + 1
+        in_big = r0 < n_big * size_big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big,
+                r0 // np.maximum(size_big, 1),
+                n_big + (r0 - n_big * size_big) // np.maximum(size_small, 1),
+            )
+        return pa.table(
+            {
+                **{k: t.column(k) for k in keys},
+                id_col: t.column(id_col),
+                value_col: t.column(value_col),
+                "rn": pa.array(r0 + 1, pa.int64()),
+                "dense_rank": pa.array(dense, pa.int64()),
+                "pct_rank_micros": pa.array(pct, pa.int64()),
+                "ntile": pa.array(tile + 1, pa.int64()),
+            }
+        )
+
+    nparts = num_partitions or _num_partitions()
+    return (
+        _hash_shuffle(ds)
+        .repartition(num_blocks=nparts, keys=keys)
+        .map_batches(kernel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )

@@ -416,3 +416,79 @@ def funnel_counts(
             "n_users": pa.array([agg[i] for i in range(len(steps))], pa.int64()),
         }
     )
+
+
+def retention_cohorts(
+    ds,
+    user_col: str,
+    ts_col: str,
+    num_partitions: int = 8,
+):
+    """Cohort retention: cohort each user by their FIRST active day, then
+    count users active at each (cohort_day, day_offset) cell — the
+    classic warehouse retention triangle.
+
+    Scale shape: per-batch partial folds events to distinct
+    (user, epoch_day) rows BEFORE anything moves; ONE keyed shuffle on
+    user co-locates each user's days; the segment kernel reads
+    cohort = min(day) and emits (cohort, day - cohort) rows (each user
+    contributes at most one row per cell by construction, so the final
+    count needs no DISTINCT); a second tiny shuffle on the bounded
+    (cohort, offset) domain sums the partial counts.
+
+    Output: cohort_day (int64 epoch days), day_offset, n_users."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        # floor-div in numpy (arrow divide truncates toward zero)
+        us = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        t = pa.table({user_col: b.column(user_col), "_day": pa.array(day, pa.int64())})
+        g = pa.TableGroupBy(t, [user_col, "_day"]).aggregate([([], "count_all")])
+        return g.select([user_col, "_day"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        # merge duplicate (user, day) rows from different blocks first
+        t = pa.TableGroupBy(t, [user_col, "_day"]).aggregate([([], "count_all")])
+        idx = pc.sort_indices(t, sort_keys=[(user_col, "ascending"), ("_day", "ascending")])
+        t = t.take(idx)
+        from .merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(t, (user_col,)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        gidx = np.cumsum(first) - 1
+        day = t.column("_day").to_numpy(zero_copy_only=False)
+        cohort = day[starts][gidx]
+        cells = pa.table(
+            {
+                "cohort_day": pa.array(cohort, pa.int64()),
+                "day_offset": pa.array(day - cohort, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(cells, ["cohort_day", "day_offset"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = pa.TableGroupBy(t, ["cohort_day", "day_offset"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cells = (
+        _hash_shuffle(p)
+        .repartition(num_blocks=num_partitions, keys=[user_col])
+        .map_batches(per_user, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    return (
+        _hash_shuffle(cells)
+        .repartition(num_blocks=min(num_partitions, 4), keys=["cohort_day", "day_offset"])
+        .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )

@@ -303,3 +303,122 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
             "top_token_frac": pa.array(np.array(m_out, dtype=np.float64) / n if len(n) else [], pa.float64()),
         }
     )
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+_TFIDF_SPLIT = r"[^a-z0-9]+"
+
+
+def _doc_terms(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Per-batch TF partial: (doc_id, term, tf_cnt, doc_total) — one
+    vectorized lower + RE2 split + flatten, then a TableGroupBy count.
+    Docs are whole rows, so these partials are globally final."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf_cnt": pa.array([], pa.int64()),
+                "doc_total": pa.array([], pa.int64()),
+            }
+        )
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col).combine_chunks()), pattern=_TFIDF_SPLIT
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    parent = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False),
+        np.diff(lists.offsets.to_numpy(zero_copy_only=False)),
+    )
+    flat = pa.table({id_col: pa.array(parent, pa.int64()), "term": lists.flatten()})
+    flat = flat.filter(pc.not_equal(flat.column("term"), pa.scalar("")))
+    g = pa.TableGroupBy(flat, [id_col, "term"]).aggregate([([], "count_all")])
+    g = g.rename_columns([id_col, "term", "tf_cnt"])
+    totals = pa.TableGroupBy(flat, [id_col]).aggregate([([], "count_all")])
+    tot_ids = totals.column(id_col)
+    pos = pc.index_in(g.column(id_col), value_set=tot_ids.combine_chunks())
+    return g.append_column("doc_total", totals.column("count_all").take(pos))
+
+
+def tfidf_top_terms(
+    ds,
+    n_docs: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Top TF-IDF term per document: tokenize (lower, split on
+    non-alphanumeric), score each (doc, term) with
+    ``tf/doc_len * ln(N/df)`` quantized to micros, keep each doc's
+    highest-scoring term (ties broken by term ASC).
+
+    Scale shape: per-batch TF partials are final (docs never span
+    batches); shuffle 1 co-locates each TERM to count df within the
+    segment (no broadcast vocabulary — the vocab can be huge); shuffle 2
+    co-locates each DOC to take its argmax. Pass ``n_docs`` from
+    metadata (parquet row count) — don't re-count the dataset."""
+    from .dedup import _group_partitions, _hash_shuffle
+    from .merge_apply import _first_per_key_mask
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("tfidf_micros", pa.array([], pa.int64()))
+        t = t.take(pc.sort_indices(t, sort_keys=[("term", "ascending")]))
+        first = _first_per_key_mask(t, ("term",)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        gidx = np.cumsum(first) - 1
+        df = (np.append(starts[1:], t.num_rows) - starts)[gidx]
+        tf_cnt = t.column("tf_cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = t.column("doc_total").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf_cnt * 1_000_000.0 / tot * np.log(float(n_docs) / df)
+        # round half-away-from-zero (scores are >= 0) to match SQL round()
+        micros = np.floor(score + 0.5).astype(np.int64)
+        return t.append_column("tfidf_micros", pa.array(micros, pa.int64()))
+
+    def top_per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "top_term": pa.array([], pa.string()),
+                    "tfidf_micros": pa.array([], pa.int64()),
+                }
+            )
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    (id_col, "ascending"),
+                    ("tfidf_micros", "descending"),
+                    ("term", "ascending"),
+                ],
+            )
+        )
+        first = _first_per_key_mask(t, (id_col,)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        keep = pa.array(starts, pa.int64())
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(keep),
+                "top_term": t.column("term").take(keep),
+                "tfidf_micros": t.column("tfidf_micros").take(keep),
+            }
+        )
+
+    nparts = num_partitions or _group_partitions(16)
+    tf = ds.map_batches(
+        lambda b: _doc_terms(b, text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    scored = (
+        _hash_shuffle(tf)
+        .repartition(num_blocks=nparts, keys=["term"])
+        .map_batches(attach_df, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    return (
+        _hash_shuffle(scored)
+        .repartition(num_blocks=nparts, keys=[id_col])
+        .map_batches(top_per_doc, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )

@@ -374,3 +374,48 @@ def test_netpbm_real_decode_and_routing():
     out = DecodeImage(strict=True)(batch)
     assert out.column("width").to_pylist() == [6, 5]
     assert out.column("height").to_pylist() == [4, 3]
+
+
+def test_tfidf_top_terms_matches_sql():
+    import duckdb as _duck
+
+    from etl_rs_ray.stages.text_stats import tfidf_top_terms
+
+    rng = np.random.default_rng(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 30)).tolist()) + " Tail-42"
+        for _ in range(300)
+    ]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)})
+    nd = 300
+    got = (
+        tfidf_top_terms(ray.data.from_arrow(t).repartition(5), nd)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM t
+          ) x WHERE term <> ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) c FROM toks GROUP BY 1,2),
+        tot AS (SELECT doc_id, count(*) tot FROM toks GROUP BY 1),
+        df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        scored AS (SELECT tf.doc_id, tf.term,
+            CAST(round(tf.c * 1000000.0 / tot.tot * ln({nd}*1.0 / df.df)) AS BIGINT) AS tfidf_micros
+          FROM tf JOIN tot USING (doc_id) JOIN df USING (term))
+        SELECT doc_id, term AS top_term, tfidf_micros
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micros DESC, term) rn FROM scored)
+        WHERE rn = 1 ORDER BY doc_id
+        """
+    ).df()
+    want["doc_id"] = want["doc_id"].astype("int64")
+    want["tfidf_micros"] = want["tfidf_micros"].astype("int64")
+    assert got.equals(want.reset_index(drop=True))
+    # the tokenizer lowers and splits on non-alphanumerics: 'Tail-42'
+    # becomes tokens 'tail' and '42' — never a term containing '-'
+    assert not got["top_term"].str.contains("-").any()

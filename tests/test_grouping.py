@@ -157,3 +157,55 @@ def test_grouped_quantiles_discrete_matches_percentile_disc():
     for c_got, c_want in [("p00", "p00"), ("p05", "p05"), ("p09", "p09"),
                           ("p10", "p10"), ("n", "n")]:
         assert got[c_got].astype("int64").tolist() == want[c_want].astype("int64").tolist(), c_got
+
+
+def test_mad_outliers_matches_percentile_disc():
+    from etl_rs_ray.stages.grouping import mad_outliers
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "id": np.arange(n, dtype=np.int64),
+            # heavy-tailed so outliers exist
+            "v": (rng.standard_cauchy(n) * 100).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = (
+        mad_outliers(ds, "g", "v", ["id", "g", "v"], k=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH med AS (SELECT g, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) med
+                     FROM t GROUP BY g),
+        mad AS (SELECT t.g, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(t.v - med.med)) AS BIGINT) mad
+                FROM t JOIN med USING (g) GROUP BY t.g)
+        SELECT id, t.g, v FROM t JOIN med USING (g) JOIN mad USING (g)
+        WHERE abs(v - med.med) > 3 * mad.mad ORDER BY id
+        """
+    ).df()
+    want.columns = ["id", "g", "v"]
+    for c in ["id", "v"]:
+        want[c] = want[c].astype("int64")
+    assert len(got) > 0  # cauchy tails guarantee outliers
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_mad_outliers_zero_mad_group():
+    from etl_rs_ray.stages.grouping import mad_outliers
+
+    # constant group: MAD = 0, so ANY deviation flags — the lone spike
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * 9 + ["x"], pa.string()),
+            "id": pa.array(range(10), pa.int64()),
+            "v": pa.array([5] * 9 + [6], pa.int64()),
+        }
+    )
+    got = mad_outliers(ray.data.from_arrow(t), "g", "v", ["id"], k=3).to_pandas()
+    assert got["id"].tolist() == [9]

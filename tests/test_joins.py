@@ -202,3 +202,36 @@ def test_bloom_anti_requires_verification():
     ds = ray.data.from_arrow(pa.table({"k": [1]}))
     with pytest.raises(ValueError, match="verification"):
         bloom_semi_join(ds, ds, on="k", anti=True, verify=None)
+
+
+def test_audience_overlap_counts():
+    import duckdb as _duck
+    import numpy as np
+
+    from etl_rs_ray.stages.joins import audience_overlap
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    t = pa.table(
+        {
+            "u": rng.integers(0, 300, n).astype(np.int64),
+            "ty": rng.choice(["a", "b", "c", "d"], n, p=[0.1, 0.1, 0.4, 0.4]),
+        }
+    )
+    got = audience_overlap(
+        ray.data.from_arrow(t).repartition(5), "u", "ty", "a", "b"
+    ).to_pandas()
+    want = _duck.sql(
+        """
+        WITH f AS (SELECT u, max(CASE WHEN ty='a' THEN 1 ELSE 0 END) ha,
+                          max(CASE WHEN ty='b' THEN 1 ELSE 0 END) hb
+                   FROM t WHERE ty IN ('a','b') GROUP BY u)
+        SELECT count(*) FILTER (ha=1 AND hb=1) AS n_both,
+               count(*) FILTER (ha=1 AND hb=0) AS n_only_a,
+               count(*) FILTER (ha=0 AND hb=1) AS n_only_b,
+               count(*) AS n_either FROM f
+        """
+    ).df()
+    assert got.astype("int64").equals(want.astype("int64"))
+    r = got.iloc[0]
+    assert r["n_both"] + r["n_only_a"] + r["n_only_b"] == r["n_either"]

@@ -271,3 +271,106 @@ def test_scd2_apply_empty_increment_is_identity():
     got = scd2_apply_increment(history, empty, "k", "lsn", ["v"])
     want = scd2_history(ray.data.from_arrow(t), "k", "lsn", ["v"])
     assert _scd2_frame(got) == _scd2_frame(want)
+
+
+def test_path_per_key_matches_string_agg():
+    from etl_rs_ray.stages.ordered import path_per_key
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    t = pa.table(
+        {
+            "k": rng.integers(0, 60, n).astype(np.int64),
+            "ord": rng.permutation(n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.choice(["a", "bb", "ccc", "d", "ee"], n),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = _sorted_df(
+        path_per_key(ds, "k", ["ord", "id"], "v", limit_k=6, sep="|").to_pandas(), ["k"]
+    )
+    want = duckdb.sql(
+        """
+        WITH r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY ord, id) rn FROM t)
+        SELECT k, string_agg(v, '|' ORDER BY rn) AS path, count(*) AS path_len
+        FROM r WHERE rn <= 6 GROUP BY k ORDER BY k
+        """
+    ).df()
+    want["path_len"] = want["path_len"].astype("int64")
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_path_per_key_limit_exceeds_segments():
+    from etl_rs_ray.stages.ordered import path_per_key
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ord": pa.array([2, 1, 5], pa.int64()),
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array(["x", "y", "z"]),
+        }
+    )
+    got = _sorted_df(
+        path_per_key(
+            ray.data.from_arrow(t), "k", ["ord", "id"], "v", limit_k=100
+        ).to_pandas(),
+        ["k"],
+    )
+    assert got["path"].tolist() == ["y->x", "z"]
+    assert got["path_len"].tolist() == [2, 1]
+
+
+def test_rank_stats_matches_window_functions():
+    from etl_rs_ray.stages.ordered import rank_stats_per_key
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    # small value domain forces plenty of dense_rank ties
+    t = pa.table(
+        {
+            "k": rng.integers(0, 7, n).astype(np.int64),
+            "v": rng.integers(0, 40, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = _sorted_df(
+        rank_stats_per_key(ds, "k", "v", "id", ntile_k=4).to_pandas(), ["k", "rn"]
+    )
+    want = duckdb.sql(
+        """
+        WITH r AS (
+          SELECT k, id, v,
+                 row_number() OVER w AS rn,
+                 dense_rank() OVER (PARTITION BY k ORDER BY v DESC) AS dense_rank,
+                 count(*) OVER (PARTITION BY k) AS n,
+                 ntile(4) OVER w AS ntile
+          FROM t WINDOW w AS (PARTITION BY k ORDER BY v DESC, id)
+        )
+        SELECT k, id, v, rn, dense_rank,
+               CASE WHEN n = 1 THEN 0
+                    ELSE ((rn-1)*2000000 + (n-1)) // (2*(n-1)) END AS pct_rank_micros,
+               ntile
+        FROM r ORDER BY k, rn
+        """
+    ).df()
+    for c in ["rn", "dense_rank", "pct_rank_micros", "ntile", "id", "v"]:
+        want[c] = want[c].astype("int64")
+    assert got[want.columns.tolist()].equals(want.reset_index(drop=True))
+
+
+def test_rank_stats_single_row_key():
+    from etl_rs_ray.stages.ordered import rank_stats_per_key
+
+    t = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "v": pa.array([5], pa.int64()),
+            "id": pa.array([0], pa.int64()),
+        }
+    )
+    got = rank_stats_per_key(ray.data.from_arrow(t), "k", "v", "id").to_pandas()
+    row = got.iloc[0]
+    assert (row["rn"], row["dense_rank"], row["pct_rank_micros"], row["ntile"]) == (1, 1, 0, 1)

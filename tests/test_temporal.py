@@ -253,3 +253,45 @@ def test_funnel_counts_oracle():
     # view: u1,u2,u3,u4; click after view: u1,u2; purchase after that: u1,u3?
     # u3: view at 5, purchase at 10 but no click after 5 -> stops at view
     assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_matches_sql():
+    import duckdb as _duck
+    import numpy as np
+
+    from etl_rs_ray.stages.temporal import retention_cohorts
+
+    rng = np.random.default_rng(3)
+    n = 8000
+    base = dt.datetime(2024, 3, 1)
+    t = pa.table(
+        {
+            "u": rng.integers(0, 200, n).astype(np.int64),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=int(m)) for m in rng.integers(0, 60 * 24 * 30, n)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = (
+        retention_cohorts(ds, "u", "ts")
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    want = _duck.sql(
+        """
+        WITH ud AS (SELECT DISTINCT u, datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts)) d FROM t),
+        f AS (SELECT u, MIN(d) cohort FROM ud GROUP BY u)
+        SELECT f.cohort AS cohort_day, ud.d - f.cohort AS day_offset, COUNT(*) AS n_users
+        FROM ud JOIN f USING (u) GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert got.equals(want.reset_index(drop=True))
+    # day-0 cell per cohort counts every cohort member exactly once
+    day0 = got[got.day_offset == 0].set_index("cohort_day")["n_users"]
+    firsts = want.groupby("cohort_day")["n_users"].max()
+    assert (day0 >= 1).all() and set(day0.index) == set(firsts.index)
