@@ -1661,6 +1661,76 @@ def docs_tfidf_top_terms(sf_dir: str):
     return drop_empty_blocks(tfidf_top_terms(ds, n_docs))
 
 
+def events_sessionize(sf_dir: str):
+    """Row-level sessionization: 1-based session ids and in-session
+    positions per user under a 30-minute inactivity gap — the row-level
+    companion to the session-window aggregate. ONE keyed shuffle; ids
+    derive from one lag + two cumsums (stages/ordered.py::sessionize)."""
+    from ..stages.ordered import sessionize
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap_us=1_800_000_000, order_cols=["event_id"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "event_id", "session_seq", "event_seq"])
+
+    return drop_empty_blocks(
+        out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def events_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence supports: for every unordered pair of
+    event types, the number of users who did BOTH. Per-batch distinct
+    partials -> ONE basket shuffle -> vectorized pair expansion ->
+    bounded-domain count fold (stages/joins.py::cooccurrence_pairs)."""
+    from ..stages.joins import cooccurrence_pairs
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return drop_empty_blocks(cooccurrence_pairs(ds, "user_id", "event_type"))
+
+
+def events_gapfill_locf(sf_dir: str):
+    """Hourly resample with gap filling per event type: every hour of
+    the global timeline appears for every type, missing hours get
+    n_events = 0 and a carried-forward (LOCF) hourly revenue
+    (stages/temporal.py::gapfill_hourly_locf — one pass over the raw
+    input, the dense timeline is built from the tiny cell table)."""
+    from ..stages.temporal import gapfill_hourly_locf
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "ts": b.column("ts"),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    out = gapfill_hourly_locf(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "ts",
+        "event_type",
+        "value_cents",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("sum_locf"),
+            "sum_locf",
+            pc.fill_null(b.column("sum_locf"), -1),
+        )
+
+    return drop_empty_blocks(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1721,6 +1791,9 @@ QUERIES = {
     "events_rank_stats": events_rank_stats,
     "events_audience_overlap": events_audience_overlap,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "events_sessionize": events_sessionize,
+    "events_cooccurrence": events_cooccurrence,
+    "events_gapfill_locf": events_gapfill_locf,
     "events_scd2_incremental": events_scd2_incremental,
 }
 
@@ -2543,4 +2616,56 @@ ORACLE_SQL["docs_tfidf_top_terms"] = """
               (PARTITION BY doc_id ORDER BY tfidf_micros DESC, term) AS rn
           FROM scored)
     WHERE rn = 1
+"""
+
+ORACLE_SQL["events_sessionize"] = """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id, event_id, session_seq,
+           row_number() OVER (PARTITION BY user_id, session_seq
+                              ORDER BY ts, event_id) AS event_seq
+    FROM s
+"""
+
+ORACLE_SQL["events_cooccurrence"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           count(*) AS n_baskets
+    FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["events_gapfill_locf"] = """
+    WITH RECURSIVE e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(round(value*100) AS BIGINT) AS v
+      FROM events
+    ),
+    agg AS (SELECT event_type, h, count(*) AS n, sum(v) AS s FROM e GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    series(h) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT h + 1 FROM series, bounds WHERE h < hi
+    ),
+    types AS (SELECT DISTINCT event_type FROM e),
+    grid AS (SELECT t.event_type, s.h FROM types t CROSS JOIN series s),
+    j AS (
+      SELECT g.event_type, g.h, coalesce(a.n, 0) AS n_events, a.s
+      FROM grid g LEFT JOIN agg a USING (event_type, h)
+    ),
+    f AS (SELECT *, count(s) OVER (PARTITION BY event_type ORDER BY h) AS grp FROM j)
+    SELECT event_type, h AS bucket_start, n_events,
+           coalesce(max(s) OVER (PARTITION BY event_type, grp), -1) AS sum_locf
+    FROM f
 """

@@ -444,3 +444,98 @@ def audience_overlap(
         for k in totals:
             totals[k] += int(r[k])
     return pa.table({k: pa.array([v], pa.int64()) for k, v in totals.items()})
+
+
+def cooccurrence_pairs(
+    ds,
+    basket_col: str,
+    item_col: str,
+    *,
+    count_col: str = "n_baskets",
+    num_partitions: int | None = None,
+):
+    """Market-basket co-occurrence: for every unordered item pair
+    (a < b), count the baskets containing BOTH — the support table
+    association mining starts from.
+
+    Scale shape: per-batch partials fold to distinct (basket, item)
+    rows; ONE keyed shuffle co-locates baskets; the segment kernel
+    expands each basket's k items to its k(k-1)/2 pairs with the same
+    vectorized repeat/offset expansion the range join uses (cost is
+    pairs emitted, not a python loop); per-block pair counts fold once
+    more on the bounded pair domain. Guard baskets with
+    ``items-per-basket`` far below the block budget (an item DOMAIN of
+    d gives at most d(d-1)/2 distinct pairs)."""
+    import numpy as np
+
+    from .dedup import _group_partitions, _hash_shuffle
+    from .merge_apply import _first_per_key_mask
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([basket_col, item_col])
+        g = pa.TableGroupBy(t, [basket_col, item_col]).aggregate([([], "count_all")])
+        return g.select([basket_col, item_col])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "item_a": pa.array([], t.schema.field(item_col).type),
+                "item_b": pa.array([], t.schema.field(item_col).type),
+                "_n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        # re-distinct across blocks, then sort so each basket segment's
+        # items are ascending (pairs come out a < b by construction)
+        t = pa.TableGroupBy(t, [basket_col, item_col]).aggregate([([], "count_all")])
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[(basket_col, "ascending"), (item_col, "ascending")]
+            )
+        )
+        first = _first_per_key_mask(t, (basket_col,)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        seg_len = np.append(starts[1:], t.num_rows) - starts
+        pos = np.arange(t.num_rows) - starts[gidx]
+        n_follow = (seg_len[gidx] - 1 - pos).astype(np.int64)  # partners after each row
+        total = int(n_follow.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(t.num_rows), n_follow)
+        offs = np.concatenate(([0], np.cumsum(n_follow)[:-1]))
+        b_idx = a_idx + 1 + (np.arange(total) - offs[a_idx])
+        items = t.column(item_col)
+        p = pa.table(
+            {
+                "item_a": items.take(pa.array(a_idx)),
+                "item_b": items.take(pa.array(b_idx)),
+            }
+        )
+        g = pa.TableGroupBy(p, ["item_a", "item_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["item_a", "item_b", "_n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "item_a": pa.array([], t.schema.field("item_a").type),
+                    "item_b": pa.array([], t.schema.field("item_b").type),
+                    count_col: pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(t, ["item_a", "item_b"]).aggregate([("_n", "sum")])
+        return g.rename_columns(["item_a", "item_b", count_col])
+
+    nparts = num_partitions or _group_partitions(16)
+    per_basket = (
+        _hash_shuffle(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+        .repartition(num_blocks=nparts, keys=[basket_col])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    return (
+        _hash_shuffle(per_basket)
+        .repartition(num_blocks=min(nparts, 4), keys=["item_a", "item_b"])
+        .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )

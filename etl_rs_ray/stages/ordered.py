@@ -678,3 +678,55 @@ def rank_stats_per_key(
         .repartition(num_blocks=nparts, keys=keys)
         .map_batches(kernel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    *,
+    gap_us: int = 1_800_000_000,
+    order_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Assign per-row session ids: within each key (ordered by ``ts_col``
+    then ``order_cols``) a new session starts at the first row and
+    whenever the gap to the previous row exceeds ``gap_us``
+    (microseconds). Appends ``session_seq`` (1-based per key) and
+    ``event_seq`` (1-based position within the session) — the row-level
+    companion to the session-window AGGREGATE (temporal.session_window_agg).
+
+    ONE keyed shuffle; session boundaries, ids and positions all derive
+    from one lag + two cumsums over the sorted block — no per-key python."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sort_keys = [(k, "ascending") for k in keys] + [(ts_col, "ascending")] + [
+        (o, "ascending") for o in order_cols
+    ]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("session_seq", pa.array([], pa.int64())).append_column(
+                "event_seq", pa.array([], pa.int64())
+            )
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _first_per_key_mask(t, tuple(keys)).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(first) - 1
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        prev, _ = _lag_within(ts, first)
+        new_session = first | (ts - prev > gap_us)
+        c = np.cumsum(new_session)
+        starts = np.flatnonzero(first)
+        session_seq = c - c[starts][gidx] + 1
+        # event_seq: position within the (key, session) run
+        s2 = np.flatnonzero(new_session)
+        event_seq = np.arange(t.num_rows) - s2[c - 1] + 1
+        return t.append_column("session_seq", pa.array(session_seq, pa.int64())).append_column(
+            "event_seq", pa.array(event_seq, pa.int64())
+        )
+
+    nparts = num_partitions or _num_partitions()
+    return (
+        _hash_shuffle(ds)
+        .repartition(num_blocks=nparts, keys=keys)
+        .map_batches(kernel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )

@@ -492,3 +492,129 @@ def retention_cohorts(
         .repartition(num_blocks=min(num_partitions, 4), keys=["cohort_day", "day_offset"])
         .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+
+
+def gapfill_hourly_locf(
+    ds,
+    time_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    width_seconds: int = 3600,
+    num_partitions: int = 8,
+):
+    """Time-series resample with gap filling: bucket events into
+    fixed-width windows per key, then emit EVERY bucket of the global
+    [min, max] timeline for every key — missing buckets get
+    ``n_events = 0`` and a last-observation-carried-forward running
+    value (null before the key's first observed bucket).
+
+    Scale shape: per-batch partials fold rows to (key, bucket) cells;
+    the tiny cell table is materialized ONCE (bounded: keys × buckets),
+    bounds come off it with a driver min/max, and one keyed shuffle
+    gives each key's segment to a dense-scatter + cummax-LOCF numpy
+    kernel. The raw input streams through exactly one pass.
+    ``value_col`` must be int64 (quantize first). Output: key,
+    bucket_start (int64 bucket index), n_events, sum_locf."""
+    width_us = width_seconds * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column(time_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                key_col: b.column(key_col),
+                "_h": pa.array(us // width_us, pa.int64()),
+                "_v": b.column(value_col),
+            }
+        )
+        g = pa.TableGroupBy(t, [key_col, "_h"]).aggregate([("_v", "sum"), ([], "count_all")])
+        return g.rename_columns([key_col, "_h", "_s", "_n"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    bounds = cells.map_batches(
+        lambda b: pa.table(
+            {
+                "lo": pa.array([pc.min(b.column("_h")).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(b.column("_h")).as_py()], pa.int64()),
+            }
+        )
+        if b.num_rows
+        else pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    import ray
+
+    if not bounds:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], cells.schema().types[0]),
+                    "bucket_start": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_locf": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo = min(r["lo"] for r in bounds)
+    hi = max(r["hi"] for r in bounds)
+    span = int(hi - lo + 1)
+
+    def fill(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "bucket_start": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_locf": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        # merge duplicate cells from different blocks, then per key:
+        # dense-scatter observed buckets onto the global timeline, LOCF
+        # via index cummax
+        t = pa.TableGroupBy(t, [key_col, "_h"]).aggregate([("_s", "sum"), ("_n", "sum")])
+        t = t.rename_columns([key_col, "_h", "_s", "_n"])
+        t = t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending"), ("_h", "ascending")]))
+        from .merge_apply import _first_per_key_mask
+
+        first = _first_per_key_mask(t, (key_col,)).to_numpy(zero_copy_only=False)
+        bounds_idx = np.flatnonzero(first).tolist() + [t.num_rows]
+        hs = t.column("_h").to_numpy(zero_copy_only=False)
+        ss = t.column("_s").to_numpy(zero_copy_only=False)
+        ns = t.column("_n").to_numpy(zero_copy_only=False)
+        keys_out, bucket_out, n_out, s_out, smask_out = [], [], [], [], []
+        for i, (s0, s1) in enumerate(zip(bounds_idx[:-1], bounds_idx[1:])):
+            pos = (hs[s0:s1] - lo).astype(np.int64)
+            n_dense = np.zeros(span, dtype=np.int64)
+            n_dense[pos] = ns[s0:s1]
+            src = np.full(span, -1, dtype=np.int64)
+            src[pos] = np.arange(s0, s1)
+            src = np.maximum.accumulate(src)
+            have = src >= 0
+            sums = np.where(have, ss[np.maximum(src, 0)], 0)
+            keys_out.append(t.column(key_col).slice(s0, 1))
+            bucket_out.append(np.arange(lo, hi + 1, dtype=np.int64))
+            n_out.append(n_dense)
+            s_out.append(sums)
+            smask_out.append(~have)
+        key_arr = pa.concat_arrays(
+            [k.combine_chunks().take(pa.array(np.zeros(span, np.int64))) for k in keys_out]
+        )
+        return pa.table(
+            {
+                key_col: key_arr,
+                "bucket_start": pa.array(np.concatenate(bucket_out), pa.int64()),
+                "n_events": pa.array(np.concatenate(n_out), pa.int64()),
+                "sum_locf": pa.array(
+                    np.concatenate(s_out), pa.int64(), mask=np.concatenate(smask_out)
+                ),
+            }
+        )
+
+    return (
+        _hash_shuffle(cells)
+        .repartition(num_blocks=num_partitions, keys=[key_col])
+        .map_batches(fill, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )

@@ -235,3 +235,36 @@ def test_audience_overlap_counts():
     assert got.astype("int64").equals(want.astype("int64"))
     r = got.iloc[0]
     assert r["n_both"] + r["n_only_a"] + r["n_only_b"] == r["n_either"]
+
+
+def test_cooccurrence_pairs_matches_self_join():
+    import duckdb as _duck
+    import numpy as np
+
+    from etl_rs_ray.stages.joins import cooccurrence_pairs
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    t = pa.table(
+        {
+            "basket": rng.integers(0, 400, n).astype(np.int64),
+            "item": rng.choice(["w", "x", "y", "z", "q"], n),
+        }
+    )
+    got = (
+        cooccurrence_pairs(ray.data.from_arrow(t).repartition(6), "basket", "item")
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    want = _duck.sql(
+        """
+        WITH d AS (SELECT DISTINCT basket, item FROM t)
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_baskets
+        FROM d a JOIN d b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    want["n_baskets"] = want["n_baskets"].astype("int64")
+    assert got.equals(want.reset_index(drop=True))
+    assert (got["item_a"] < got["item_b"]).all()

@@ -374,3 +374,57 @@ def test_rank_stats_single_row_key():
     got = rank_stats_per_key(ray.data.from_arrow(t), "k", "v", "id").to_pandas()
     row = got.iloc[0]
     assert (row["rn"], row["dense_rank"], row["pct_rank_micros"], row["ntile"]) == (1, 1, 0, 1)
+
+
+def test_sessionize_matches_gaps_and_islands():
+    from etl_rs_ray.stages.ordered import sessionize
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    base = 1_700_000_000_000_000  # us
+    t = pa.table(
+        {
+            "u": rng.integers(0, 80, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            # mixed gaps around the 60s threshold, including exact-equal ts
+            "ts": pa.array(
+                base + np.sort(rng.integers(0, 10_000, n)).astype(np.int64) * 7_000_000,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = (
+        sessionize(ds, "u", "ts", gap_us=60_000_000, order_cols=["id"])
+        .to_pandas()[["u", "id", "session_seq", "event_seq"]]
+        .sort_values(["u", "id"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH o AS (
+          SELECT u, id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 60000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM t WINDOW w AS (PARTITION BY u ORDER BY ts, id)),
+        s AS (SELECT *, SUM(ns) OVER (PARTITION BY u ORDER BY ts, id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq FROM o)
+        SELECT u, id, session_seq,
+               row_number() OVER (PARTITION BY u, session_seq ORDER BY ts, id) AS event_seq
+        FROM s ORDER BY u, id
+        """
+    ).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert got.equals(want.reset_index(drop=True))
+    # exactly-at-gap boundary must NOT split (strictly greater starts a session)
+    b = pa.table(
+        {
+            "u": pa.array([1, 1], pa.int64()),
+            "id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([0, 60_000_000], pa.timestamp("us")),
+        }
+    )
+    g2 = sessionize(ray.data.from_arrow(b), "u", "ts", gap_us=60_000_000).to_pandas()
+    assert g2["session_seq"].tolist() == [1, 1]

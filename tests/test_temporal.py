@@ -295,3 +295,58 @@ def test_retention_cohorts_matches_sql():
     day0 = got[got.day_offset == 0].set_index("cohort_day")["n_users"]
     firsts = want.groupby("cohort_day")["n_users"].max()
     assert (day0 >= 1).all() and set(day0.index) == set(firsts.index)
+
+
+def test_gapfill_locf_matches_sql():
+    import duckdb as _duck
+    import numpy as np
+
+    from etl_rs_ray.stages.temporal import gapfill_hourly_locf
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    base = dt.datetime(2024, 5, 1)
+    # sparse hours so real gaps exist
+    t = pa.table(
+        {
+            "k": rng.choice(["a", "b"], n),
+            "ts": pa.array(
+                [base + dt.timedelta(hours=int(h), minutes=int(m))
+                 for h, m in zip(rng.choice(np.arange(0, 200, 7), n), rng.integers(0, 60, n))],
+                pa.timestamp("us"),
+            ),
+            "v": rng.integers(-50, 500, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = (
+        gapfill_hourly_locf(ds, "ts", "k", "v")
+        .to_pandas()
+        .sort_values(["k", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    want = _duck.sql(
+        """
+        WITH RECURSIVE e AS (SELECT k, epoch_us(ts) // 3600000000 AS h, v FROM t),
+        agg AS (SELECT k, h, count(*) n, sum(v) s FROM e GROUP BY 1, 2),
+        bounds AS (SELECT min(h) lo, max(h) hi FROM e),
+        series(h) AS (SELECT lo FROM bounds UNION ALL SELECT h + 1 FROM series, bounds WHERE h < hi),
+        ks AS (SELECT DISTINCT k FROM e),
+        grid AS (SELECT ks.k, s.h FROM ks CROSS JOIN series s),
+        j AS (SELECT g.k, g.h, coalesce(a.n, 0) n_events, a.s
+              FROM grid g LEFT JOIN agg a USING (k, h)),
+        f AS (SELECT *, count(s) OVER (PARTITION BY k ORDER BY h) grp FROM j)
+        SELECT k, h AS bucket_start, n_events,
+               max(s) OVER (PARTITION BY k, grp) AS sum_locf
+        FROM f ORDER BY k, bucket_start
+        """
+    ).df()
+    for c in ["bucket_start", "n_events"]:
+        want[c] = want[c].astype("int64")
+    got["sum_locf"] = got["sum_locf"].astype("float64")
+    want["sum_locf"] = want["sum_locf"].astype("float64")
+    assert got.equals(want.reset_index(drop=True))
+    # every key covers the full global timeline
+    spans = got.groupby("k")["bucket_start"].agg(["min", "max", "count"])
+    assert spans["min"].nunique() == 1 and spans["max"].nunique() == 1
+    assert (spans["count"] == spans["max"].iloc[0] - spans["min"].iloc[0] + 1).all()
