@@ -1731,6 +1731,342 @@ def events_gapfill_locf(sf_dir: str):
     )
 
 
+def _micro_revenue(b: pa.Table) -> pa.ChunkedArray:
+    # per-row revenue = extendedprice * (1 - discount), quantized to
+    # integer micro-units so parallel fold order cannot flip the sum
+    # (2dp x 2dp inputs put x*1e6 ~50 units from any .5 boundary)
+    rev = pc.multiply(
+        b.column("l_extendedprice"), pc.subtract(1.0, b.column("l_discount"))
+    )
+    return pc.cast(pc.round(pc.multiply(rev, 1_000_000.0)), pa.int64())
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style 3-way join + grouped revenue + top-10: customers in
+    one market segment, orders placed before a date, lineitems shipped
+    after it. Distributed shape: the (filtered) customer keyset never
+    joins — it broadcast-semi-filters orders map-side; lineitem revenue
+    is partial-aggregated to one row per orderkey per batch BEFORE the
+    join, so the tagged-union merge moves ~|orders| rows, never
+    |lineitem| rows. Merged blocks emit their local top-10 and one final
+    block picks the global top-10 — no global range sort."""
+    from ..stages.joins import broadcast_semi_join
+
+    cutoff = pa.scalar(np.datetime64("1998-06-01T00:00:00", "us"), pa.timestamp("us"))
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust_keys = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    orders = broadcast_semi_join(orders, cust_keys, on="o_custkey")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_shipdate"), cutoff)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "revenue_micro": _micro_revenue(b)}
+        )
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("revenue_micro", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "revenue_micro": g.column("revenue_micro_sum"),
+                "o_orderdate": pa.nulls(g.num_rows, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(g.num_rows, pa.string()),
+            }
+        )
+
+    def o_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("o_orderkey"),
+                "revenue_micro": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderdate": b.column("o_orderdate"),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    def topk(t: pa.Table, k: int = 10) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_micro", "descending"), ("l_orderkey", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("revenue_micro", "sum"), ("o_orderdate", "max"), ("o_orderpriority", "max")]
+        )
+        keep = pc.and_(
+            pc.is_valid(g.column("o_orderdate_max")),
+            pc.is_valid(g.column("revenue_micro_sum")),
+        )
+        g = g.filter(keep)
+        out = pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "revenue_micro": g.column("revenue_micro_sum"),
+                "o_orderdate": g.column("o_orderdate_max"),
+                "o_orderpriority": g.column("o_orderpriority_max"),
+            }
+        )
+        return topk(out)
+
+    u = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        merged = u.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        u = _hash_shuffle(u)
+        nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
+        merged = u.repartition(num_blocks=nparts, keys=["l_orderkey"]).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    # merged blocks are already local top-10s; one tiny final pass
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        merged.repartition(1).map_batches(
+            lambda t: topk(t), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+
+
+def q5_regional_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style 6-table join with a nation-equality condition
+    (customer's nation == supplier's nation, both in one region).
+    Distributed shape: region/nation/supplier/customer are dimension
+    lookups broadcast once (ray.put) and applied map-side — at true
+    scale customer would flip to the tagged-union hash join like
+    customer_order_revenue; the two BIG tables (orders, lineitem) never
+    broadcast. Lineitem is partial-aggregated per batch to one row per
+    (orderkey, supplier-nation) before the keyed merge, which compares
+    each order's customer-nation against its lineitems' supplier-nations
+    and folds matching revenue per nation — block-local partials, one
+    tiny final fold."""
+    from ..stages.joins import broadcast_lookup_join
+
+    nat = pa.Table.from_pylist(
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    )
+    reg = pa.Table.from_pylist(
+        _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
+    )
+    asia = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column("r_regionkey")
+    nat = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=asia.combine_chunks()))
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"), pa.timestamp("us"))
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat_keys32 = nat_keys.cast(pa.int32())
+    orders = broadcast_lookup_join(
+        orders, cust, on="o_custkey", dim_key="c_custkey",
+        take_cols={"c_nationkey": "c_nationkey"}, how="inner",
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_nationkey"), value_set=nat_keys32)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_lookup_join(
+        li, sup, on="l_suppkey", dim_key="s_suppkey",
+        take_cols={"s_nationkey": "s_nationkey"}, how="inner",
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.is_in(b.column("s_nationkey").cast(pa.int32()), value_set=nat_keys32)
+        )
+        t = pa.table(
+            {
+                "okey": b.column("l_orderkey"),
+                "s_nat": b.column("s_nationkey").cast(pa.int32()),
+                "revenue_micro": _micro_revenue(b),
+            }
+        )
+        g = pa.TableGroupBy(t, ["okey", "s_nat"]).aggregate([("revenue_micro", "sum")])
+        return pa.table(
+            {
+                "okey": g.column("okey"),
+                "s_nat": g.column("s_nat"),
+                "c_nat": pa.nulls(g.num_rows, pa.int32()),
+                "revenue_micro": g.column("revenue_micro_sum"),
+            }
+        )
+
+    def o_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": b.column("o_orderkey"),
+                "s_nat": pa.nulls(b.num_rows, pa.int32()),
+                "c_nat": b.column("c_nationkey").cast(pa.int32()),
+                "revenue_micro": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        # split the tagged union: one orders row per okey carries c_nat
+        t = t.combine_chunks()
+        o = t.filter(pc.is_valid(t.column("c_nat")))
+        l = t.filter(pc.is_valid(t.column("s_nat")))
+        pos = pc.index_in(
+            l.column("okey").combine_chunks(), value_set=o.column("okey").combine_chunks()
+        )
+        c_nat = o.column("c_nat").combine_chunks().take(pos)
+        keep = pc.and_kleene(
+            pc.is_valid(pos), pc.equal(l.column("s_nat").combine_chunks(), c_nat)
+        )
+        l = l.filter(pc.fill_null(keep, False))
+        g = pa.TableGroupBy(
+            pa.table(
+                {"n_nationkey": l.column("s_nat"), "revenue_micro": l.column("revenue_micro")}
+            ),
+            "n_nationkey",
+        ).aggregate([("revenue_micro", "sum")])
+        return pa.table(
+            {
+                "n_nationkey": g.column("n_nationkey"),
+                "revenue_micro": g.column("revenue_micro_sum"),
+            }
+        )
+
+    u = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        partials = u.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        u = _hash_shuffle(u)
+        nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
+        partials = u.repartition(num_blocks=nparts, keys=["okey"]).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+
+    names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "n_nationkey").aggregate([("revenue_micro", "sum")])
+        keys = g.column("n_nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in keys], pa.string()),
+                "revenue_micro": g.column("revenue_micro_sum"),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        partials.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+
+
+def parts_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier): parts where no other part is both
+    cheaper-or-equal and larger-or-equal (strict in one). Per-block
+    O(n log n) frontier reduction, then one exact pass over the gathered
+    per-block survivors — shuffle-free (stages/skyline.py)."""
+    from ..stages.skyline import skyline_2d
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+    return drop_empty_blocks(skyline_2d(ds, "p_retailprice", "p_size"))
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column (vectorized RE2 extract, no Python-object
+    JSON parse) and aggregate it per event type — the log-parsing /
+    schema-on-read shape. Per-batch partials, one tiny final fold."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "k": k,
+                "present": pc.cast(pc.is_valid(k), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("k", "sum"), ("k", "max"), ("present", "sum"), ("event_type", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "k_sum": g.column("k_sum"),
+                "k_max": g.column("k_max"),
+                "n_with_k": g.column("present_sum"),
+                "n": g.column("event_type_count").cast(pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("k_sum", "sum"), ("k_max", "max"), ("n_with_k", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "k_sum": g.column("k_sum_sum"),
+                "k_max": g.column("k_max_max"),
+                "n_with_k": g.column("n_with_k_sum"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -1795,6 +2131,10 @@ QUERIES = {
     "events_cooccurrence": events_cooccurrence,
     "events_gapfill_locf": events_gapfill_locf,
     "events_scd2_incremental": events_scd2_incremental,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_regional_supplier_volume": q5_regional_supplier_volume,
+    "parts_skyline": parts_skyline,
+    "events_props_extract": events_props_extract,
 }
 
 ORACLE_SQL = {
@@ -2668,4 +3008,62 @@ ORACLE_SQL["events_gapfill_locf"] = """
     SELECT event_type, h AS bucket_start, n_events,
            coalesce(max(s) OVER (PARTITION BY event_type, grp), -1) AS sum_locf
     FROM f
+"""
+
+ORACLE_SQL["q3_shipping_priority"] = """
+    SELECT l_orderkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+               AS revenue_micro,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_micro DESC, l_orderkey
+    LIMIT 10
+"""
+
+ORACLE_SQL["q5_regional_supplier_volume"] = """
+    SELECT n_name,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+               AS revenue_micro
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+ORACLE_SQL["parts_skyline"] = """
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+"""
+
+ORACLE_SQL["events_props_extract"] = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           sum(k) AS k_sum,
+           max(k) AS k_max,
+           count(k) AS n_with_k,
+           count(*) AS n
+    FROM e GROUP BY event_type
 """

@@ -29,6 +29,8 @@ GATED = [
     "docs_minhash_dedup",
     "docs_simhash_dedup",
     "docs_decontaminate",
+    "q3_shipping_priority",
+    "q5_regional_supplier_volume",
 ]
 
 
