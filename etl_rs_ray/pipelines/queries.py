@@ -2067,6 +2067,92 @@ def events_props_extract(sf_dir: str):
     )
 
 
+def docs_priority_sample(sf_dir: str):
+    """Weighted sampling without replacement via priority sampling
+    (Duffield-Lund-Thorup): 50 docs, weight = n_chars, priority key =
+    (md5 >> 1) // weight in EXACT integer arithmetic — the SQL oracle
+    recomputes the identical key and selected set with no libm-ulp risk
+    at the rank boundary. Per-block top-50, one final block
+    (stages/sampling.py::priority_sample)."""
+    from ..stages.sampling import priority_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return priority_sample(ds, "doc_id", "n_chars", n=50, seed="s0")
+
+
+def parts_fuzzy_pairs(sf_dir: str):
+    """Fuzzy self-join: distinct part-name pairs at Levenshtein distance
+    exactly 1, with the row-pair count each represents. Blocking by
+    symmetric-delete signatures — candidates only form inside shared
+    one-deletion buckets, verified exactly once per distinct pair
+    (stages/fuzzy.py). Gated: bounded name domain folds in one block;
+    above the gate the same kernels run under keyed hash repartitions."""
+    from ..stages.fuzzy import fuzzy_name_pairs
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+    return fuzzy_name_pairs(
+        ds, "p_name", gather=_table_rows(sf_dir, "part") < 2_000_000
+    )
+
+
+def events_value_corr(sf_dir: str):
+    """One-pass correlation per group: exact integer moments
+    (n, Σx, Σy, Σx², Σy², Σxy over value-cents and the props.k field)
+    partial-aggregated per batch, folded once, then Pearson r derived
+    from the identical integer moments with the identical double
+    expression on both sides (IEEE ops on equal inputs are bit-equal).
+    Zero-variance groups emit NULL like SQL's division by zero."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _cents(b.column("value"))
+        s = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        y = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+        )
+        g = g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = g.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = g.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = g.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = g.column("syy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = g.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = (n * sxy - sx * sy) / denom
+        return g.append_column(
+            "corr", pa.array(np.where(denom == 0.0, np.nan, corr), pa.float64(), mask=(denom == 0.0))
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2135,6 +2221,9 @@ QUERIES = {
     "q5_regional_supplier_volume": q5_regional_supplier_volume,
     "parts_skyline": parts_skyline,
     "events_props_extract": events_props_extract,
+    "docs_priority_sample": docs_priority_sample,
+    "parts_fuzzy_pairs": parts_fuzzy_pairs,
+    "events_value_corr": events_value_corr,
 }
 
 ORACLE_SQL = {
@@ -3066,4 +3155,45 @@ ORACLE_SQL["events_props_extract"] = """
            count(k) AS n_with_k,
            count(*) AS n
     FROM e GROUP BY event_type
+"""
+
+ORACLE_SQL["docs_priority_sample"] = """
+    SELECT doc_id, n_chars, priority_key FROM (
+        SELECT doc_id, n_chars,
+               CAST((md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) >> 1)
+                    // CAST(n_chars AS UHUGEINT) AS BIGINT) AS priority_key
+        FROM documents
+    ) ORDER BY priority_key, doc_id
+    LIMIT 50
+"""
+
+ORACLE_SQL["parts_fuzzy_pairs"] = """
+    WITH n AS (SELECT p_name AS name, count(*) AS c FROM part GROUP BY p_name)
+    SELECT a.name AS name_a, b.name AS name_b, a.c * b.c AS n_pairs
+    FROM n a JOIN n b
+      ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+"""
+
+ORACLE_SQL["events_value_corr"] = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxx, syy, sxy,
+           CASE WHEN (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) = 0
+                THEN NULL
+                ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           END AS corr
+    FROM m
 """

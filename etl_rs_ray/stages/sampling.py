@@ -197,3 +197,58 @@ def stratified_sample_n(ds, group_col: str, id_col: str, n_per_group: int,
         )
         .map_batches(pick, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+
+
+def priority_sample(ds, id_col: str, weight_col: str, n: int, seed: str = "s0",
+                    hash: str = "md5", key_col: str = "priority_key"):
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM '07): each row gets an integer
+    priority key = (hash >> 1) // weight and the n smallest keys win —
+    P(selected) is ~proportional to weight for n << rows. Everything
+    stays in exact integer arithmetic (no ln/pow), so a SQL oracle
+    recomputes the IDENTICAL key and the IDENTICAL selected set: no
+    libm-ulp risk at the rank-n boundary. Distributed shape: each block
+    reduces to its local n smallest keys, one final block picks the
+    global n — no shuffle, driver-free.
+
+    Weights must be positive integers. hash="md5" mirrors DuckDB
+    md5_number_lower (per-row, oracle tier); hash="fast" is the
+    vectorized stable_hash64 scale path.
+    """
+    import numpy as np
+
+    if n <= 0:
+        raise ValueError(n)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.array([seed] * b.num_rows, pa.string()),
+            pc.cast(b.column(id_col).combine_chunks(), pa.string()),
+            ":",
+        )
+        if hash == "fast":
+            from ..sources.event_log import stable_hash64
+
+            h = stable_hash64(keys)
+        else:
+            from .dedup import md5_u64
+
+            h = np.array([md5_u64(k) for k in keys.to_pylist()], dtype=np.uint64)
+        w = b.column(weight_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if (w <= 0).any():
+            raise ValueError("weights must be positive")
+        key = ((h >> np.uint64(1)) // w.astype(np.uint64)).astype(np.int64)
+        return b.append_column(key_col, pa.array(key))
+
+    def topn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), (id_col, "ascending")]
+        )
+        return t.take(idx[:n])
+
+    cand = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        topn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cand.repartition(1).map_batches(
+        topn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -31,6 +31,7 @@ GATED = [
     "docs_decontaminate",
     "q3_shipping_priority",
     "q5_regional_supplier_volume",
+    "parts_fuzzy_pairs",
 ]
 
 

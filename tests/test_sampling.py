@@ -183,3 +183,67 @@ def test_stratified_sample_n_exact_and_layout_independent():
                       "src": pa.array(["x", "x"])})
     out = stratified_sample_n(ray.data.from_arrow(small), "src", "doc_id", 10).take_all()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_priority_sample_exact_and_weighted(ray_session):
+    """Priority keys match the md5 formula exactly; selection is the n
+    smallest (key, id); heavier rows are sampled more often."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.dedup import md5_u64
+    from etl_rs_ray.stages.sampling import priority_sample
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ids = np.arange(n)
+    w = np.where(ids < 200, 1000, 1).astype(np.int64)  # 200 heavy rows
+    t = pa.table({"id": ids, "w": w})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = priority_sample(ds, "id", "w", n=100, seed="s7").to_pandas()
+    assert len(got) == 100
+
+    keys = np.array(
+        [(md5_u64(f"s7:{i}") >> 1) // int(wi) for i, wi in zip(ids, w)], dtype=np.uint64
+    ).astype(np.int64)
+    order = np.lexsort((ids, keys))
+    want = set(ids[order][:100].tolist())
+    assert set(got["id"]) == want
+    got_sorted = got.sort_values("id")
+    assert (
+        got_sorted["priority_key"].to_numpy() == keys[np.sort(list(want))]
+    ).all()
+    # heavy rows are ~1000x more likely: expect the sample to be mostly heavy
+    assert (got["w"] == 1000).sum() > 60
+
+
+def test_priority_sample_fast_hash_agrees_statistically(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.sampling import priority_sample
+
+    n = 5000
+    t = pa.table({"id": np.arange(n), "w": np.where(np.arange(n) % 10 == 0, 50, 1)})
+    ds = ray.data.from_arrow(t)
+    heavy_frac = []
+    for h in ("md5", "fast"):
+        got = priority_sample(ds, "id", "w", n=200, seed="s1", hash=h).to_pandas()
+        heavy_frac.append((got["w"] == 50).mean())
+    # both hashes should strongly prefer heavy rows
+    assert min(heavy_frac) > 0.5
+
+
+def test_priority_sample_rejects_bad_weights(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from etl_rs_ray.stages.sampling import priority_sample
+
+    t = pa.table({"id": [1, 2], "w": [0, 3]})
+    with pytest.raises(Exception):
+        priority_sample(ray.data.from_arrow(t), "id", "w", n=1).to_pandas()
