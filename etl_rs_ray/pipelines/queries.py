@@ -2153,6 +2153,129 @@ def events_value_corr(sf_dir: str):
     )
 
 
+def events_cdc_diff(sf_dir: str):
+    """Change-data-feed between two stream positions (lakehouse
+    table_changes()): per user, diff the LWW state at event_id < 60% of
+    the stream against < 90% and emit I/U/D rows — a user whose latest
+    event is 'error' counts as deleted (tombstone). ONE keyed shuffle;
+    both states resolve in the same sorted pass
+    (stages/ordered.py::state_diff)."""
+    from ..stages.ordered import state_diff
+    from ..util import drop_empty_blocks
+
+    rows = _table_rows(sf_dir, "events")
+    cut1, cut2 = rows * 3 // 5, rows * 9 // 10
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": _cents(b.column("value")),
+                "deleted": pc.equal(b.column("event_type"), "error"),
+            }
+        )
+
+    out = state_diff(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "event_id",
+        cut1,
+        cut2,
+        ["event_type", "value_cents"],
+        deleted_col="deleted",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "op": b.column("op"),
+                "event_type": pc.fill_null(b.column("event_type"), ""),
+                "value_cents": pc.fill_null(b.column("value_cents"), -1),
+                "new_event_id": pc.fill_null(b.column("new_event_id"), -1),
+            }
+        )
+
+    return drop_empty_blocks(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def orders_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout map: bucketize orders on two dimensions
+    (customer hash bucket x price band), interleave the bits into a
+    z-key, and aggregate per coarse layout partition — the partition
+    manifest a z-ordered OPTIMIZE would write, with exact-integer keys a
+    SQL oracle reproduces bit-for-bit (stages/layout.py; pruning
+    contract tested in tests/test_layout.py)."""
+    from ..stages.layout import zorder_layout
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice"))
+        x = pc.bit_wise_and(b.column("o_custkey"), 255)
+        y = pc.min_element_wise(pc.divide(cents, 200_000), 255)
+        return pa.table({"xb": x, "yb": y, "cents": cents})
+
+    keyed = zorder_layout(
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        "xb", "yb", bits=8, part_bits=6,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "zpart").aggregate(
+            [("zkey", "min"), ("zkey", "max"), ("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "zpart": g.column("zpart"),
+                "zkey_min": g.column("zkey_min"),
+                "zkey_max": g.column("zkey_max"),
+                "cents_sum": g.column("cents_sum"),
+                "n": g.column("count_all"),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "zpart").aggregate(
+            [("zkey_min", "min"), ("zkey_max", "max"), ("cents_sum", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["zpart", "zkey_min", "zkey_max", "cents_sum", "n"])
+
+    return drop_empty_blocks(
+        keyed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """SQL mirror of morton2d: sum of per-bit extract/shift terms."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((xb // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((yb // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    zexpr = " + ".join(terms)
+    return f"""
+    WITH b AS (
+        SELECT (o_custkey & 255) AS xb,
+               least(CAST(round(o_totalprice * 100) AS BIGINT) // 200000, 255) AS yb,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    z AS (SELECT ({zexpr}) AS zkey, cents FROM b)
+    SELECT zkey // 1024 AS zpart,
+           min(zkey) AS zkey_min, max(zkey) AS zkey_max,
+           sum(cents) AS cents_sum, count(*) AS n
+    FROM z GROUP BY 1
+    """
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2224,6 +2347,8 @@ QUERIES = {
     "docs_priority_sample": docs_priority_sample,
     "parts_fuzzy_pairs": parts_fuzzy_pairs,
     "events_value_corr": events_value_corr,
+    "events_cdc_diff": events_cdc_diff,
+    "orders_zorder_layout": orders_zorder_layout,
 }
 
 ORACLE_SQL = {
@@ -3197,3 +3322,34 @@ ORACLE_SQL["events_value_corr"] = """
            END AS corr
     FROM m
 """
+
+ORACLE_SQL["events_cdc_diff"] = """
+    WITH c AS (
+        SELECT count(*) * 3 // 5 AS cut1, count(*) * 9 // 10 AS cut2 FROM events
+    ),
+    s1 AS (
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events, c WHERE event_id < cut1
+    ),
+    l1 AS (SELECT * FROM s1 WHERE rn = 1 AND event_type <> 'error'),
+    s2 AS (
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events, c WHERE event_id < cut2
+    ),
+    l2 AS (SELECT * FROM s2 WHERE rn = 1 AND event_type <> 'error')
+    SELECT coalesce(l2.user_id, l1.user_id) AS user_id,
+           CASE WHEN l1.user_id IS NULL THEN 'I'
+                WHEN l2.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           coalesce(l2.event_type, '') AS event_type,
+           coalesce(l2.value_cents, -1) AS value_cents,
+           coalesce(l2.event_id, -1) AS new_event_id
+    FROM l1 FULL JOIN l2 ON l1.user_id = l2.user_id
+    WHERE l1.user_id IS NULL OR l2.user_id IS NULL OR l1.event_id <> l2.event_id
+"""
+
+ORACLE_SQL["orders_zorder_layout"] = _zorder_sql()

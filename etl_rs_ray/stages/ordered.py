@@ -730,3 +730,82 @@ def sessionize(
         .repartition(num_blocks=nparts, keys=keys)
         .map_batches(kernel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+
+
+def state_diff(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    cut1,
+    cut2,
+    state_cols: Sequence[str],
+    deleted_col: str | None = None,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Change-data-feed between two points of a change stream — the
+    table_changes() surface of lakehouse CDC: for each key, compare its
+    last-writer-wins state at ``order < cut1`` against ``order < cut2``
+    and emit one row per CHANGED key with op I (absent -> live),
+    U (live -> live but a newer version), or D (live -> absent). A key
+    is "absent" when it has no event yet or its latest event has
+    ``deleted_col`` true (tombstone). Emits the new-state columns (the
+    old state is recoverable by running the feed at cut1).
+
+    ONE keyed shuffle; per group the two LWW states are resolved in the
+    same sorted pass (segment-max of masked indices), so history is
+    never re-read per cut.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def kernel(t: pa.Table, first: np.ndarray, gidx: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        order = t.column(order_col).combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        idx = np.arange(n, dtype=np.int64)
+        NONE = np.int64(-1)
+
+        def last_leq(cut) -> np.ndarray:
+            masked = np.where(order < cut, idx, NONE)
+            return np.maximum.reduceat(masked, starts) if n else np.array([], np.int64)
+
+        l1 = last_leq(cut1)
+        l2 = last_leq(cut2)
+        if deleted_col is not None:
+            dead = t.column(deleted_col).combine_chunks().to_numpy(zero_copy_only=False)
+            live1 = (l1 != NONE) & ~dead[np.maximum(l1, 0)]
+            live2 = (l2 != NONE) & ~dead[np.maximum(l2, 0)]
+        else:
+            live1 = l1 != NONE
+            live2 = l2 != NONE
+
+        is_i = live2 & ~live1
+        is_d = live1 & ~live2
+        is_u = live1 & live2 & (l1 != l2)
+        changed = is_i | is_d | is_u
+        rows = np.where(live2, l2, np.where(l1 != NONE, l1, 0))[changed]
+        op = np.where(is_i, "I", np.where(is_d, "D", "U"))[changed]
+
+        picked = t.take(pa.array(rows))
+        cols = {k: picked.column(k) for k in keys}
+        cols["op"] = pa.array(op, pa.string())
+        for c in state_cols:
+            cols[c] = picked.column(c)
+        # D rows carry the DELETED state's columns; mask them to null so
+        # the feed only asserts the new state
+        if is_d[changed].any():
+            dmask = pa.array(op == "D")
+            for c in state_cols:
+                cols[c] = pc.if_else(dmask, pa.nulls(len(rows), picked.schema.field(c).type), cols[c])
+        out_order = t.column(order_col).combine_chunks().take(pa.array(rows))
+        cols["new_" + order_col] = pc.if_else(
+            pa.array(op == "D"), pa.nulls(len(rows), out_order.type), out_order
+        )
+        return pa.table(cols)
+
+    pre = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column(order_col), pa.scalar(cut2))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return per_key_ordered(pre, keys, order_col, kernel, num_partitions=num_partitions)

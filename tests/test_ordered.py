@@ -428,3 +428,54 @@ def test_sessionize_matches_gaps_and_islands():
     )
     g2 = sessionize(ray.data.from_arrow(b), "u", "ts", gap_us=60_000_000).to_pandas()
     assert g2["session_seq"].tolist() == [1, 1]
+
+
+def test_state_diff_ops(ray_session):
+    """I/U/D classification incl. tombstones, re-inserts, and unchanged
+    keys (which must emit nothing)."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.ordered import state_diff
+
+    rows = [
+        # key 1: insert before cut1, unchanged after -> no row
+        dict(k=1, o=1, v="a", dead=False),
+        # key 2: insert before cut1, updated between cuts -> U
+        dict(k=2, o=2, v="b", dead=False),
+        dict(k=2, o=12, v="b2", dead=False),
+        # key 3: inserted between cuts -> I
+        dict(k=3, o=13, v="c", dead=False),
+        # key 4: live at cut1, tombstoned between -> D
+        dict(k=4, o=4, v="d", dead=False),
+        dict(k=4, o=14, v="", dead=True),
+        # key 5: tombstoned before cut1, re-inserted between -> I
+        dict(k=5, o=3, v="e", dead=False),
+        dict(k=5, o=5, v="", dead=True),
+        dict(k=5, o=15, v="e2", dead=False),
+        # key 6: dead at both cuts -> no row
+        dict(k=6, o=6, v="", dead=True),
+        # key 7: created after cut2 -> no row
+        dict(k=7, o=30, v="g", dead=False),
+        # key 8: updated between cuts then tombstoned before cut2 -> D
+        dict(k=8, o=7, v="h", dead=False),
+        dict(k=8, o=16, v="h2", dead=False),
+        dict(k=8, o=17, v="", dead=True),
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = (
+        state_diff(ds, "k", "o", 10, 20, ["v"], deleted_col="dead", num_partitions=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = {int(r.k): (r.op, None if r.v is None or r.v != r.v else r.v) for r in out.itertuples(index=False)}
+    assert got == {
+        2: ("U", "b2"),
+        3: ("I", "c"),
+        4: ("D", None),
+        5: ("I", "e2"),
+        8: ("D", None),
+    }
+    d_rows = out[out["op"] == "D"]
+    assert d_rows["new_o"].isna().all()
