@@ -141,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=5)
     s.add_argument("--epoch", type=int, default=None)
 
+    ch = sub.add_parser(
+        "changes", help="row-level I/U/D change feed between two epochs (table_changes)")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-epoch", type=int, default=None,
+                    help="omit to diff against the empty table (bootstrap feed)")
+    ch.add_argument("--to-epoch", type=int, default=None, help="default: current")
+    ch.add_argument("--limit", type=int, default=5)
+
     v = sub.add_parser("vacuum", help="remove unreferenced data files")
     v.add_argument("--table", required=True)
     v.add_argument("--keep-epochs", type=int, default=1)
@@ -340,6 +348,23 @@ def main(argv: list[str] | None = None) -> int:
             )
         print(json.dumps(out, default=str))
         _ray.shutdown()
+        return 0
+
+    if args.cmd == "changes":
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        feed = lake.changes(args.from_epoch, args.to_epoch)
+        t = feed.to_pandas()
+        ops = t["op"].value_counts().to_dict() if len(t) else {}
+        print(json.dumps({
+            "rows": len(t),
+            "from_epoch": args.from_epoch,
+            "to_epoch": args.to_epoch if args.to_epoch is not None else lake.current_epoch(),
+            "ops": {k: int(v) for k, v in ops.items()},
+        }))
+        for row in t.head(args.limit).to_dict(orient="records"):
+            print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}, default=str))
         return 0
 
     if args.cmd == "snapshot":

@@ -24,6 +24,7 @@ import os
 import shutil
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..sources.event_log import PARTITIONER_ID
@@ -165,6 +166,123 @@ class LakeTable:
         if not files:
             return pa.schema([]).empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+
+    def changes(self, from_epoch: int | None, to_epoch: int | None = None,
+                key_cols=("repo", "path", "commit"), lsn_col: str = "lsn",
+                op_col: str = "op"):
+        """Row-level change feed between two committed epochs — the
+        lakehouse table_changes() surface: one I/U/D row per key whose
+        LWW state differs between the epochs, carrying the new state
+        (nulls for D) and the LSN that changed it. ``from_epoch=None``
+        diffs against the empty table (bootstrap feed = pure inserts).
+
+        Shuffle-free: both epochs share the table's durable bucket
+        layout (enforced by the partitioner guard at open), so the diff
+        decomposes into one task per bucket reading only that bucket's
+        files at each epoch — O(bucket) memory, no key exchange.
+        """
+        import ray.data
+
+        from ..stages.merge_apply import lww_reduce
+        from ..state.schema_evolution import unify_tables
+
+        sets_a = self.bucket_file_sets(from_epoch) if from_epoch is not None else {}
+        sets_b = self.bucket_file_sets(to_epoch)
+        buckets = sorted(set(sets_a) | set(sets_b))
+        if not buckets:
+            return ray.data.from_arrow(pa.schema([]).empty_table())
+        items = [
+            {"a": sets_a.get(b, []), "b": sets_b.get(b, [])} for b in buckets
+        ]
+        keys = tuple(key_cols)
+
+        def _state(files: list[str]) -> pa.Table | None:
+            if not files:
+                return None
+            t = unify_tables([pq.read_table(f) for f in files])
+            return lww_reduce(t, keys, lsn_col=lsn_col, op_col=op_col,
+                              drop_tombstones=False)
+
+        def _ckey(t: pa.Table):
+            parts = [pc.cast(t.column(k), pa.string()) for k in keys]
+            return pc.binary_join_element_wise(*parts, "\x1f")
+
+        def _diff(ta: pa.Table | None, tb: pa.Table | None) -> pa.Table:
+            if tb is None:
+                tb = pa.schema([]).empty_table()
+            payload = [
+                c for c in tb.column_names
+                if c not in keys and c not in (lsn_col, op_col)
+            ]
+            live_b = pc.fill_null(pc.not_equal(tb.column(op_col), "D"), True) \
+                if tb.num_rows else pa.array([], pa.bool_())
+            if ta is None or ta.num_rows == 0:
+                out = tb.filter(live_b)
+                return pa.table(
+                    {**{k: out.column(k) for k in keys},
+                     "op": pa.array(["I"] * out.num_rows, pa.string()),
+                     "change_lsn": out.column(lsn_col),
+                     **{c: out.column(c) for c in payload}}
+                )
+            ka = _ckey(ta)
+            kb = _ckey(tb)
+            live_a = pc.fill_null(pc.not_equal(ta.column(op_col), "D"), True)
+            pos = pc.index_in(kb, value_set=ka.combine_chunks())
+            a_live_at = pc.fill_null(live_a.combine_chunks().take(pos), False)
+            a_lsn_at = ta.column(lsn_col).combine_chunks().take(pos)
+            is_i = pc.and_(live_b, pc.invert(a_live_at))
+            moved = pc.fill_null(
+                pc.not_equal(tb.column(lsn_col).combine_chunks(), a_lsn_at), True
+            )
+            is_u = pc.and_(pc.and_(live_b, a_live_at), moved)
+            is_d = pc.and_(pc.invert(live_b), a_live_at)
+            op = pc.if_else(is_i, "I", pc.if_else(is_d, "D", "U"))
+            keep = pc.or_(pc.or_(is_i, is_u), is_d)
+            out = tb.append_column("__op", op).filter(keep)
+            dmask = pc.equal(out.column("__op"), "D")
+            cols = {k: out.column(k) for k in keys}
+            cols["op"] = out.column("__op")
+            cols["change_lsn"] = out.column(lsn_col)
+            for c in payload:
+                cols[c] = pc.if_else(
+                    dmask, pa.nulls(out.num_rows, out.schema.field(c).type),
+                    out.column(c),
+                )
+            res = pa.table(cols)
+            # overwrite replays can drop keys entirely: A-live keys with
+            # no row at B are deletes too (change_lsn = -1 sentinel — no
+            # event carried the delete)
+            gone = pc.and_(
+                live_a, pc.is_null(pc.index_in(ka, value_set=kb.combine_chunks()))
+            )
+            if pc.any(gone).as_py():
+                ga = ta.filter(gone)
+                gone_tbl = pa.table(
+                    {**{k: ga.column(k) for k in keys},
+                     "op": pa.array(["D"] * ga.num_rows, pa.string()),
+                     "change_lsn": pa.array([-1] * ga.num_rows,
+                                            res.schema.field("change_lsn").type
+                                            if res.num_rows else pa.int64()),
+                     **{c: pa.nulls(ga.num_rows,
+                                    tb.schema.field(c).type)
+                        for c in payload}}
+                )
+                res = unify_tables([res, gone_tbl]) if res.num_rows else gone_tbl
+            return res
+
+        def diff_bucket(batch: pa.Table) -> pa.Table:
+            outs = []
+            for a_files, b_files in zip(batch.column("a"), batch.column("b")):
+                t = _diff(_state(a_files.as_py()), _state(b_files.as_py()))
+                if t.num_rows:
+                    outs.append(t)
+            if not outs:
+                return pa.schema([]).empty_table()
+            return unify_tables(outs)
+
+        return ray.data.from_items(items).repartition(len(items)).map_batches(
+            diff_bucket, batch_format="pyarrow", batch_size=None
+        )
 
     def compact(self, key_cols=("repo", "path", "commit")) -> bool:
         """Fold every bucket's delta files into a fresh base (one Ray task

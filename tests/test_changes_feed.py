@@ -1,0 +1,90 @@
+"""Lake change-data-feed (LakeTable.changes): the I/U/D diff between two
+committed epochs must reconcile snapshot(from) into snapshot(to), match
+the oracle replay's state delta, and be shuffle-free per bucket."""
+
+import pyarrow.compute as pc
+
+from etl_rs_ray.datagen import generate_events, generate_repos, oracle_replay, write_event_log
+from etl_rs_ray.pipelines.cdc import replay
+from etl_rs_ray.sources.lake import LakeTable
+
+
+def _setup(tmp_path, n=300, seed=17):
+    repos = generate_repos(n_files=n, seed=seed)
+    events = generate_events(repos, update_frac=0.5, delete_frac=0.25, dup_frac=0.05, seed=seed)
+    log_dir = str(tmp_path / "log")
+    write_event_log(events, log_dir, num_partitions=2)
+    return events, log_dir
+
+
+def _oracle_state(events, lsn_to=None):
+    return {k: (lsn, content) for k, (lsn, lang, content) in oracle_replay(events, lsn_to).items()}
+
+
+def _expected_feed(events, cut, ray_session=None):
+    s1 = _oracle_state(events, cut)
+    s2 = _oracle_state(events)
+    out = {}
+    for k, (lsn, content) in s2.items():
+        if k not in s1:
+            out[k] = ("I", lsn, content)
+        elif s1[k][0] != lsn:
+            out[k] = ("U", lsn, content)
+    for k in s1:
+        if k not in s2:
+            out[k] = ("D", None, None)
+    return out
+
+
+def test_changes_between_epochs_matches_oracle(tmp_path, ray_session):
+    events, log_dir = _setup(tmp_path)
+    max_lsn = pc.max(events.column("lsn")).as_py()
+    cut = max_lsn // 2
+    table_dir = str(tmp_path / "table")
+    assert replay(log_dir, table_dir, target_lsn=cut, num_buckets=4).committed
+    assert replay(log_dir, table_dir, num_buckets=4, mode="delta").committed
+
+    lake = LakeTable(table_dir)
+    feed = lake.changes(0, 1).to_pandas()
+    got = {
+        (r.repo, r.path, r.commit): (
+            r.op,
+            None if r.op == "D" else int(r.change_lsn),
+            None if r.op == "D" else r.content,
+        )
+        for r in feed.itertuples(index=False)
+    }
+    assert got == _expected_feed(events, cut)
+    # the feed applied to snapshot(0) reproduces snapshot(1)
+    s0 = {
+        (r["repo"], r["path"], r["commit"]): (r["lsn"], r["content"])
+        for r in lake.snapshot_table(epoch=0).to_pylist()
+    }
+    for k, (op, lsn, content) in got.items():
+        if op == "D":
+            s0.pop(k, None)
+        else:
+            s0[k] = (lsn, content)
+    s1 = {
+        (r["repo"], r["path"], r["commit"]): (r["lsn"], r["content"])
+        for r in lake.snapshot_table(epoch=1).to_pylist()
+    }
+    assert s0 == s1
+
+
+def test_changes_bootstrap_is_all_inserts(tmp_path, ray_session):
+    events, log_dir = _setup(tmp_path, n=120, seed=5)
+    table_dir = str(tmp_path / "table")
+    assert replay(log_dir, table_dir, num_buckets=4).committed
+    lake = LakeTable(table_dir)
+    feed = lake.changes(None).to_pandas()
+    assert set(feed["op"]) == {"I"}
+    assert len(feed) == lake.snapshot_table().num_rows
+
+
+def test_changes_same_epoch_is_empty(tmp_path, ray_session):
+    events, log_dir = _setup(tmp_path, n=80, seed=9)
+    table_dir = str(tmp_path / "table")
+    assert replay(log_dir, table_dir, num_buckets=4).committed
+    lake = LakeTable(table_dir)
+    assert lake.changes(0, 0).to_pandas().empty
