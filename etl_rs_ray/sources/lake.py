@@ -169,12 +169,16 @@ class LakeTable:
 
     def changes(self, from_epoch: int | None, to_epoch: int | None = None,
                 key_cols=("repo", "path", "commit"), lsn_col: str = "lsn",
-                op_col: str = "op"):
+                op_col: str = "op", include_old: bool = False):
         """Row-level change feed between two committed epochs — the
         lakehouse table_changes() surface: one I/U/D row per key whose
         LWW state differs between the epochs, carrying the new state
         (nulls for D) and the LSN that changed it. ``from_epoch=None``
         diffs against the empty table (bootstrap feed = pure inserts).
+        ``include_old=True`` adds ``old_<col>``/``old_lsn`` columns (the
+        from-epoch state, nulls for I) — what an incremental view
+        maintainer needs to retract superseded contributions
+        (stages/ivm.py).
 
         Shuffle-free: both epochs share the table's durable bucket
         layout (enforced by the partitioner guard at open), so the diff
@@ -218,12 +222,21 @@ class LakeTable:
                 if tb.num_rows else pa.array([], pa.bool_())
             if ta is None or ta.num_rows == 0:
                 out = tb.filter(live_b)
-                return pa.table(
+                res = pa.table(
                     {**{k: out.column(k) for k in keys},
                      "op": pa.array(["I"] * out.num_rows, pa.string()),
                      "change_lsn": out.column(lsn_col),
                      **{c: out.column(c) for c in payload}}
                 )
+                if include_old:
+                    res = res.append_column(
+                        "old_lsn", pa.nulls(res.num_rows, pa.int64())
+                    )
+                    for c in payload:
+                        res = res.append_column(
+                            "old_" + c, pa.nulls(res.num_rows, tb.schema.field(c).type)
+                        )
+                return res
             ka = _ckey(ta)
             kb = _ckey(tb)
             live_a = pc.fill_null(pc.not_equal(ta.column(op_col), "D"), True)
@@ -248,6 +261,22 @@ class LakeTable:
                     dmask, pa.nulls(out.num_rows, out.schema.field(c).type),
                     out.column(c),
                 )
+            if include_old:
+                def _arr(a):
+                    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+                pos_kept = _arr(_arr(pos).filter(_arr(keep)))
+                had_old = _arr(_arr(a_live_at).filter(_arr(keep)))
+
+                def _old(col_name, typ):
+                    if col_name not in ta.column_names:
+                        return pa.nulls(out.num_rows, typ)
+                    vals = ta.column(col_name).combine_chunks().take(pos_kept)
+                    return pc.if_else(had_old, vals, pa.nulls(out.num_rows, typ))
+
+                cols["old_lsn"] = _old(lsn_col, pa.int64())
+                for c in payload:
+                    cols["old_" + c] = _old(c, out.schema.field(c).type)
             res = pa.table(cols)
             # overwrite replays can drop keys entirely: A-live keys with
             # no row at B are deletes too (change_lsn = -1 sentinel — no
@@ -257,16 +286,23 @@ class LakeTable:
             )
             if pc.any(gone).as_py():
                 ga = ta.filter(gone)
-                gone_tbl = pa.table(
-                    {**{k: ga.column(k) for k in keys},
-                     "op": pa.array(["D"] * ga.num_rows, pa.string()),
-                     "change_lsn": pa.array([-1] * ga.num_rows,
-                                            res.schema.field("change_lsn").type
-                                            if res.num_rows else pa.int64()),
-                     **{c: pa.nulls(ga.num_rows,
-                                    tb.schema.field(c).type)
-                        for c in payload}}
-                )
+                gcols = {
+                    **{k: ga.column(k) for k in keys},
+                    "op": pa.array(["D"] * ga.num_rows, pa.string()),
+                    "change_lsn": pa.array([-1] * ga.num_rows,
+                                           res.schema.field("change_lsn").type
+                                           if res.num_rows else pa.int64()),
+                    **{c: pa.nulls(ga.num_rows, tb.schema.field(c).type)
+                       for c in payload},
+                }
+                if include_old:
+                    gcols["old_lsn"] = ga.column(lsn_col).cast(pa.int64())
+                    for c in payload:
+                        gcols["old_" + c] = (
+                            ga.column(c) if c in ga.column_names
+                            else pa.nulls(ga.num_rows, tb.schema.field(c).type)
+                        )
+                gone_tbl = pa.table(gcols)
                 res = unify_tables([res, gone_tbl]) if res.num_rows else gone_tbl
             return res
 
