@@ -2276,6 +2276,39 @@ def _zorder_sql(bits: int = 8) -> str:
     """
 
 
+def events_window_distinct_users(sf_dir: str):
+    """Hopping-window COUNT DISTINCT users — distinct pairs reduced per
+    batch before the window shuffle (stages/temporal.py::
+    hopping_distinct_users); the gate flips the resolve step between
+    one gathered block and a keyed hash shuffle."""
+    from ..stages.temporal import hopping_distinct_users
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    small = _table_rows(sf_dir, "events") < 2_000_000
+    return drop_empty_blocks(
+        hopping_distinct_users(
+            ds, "ts", "user_id", width_seconds=3600, hop_seconds=900,
+            small_domain=small, num_partitions=_partitions(),
+        )
+    )
+
+
+def events_cumulative_users(sf_dir: str):
+    """First-touch adoption curve: per day, first-time users and the
+    running total (stages/temporal.py::first_touch_curve — per-batch
+    min-per-user partials, one fold, tiny-domain prefix sum)."""
+    from ..stages.temporal import first_touch_curve
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    small = _table_rows(sf_dir, "events") < 2_000_000
+    return drop_empty_blocks(
+        first_touch_curve(ds, "ts", "user_id", small_domain=small,
+                          num_partitions=_partitions())
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2349,6 +2382,8 @@ QUERIES = {
     "events_value_corr": events_value_corr,
     "events_cdc_diff": events_cdc_diff,
     "orders_zorder_layout": orders_zorder_layout,
+    "events_window_distinct_users": events_window_distinct_users,
+    "events_cumulative_users": events_cumulative_users,
 }
 
 ORACLE_SQL = {
@@ -3353,3 +3388,23 @@ ORACLE_SQL["events_cdc_diff"] = """
 """
 
 ORACLE_SQL["orders_zorder_layout"] = _zorder_sql()
+
+ORACLE_SQL["events_window_distinct_users"] = """
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - j.j * (INTERVAL 15 MINUTE)
+             AS window_start,
+           count(DISTINCT user_id) AS n_users
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+    GROUP BY 1
+"""
+
+ORACLE_SQL["events_cumulative_users"] = """
+    WITH f AS (
+        SELECT user_id, min(time_bucket(INTERVAL 1 DAY, ts)) AS day
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS cumulative_users
+    FROM g
+"""

@@ -618,3 +618,114 @@ def gapfill_hourly_locf(
         .repartition(num_blocks=num_partitions, keys=[key_col])
         .map_batches(fill, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+
+
+def hopping_distinct_users(
+    ds,
+    time_col: str,
+    user_col: str,
+    width_seconds: int = 3600,
+    hop_seconds: int = 900,
+    small_domain: bool = True,
+    num_partitions: int = 8,
+):
+    """Windowed COUNT DISTINCT over hopping event-time windows — the op
+    plain aggregation can't fold (distincts don't sum): each batch first
+    reduces to its DISTINCT (window, user) pairs (the heavy reduction —
+    duplicates never leave the task), the window shuffle co-locates each
+    window's survivors, and one grouped pass resolves cross-batch
+    duplicates and counts. Output: window_start, n_users."""
+    if width_seconds % hop_seconds:
+        raise ValueError("width_seconds must be a multiple of hop_seconds")
+    hops = width_seconds // hop_seconds
+
+    def partial(b: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(b.column(time_col), multiple=hop_seconds, unit="second")
+        parts = []
+        for j in range(hops):
+            start = pc.add(
+                pc.cast(base, pa.timestamp("us")),
+                pa.scalar(-j * hop_seconds * 1_000_000, pa.duration("us")),
+            )
+            parts.append(pa.table({"window_start": start, "u": b.column(user_col)}))
+        t = pa.concat_tables(parts)
+        g = pa.TableGroupBy(t, ["window_start", "u"]).aggregate([])
+        return g
+
+    def merge(t: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(t, ["window_start", "u"]).aggregate([])
+        g = pa.TableGroupBy(d, "window_start").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                "n_users": g.column("count_all"),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if small_domain:
+        return p.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    return (
+        _hash_shuffle(p)
+        .repartition(num_blocks=num_partitions, keys=["window_start"])
+        .map_batches(merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def first_touch_curve(
+    ds,
+    time_col: str,
+    user_col: str,
+    small_domain: bool = True,
+    num_partitions: int = 8,
+):
+    """Cumulative adoption curve: per day, how many users appeared for
+    the FIRST time and the running total. Per-batch min-timestamp-per-
+    user partials (the |rows| -> |users| reduction), one fold to resolve
+    each user's true first day, then the tiny day domain is counted and
+    prefix-summed in one block. Output: day, new_users,
+    cumulative_users."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"u": b.column(user_col), "t": b.column(time_col)}), "u"
+        ).aggregate([("t", "min")])
+        return g.rename_columns(["u", "t"])
+
+    def fold_users(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "u").aggregate([("t", "min")])
+        day = pc.floor_temporal(g.column("t_min"), unit="day")
+        d = pa.TableGroupBy(pa.table({"day": day}), "day").aggregate([([], "count_all")])
+        return pa.table({"day": d.column("day"), "new_users": d.column("count_all")})
+
+    def curve(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "day").aggregate([("new_users", "sum")])
+        g = g.take(pc.sort_indices(g, sort_keys=[("day", "ascending")]))
+        import numpy as np
+
+        cum = np.cumsum(g.column("new_users_sum").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "new_users": g.column("new_users_sum"),
+                "cumulative_users": pa.array(cum, pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if small_domain:
+        folded = p.repartition(1).map_batches(
+            fold_users, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        folded = (
+            _hash_shuffle(p)
+            .repartition(num_blocks=num_partitions, keys=["u"])
+            .map_batches(fold_users, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        )
+    # day domain is tiny: one final block builds the prefix sum
+    return folded.repartition(1).map_batches(
+        curve, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -32,6 +32,8 @@ GATED = [
     "q3_shipping_priority",
     "q5_regional_supplier_volume",
     "parts_fuzzy_pairs",
+    "events_window_distinct_users",
+    "events_cumulative_users",
 ]
 
 
