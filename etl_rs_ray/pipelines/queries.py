@@ -2271,7 +2271,7 @@ def _zorder_sql(bits: int = 8) -> str:
     z AS (SELECT ({zexpr}) AS zkey, cents FROM b)
     SELECT zkey // 1024 AS zpart,
            min(zkey) AS zkey_min, max(zkey) AS zkey_max,
-           sum(cents) AS cents_sum, count(*) AS n
+           CAST(sum(cents) AS BIGINT) AS cents_sum, count(*) AS n
     FROM z GROUP BY 1
     """
 
@@ -2306,6 +2306,93 @@ def events_cumulative_users(sf_dir: str):
     return drop_empty_blocks(
         first_touch_curve(ds, "ts", "user_id", small_domain=small,
                           num_partitions=_partitions())
+    )
+
+
+def embeddings_dim_stats(sf_dir: str):
+    """Unnest / explode a list column without materializing the long
+    form: per embedding dimension (0..63), row count, micro-quantized
+    sum, and exact min/max. Each batch reshapes the flat list buffer to
+    (n, 64) and reduces columnwise (numpy, zero copies of the long
+    table); one tiny 64-row fold. The SQL oracle actually unnests —
+    6.4M rows at sf0.1 — which is exactly the materialization the Ray
+    side avoids."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding").combine_chunks()
+        arr = col.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, -1)
+        dims = arr.shape[1]
+        scaled = arr.astype(np.float64) * 1_000_000.0
+        # DuckDB round() is half-away-from-zero; np.rint is half-to-even
+        micro = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dims, dtype=np.int64)),
+                "n": pa.array(np.full(dims, arr.shape[0], dtype=np.int64)),
+                "sum_micro": pa.array(micro.sum(axis=0)),
+                "vmin": pa.array(arr.min(axis=0).astype(np.float32)),
+                "vmax": pa.array(arr.max(axis=0).astype(np.float32)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "dim").aggregate(
+            [("n", "sum"), ("sum_micro", "sum"), ("vmin", "min"), ("vmax", "max")]
+        )
+        return g.rename_columns(["dim", "n", "sum_micro", "vmin", "vmax"])
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def events_gap_histogram(sf_dir: str):
+    """Inter-event time distribution: per user, gaps between consecutive
+    events (LAG over ts) bucketed into a fixed log-ish grid, counted
+    globally. ONE keyed shuffle + the vectorized lag kernel
+    (stages/ordered.py), then a bounded-domain fold — the gap histogram
+    never materializes per-pair rows outside its partition."""
+    from ..stages.ordered import per_key_ordered
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    edges = np.array([60, 600, 3600, 21600, 86400], dtype=np.int64)  # seconds
+    labels = ["lt_1m", "1m_10m", "10m_1h", "1h_6h", "6h_1d", "ge_1d"]
+
+    def kernel(t: pa.Table, first: np.ndarray, gidx: np.ndarray) -> pa.Table:
+        ts = t.column("ts").combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        prev = np.empty_like(ts)
+        if len(ts):
+            prev[1:] = ts[:-1]
+            prev[0] = ts[0]
+        gaps_us = ts - prev
+        valid = ~first
+        gaps_s = gaps_us[valid] // 1_000_000
+        b = np.searchsorted(edges, gaps_s, side="right")
+        counts = np.bincount(b, minlength=len(labels))
+        return pa.table(
+            {
+                "bucket": pa.array(labels, pa.string()),
+                "n_gaps": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    out = per_key_ordered(ds, "user_id", "ts", kernel)
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "bucket").aggregate([("n_gaps", "sum")])
+        g = g.rename_columns(["bucket", "n_gaps"])
+        return g.filter(pc.greater(g.column("n_gaps"), 0))
+
+    return drop_empty_blocks(
+        out.repartition(1).map_batches(
+            fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
     )
 
 
@@ -2384,6 +2471,8 @@ QUERIES = {
     "orders_zorder_layout": orders_zorder_layout,
     "events_window_distinct_users": events_window_distinct_users,
     "events_cumulative_users": events_cumulative_users,
+    "embeddings_dim_stats": embeddings_dim_stats,
+    "events_gap_histogram": events_gap_histogram,
 }
 
 ORACLE_SQL = {
@@ -3261,8 +3350,8 @@ ORACLE_SQL["events_gapfill_locf"] = """
 
 ORACLE_SQL["q3_shipping_priority"] = """
     SELECT l_orderkey,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
-               AS revenue_micro,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+               AS BIGINT) AS revenue_micro,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -3277,8 +3366,8 @@ ORACLE_SQL["q3_shipping_priority"] = """
 
 ORACLE_SQL["q5_regional_supplier_volume"] = """
     SELECT n_name,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
-               AS revenue_micro
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+               AS BIGINT) AS revenue_micro
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -3310,7 +3399,7 @@ ORACLE_SQL["events_props_extract"] = """
         FROM events
     )
     SELECT event_type,
-           sum(k) AS k_sum,
+           CAST(sum(k) AS BIGINT) AS k_sum,
            max(k) AS k_max,
            count(k) AS n_with_k,
            count(*) AS n
@@ -3343,8 +3432,10 @@ ORACLE_SQL["events_value_corr"] = """
     ),
     m AS (
         SELECT event_type, count(*) AS n,
-               sum(x) AS sx, sum(y) AS sy,
-               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
         FROM e GROUP BY event_type
     )
     SELECT event_type, n, sx, sy, sxx, syy, sxy,
@@ -3404,7 +3495,38 @@ ORACLE_SQL["events_cumulative_users"] = """
     ),
     g AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
     SELECT day, new_users,
-           sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-               AS cumulative_users
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cumulative_users
     FROM g
+"""
+
+ORACLE_SQL["embeddings_dim_stats"] = """
+    SELECT u.i - 1 AS dim, count(*) AS n,
+           CAST(sum(CAST(round(CAST(u.e AS DOUBLE) * 1000000) AS BIGINT))
+               AS BIGINT) AS sum_micro,
+           min(u.e) AS vmin, max(u.e) AS vmax
+    FROM (
+        SELECT unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ) u
+    GROUP BY 1
+"""
+
+ORACLE_SQL["events_gap_histogram"] = """
+    WITH g AS (
+        SELECT (epoch_us(ts)
+                - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+               // 1000000 AS gap_s
+        FROM events
+    )
+    SELECT CASE WHEN gap_s < 60 THEN 'lt_1m'
+                WHEN gap_s < 600 THEN '1m_10m'
+                WHEN gap_s < 3600 THEN '10m_1h'
+                WHEN gap_s < 21600 THEN '1h_6h'
+                WHEN gap_s < 86400 THEN '6h_1d'
+                ELSE 'ge_1d' END AS bucket,
+           count(*) AS n_gaps
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1
 """
