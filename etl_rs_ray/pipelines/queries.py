@@ -2396,6 +2396,43 @@ def events_gap_histogram(sf_dir: str):
     )
 
 
+def docs_chunking(sf_dir: str):
+    """Sliding-window document chunking (the RAG/embedding prep step):
+    windows of 32 tokens at stride 16 per document — one output row per
+    chunk with its token count. Fully vectorized expansion: chunk counts
+    come straight from token counts, rows materialize via np.repeat +
+    a cumulative-start arange (no per-doc Python); the work stays
+    embarrassingly parallel per batch, no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, S = 32, 16
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = pc.cast(token_count(b.column("text")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        k = np.where(n > 0, (n + S - 1) // S, 0)
+        total = int(k.sum())
+        doc_rep = np.repeat(ids, k)
+        starts = np.cumsum(k) - k
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, k)
+        tok_rep = np.repeat(n, k)
+        chunk_tokens = np.minimum(W, tok_rep - idx * S)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "chunk_idx": pa.array(idx),
+                "chunk_tokens": pa.array(chunk_tokens),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2473,6 +2510,7 @@ QUERIES = {
     "events_cumulative_users": events_cumulative_users,
     "embeddings_dim_stats": embeddings_dim_stats,
     "events_gap_histogram": events_gap_histogram,
+    "docs_chunking": docs_chunking,
 }
 
 ORACLE_SQL = {
@@ -3529,4 +3567,17 @@ ORACLE_SQL["events_gap_histogram"] = """
            count(*) AS n_gaps
     FROM g WHERE gap_s IS NOT NULL
     GROUP BY 1
+"""
+
+ORACLE_SQL["docs_chunking"] = """
+    WITH t AS (
+        SELECT doc_id,
+               length(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    grid AS (SELECT unnest(generate_series(0, 63)) AS j)
+    SELECT doc_id, j AS chunk_idx,
+           least(32, n_tok - j * 16) AS chunk_tokens
+    FROM t CROSS JOIN grid
+    WHERE n_tok > 0 AND j * 16 < n_tok
 """
