@@ -141,6 +141,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=5)
     s.add_argument("--epoch", type=int, default=None)
 
+    ex = sub.add_parser(
+        "expire", help="retention: tombstone live keys older than an LSN through the log")
+    ex.add_argument("--log", required=True)
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--before-lsn", type=int, required=True)
+    ex.add_argument("--buckets", type=int, default=64)
+
     ch = sub.add_parser(
         "changes", help="row-level I/U/D change feed between two epochs (table_changes)")
     ch.add_argument("--table", required=True)
@@ -348,6 +355,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         print(json.dumps(out, default=str))
         _ray.shutdown()
+        return 0
+
+    if args.cmd == "expire":
+        from .pipelines.cdc import expire_before
+
+        out = expire_before(args.log, args.table, args.before_lsn,
+                            num_buckets=args.buckets)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "changes":

@@ -649,3 +649,63 @@ def replay(
         metrics=metrics,
         wall_seconds=time.perf_counter() - t0,
     )
+
+
+def expire_before(
+    log_dir: str,
+    table_dir: str,
+    before_lsn: int,
+    *,
+    num_partitions: int = 8,
+    num_buckets: int = 64,
+) -> dict:
+    """Retention / right-to-erasure THROUGH the log: tombstone every
+    live key whose current version predates ``before_lsn``. Erasure is
+    never an in-place mutation — op=D events with fresh LSNs are
+    appended to the log and applied as an ordinary exactly-once delta
+    epoch, so the deletion is auditable, replayable, and resumable like
+    any other change. Re-running is a no-op (the expired keys are no
+    longer live).
+
+    The expired key set rides through the driver here (selected columns
+    only); at an expired share where that matters, assign per-partition
+    LSN ranges from per-bucket counts in a first pass and write the
+    tombstone segments from the snapshot tasks themselves.
+    """
+    from ..sources.event_log import EventLogWriter, list_segments
+    from ..sources.lake import LakeTable
+
+    lake = LakeTable(table_dir, num_buckets)
+    snap = lake.snapshot(columns=["repo", "path", "commit", "lang", "lsn"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("lsn"), before_lsn)).select(
+            ["repo", "path", "commit", "lang"]
+        )
+
+    expired = pa.Table.from_pylist(
+        snap.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    )
+    segs = list_segments(log_dir)
+    base = max((s.lsn_max for s in segs), default=-1) + 1
+    if expired.num_rows:
+        n = expired.num_rows
+        events = pa.table(
+            {
+                "lsn": pa.array(range(base, base + n), pa.int64()),
+                "op": pa.array(["D"] * n, pa.string()),
+                "repo": expired.column("repo"),
+                "path": expired.column("path"),
+                "commit": expired.column("commit"),
+                "lang": expired.column("lang"),
+                "content": pa.nulls(n, pa.string()),
+            }
+        )
+        EventLogWriter(log_dir, num_partitions).write(events)
+    result = replay(log_dir, table_dir, num_buckets=num_buckets, mode="delta")
+    return {
+        "expired": expired.num_rows,
+        "tombstone_lsn_first": base if expired.num_rows else None,
+        "committed": result.committed,
+        "rows_total": result.rows_total,
+    }

@@ -171,3 +171,39 @@ def test_ivm_sum_and_group_change(ray_session):
         {"g": "a", "n": 1, "sum_v": 20},
         {"g": "b", "n": 1, "sum_v": 11},
     ]
+
+
+def test_expire_before_tombstones_through_log(tmp_path, ray_session):
+    """Retention expiry appends D events and delta-replays them: expired
+    keys vanish, the rest survive, a from-scratch replay of the SAME log
+    reproduces the expired state (erasure is in the log, not a side
+    mutation), and re-running expires nothing."""
+    import pyarrow as pa
+
+    from etl_rs_ray.pipelines.cdc import expire_before
+
+    events, log_dir = _setup(tmp_path, n=200, seed=41)
+    table_dir = str(tmp_path / "table")
+    assert replay(log_dir, table_dir, num_buckets=4).committed
+    lake = LakeTable(table_dir)
+    before = lake.snapshot_table()
+    cut = int(pc.max(events.column("lsn")).as_py() * 2) // 3
+
+    out = expire_before(log_dir, table_dir, cut, num_buckets=4)
+    assert out["committed"] and out["expired"] > 0
+
+    lake = LakeTable(table_dir)
+    after = lake.snapshot_table()
+    keep = before.filter(pc.greater_equal(before.column("lsn"), cut))
+    assert after.num_rows == keep.num_rows == before.num_rows - out["expired"]
+    k = lambda t: {(r["repo"], r["path"], r["commit"]) for r in t.to_pylist()}
+    assert k(after) == k(keep)
+
+    # the log is the source of truth: a fresh replay reproduces the state
+    t2 = str(tmp_path / "t2")
+    assert replay(log_dir, t2, num_buckets=4).committed
+    assert k(LakeTable(t2).snapshot_table()) == k(after)
+
+    # idempotent: everything live now postdates the cut
+    again = expire_before(log_dir, table_dir, cut, num_buckets=4)
+    assert again["expired"] == 0
