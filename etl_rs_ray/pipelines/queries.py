@@ -1519,10 +1519,14 @@ def events_scd2_incremental(sf_dir: str):
 
     q = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
     cut = _table_rows(sf_dir, "events") // 2  # event_id is the dense LSN axis
+    # apply_increment consumes history twice (untouched pass-through +
+    # touched-open reopen); materialize the in-flight history ONCE so the
+    # shuffle doesn't re-execute per consumer. In real incremental use
+    # history is a persisted table read from disk — this mirrors that.
     history = scd2_history(
         q.filter(expr=f"event_id < {cut}"), "user_id", "event_id",
         ["event_type", "value_cents"],
-    )
+    ).materialize()
     out = scd2_apply_increment(
         history,
         q.filter(expr=f"event_id >= {cut}"),
