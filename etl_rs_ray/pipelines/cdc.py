@@ -656,7 +656,7 @@ def expire_before(
     table_dir: str,
     before_lsn: int,
     *,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     num_buckets: int = 64,
 ) -> dict:
     """Retention / right-to-erasure THROUGH the log: tombstone every
@@ -668,10 +668,13 @@ def expire_before(
     longer live).
 
     The expired key set rides through the driver here (selected columns
-    only); at an expired share where that matters, assign per-partition
-    LSN ranges from per-bucket counts in a first pass and write the
-    tombstone segments from the snapshot tasks themselves.
+    only, collected as Arrow blocks — no per-row Python objects); at an
+    expired share where that matters, assign per-partition LSN ranges
+    from per-bucket counts in a first pass and write the tombstone
+    segments from the snapshot tasks themselves.
     """
+    import ray
+
     from ..sources.event_log import EventLogWriter, list_segments
     from ..sources.lake import LakeTable
 
@@ -683,11 +686,24 @@ def expire_before(
             ["repo", "path", "commit", "lang"]
         )
 
-    expired = pa.Table.from_pylist(
-        snap.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    blocks = [
+        t for t in ray.get(
+            snap.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    expired = (
+        pa.concat_tables(blocks, promote_options="permissive")
+        if blocks
+        else pa.table({c: pa.array([], pa.string()) for c in ["repo", "path", "commit", "lang"]})
     )
     segs = list_segments(log_dir)
     base = max((s.lsn_max for s in segs), default=-1) + 1
+    if num_partitions is None:
+        # tombstones must follow the LOG's key->partition layout, or a
+        # key's delete lands in a different partition than its history
+        num_partitions = max((s.partition for s in segs), default=7) + 1
     if expired.num_rows:
         n = expired.num_rows
         events = pa.table(

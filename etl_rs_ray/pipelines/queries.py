@@ -2323,8 +2323,27 @@ def embeddings_dim_stats(sf_dir: str):
     side avoids."""
     ds = _read(sf_dir, "embeddings", columns=["embedding"])
 
+    empty = pa.table(
+        {
+            "dim": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_micro": pa.array([], pa.int64()),
+            "vmin": pa.array([], pa.float32()),
+            "vmax": pa.array([], pa.float32()),
+        }
+    )
+
     def partial(b: pa.Table) -> pa.Table:
         col = b.column("embedding").combine_chunks()
+        if col.null_count:
+            # SQL unnest emits nothing for a NULL list — drop those rows
+            b = b.filter(pc.is_valid(col))
+            col = b.column("embedding").combine_chunks()
+        if b.num_rows == 0:
+            return empty
+        lens = pc.unique(pc.list_value_length(col))
+        if len(lens) != 1:
+            raise ValueError(f"ragged embedding lengths: {lens.to_pylist()[:5]}")
         arr = col.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, -1)
         dims = arr.shape[1]
         scaled = arr.astype(np.float64) * 1_000_000.0
@@ -3575,13 +3594,19 @@ ORACLE_SQL["events_gap_histogram"] = """
 
 ORACLE_SQL["docs_chunking"] = """
     WITH t AS (
-        SELECT doc_id,
-               length(string_split_regex(trim(text), '\\s+')) AS n_tok
+        -- regexp_extract_all('\\S+') counts tokens exactly like the
+        -- engine's token_count (0 for empty/whitespace-only text) and
+        -- the column-bound generate_series caps nothing: any document
+        -- length produces exactly ceil(n_tok/16) chunks on both sides
+        SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tok
         FROM documents
     ),
-    grid AS (SELECT unnest(generate_series(0, 63)) AS j)
-    SELECT doc_id, j AS chunk_idx,
-           least(32, n_tok - j * 16) AS chunk_tokens
-    FROM t CROSS JOIN grid
-    WHERE n_tok > 0 AND j * 16 < n_tok
+    c AS (
+        SELECT doc_id, n_tok,
+               unnest(generate_series(0, (n_tok + 15) // 16 - 1)) AS chunk_idx
+        FROM t WHERE n_tok > 0
+    )
+    SELECT doc_id, chunk_idx,
+           least(32, n_tok - chunk_idx * 16) AS chunk_tokens
+    FROM c
 """

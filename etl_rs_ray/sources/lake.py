@@ -212,8 +212,29 @@ class LakeTable:
             return pc.binary_join_element_wise(*parts, "\x1f")
 
         def _diff(ta: pa.Table | None, tb: pa.Table | None) -> pa.Table:
-            if tb is None:
-                tb = pa.schema([]).empty_table()
+            if tb is None or tb.num_rows == 0:
+                # bucket emptied at B (overwrite replay): every A-live key
+                # is a delete; payload/typing comes from the A side
+                if ta is None or ta.num_rows == 0:
+                    return pa.schema([]).empty_table()
+                live_a = pc.fill_null(pc.not_equal(ta.column(op_col), "D"), True)
+                ga = ta.filter(live_a)
+                payload = [
+                    c for c in ta.column_names
+                    if c not in keys and c not in (lsn_col, op_col)
+                ]
+                cols = {
+                    **{k: ga.column(k) for k in keys},
+                    "op": pa.array(["D"] * ga.num_rows, pa.string()),
+                    "change_lsn": pa.array([-1] * ga.num_rows, pa.int64()),
+                    **{c: pa.nulls(ga.num_rows, ta.schema.field(c).type)
+                       for c in payload},
+                }
+                if include_old:
+                    cols["old_lsn"] = ga.column(lsn_col).cast(pa.int64())
+                    for c in payload:
+                        cols["old_" + c] = ga.column(c)
+                return pa.table(cols)
             payload = [
                 c for c in tb.column_names
                 if c not in keys and c not in (lsn_col, op_col)

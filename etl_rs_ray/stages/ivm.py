@@ -57,8 +57,9 @@ def _increments(b: pa.Table, group_col: str, sum_cols: list[str]) -> pa.Table:
             )
         )
     if not parts:
+        gtype = b.schema.field(group_col).type
         return pa.table(
-            {"g": pa.array([], pa.string()), "dn": pa.array([], pa.int64()),
+            {"g": pa.array([], gtype), "dn": pa.array([], pa.int64()),
              **{f"ds_{c}": pa.array([], pa.int64()) for c in sum_cols}}
         )
     t = pa.concat_tables(parts, promote_options="permissive")
@@ -92,20 +93,24 @@ def maintain_grouped_agg(
         )
         return g.rename_columns(["g", "dn"] + [f"ds_{c}" for c in sum_cols])
 
-    delta_blocks = inc.map_batches(
-        fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).take_all()
-    delta = pa.Table.from_pylist(
-        delta_blocks,
-        schema=pa.schema(
-            [("g", pa.string()), ("dn", pa.int64())]
-            + [(f"ds_{c}", pa.int64()) for c in sum_cols]
-        ),
-    )
+    import ray
+
+    blocks = [
+        t for t in ray.get(
+            inc.map_batches(
+                fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not blocks:
+        return view if view is not None else pa.schema([]).empty_table()
+    delta = pa.concat_tables(blocks, promote_options="permissive")
 
     if view is None:
+        gtype = delta.schema.field("g").type
         view = pa.table(
-            {group_col: pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+            {group_col: pa.array([], gtype), "n": pa.array([], pa.int64()),
              **{f"sum_{c}": pa.array([], pa.int64()) for c in sum_cols}}
         )
     merged = pa.concat_tables(

@@ -234,7 +234,12 @@ def priority_sample(ds, id_col: str, weight_col: str, n: int, seed: str = "s0",
             from .dedup import md5_u64
 
             h = np.array([md5_u64(k) for k in keys.to_pylist()], dtype=np.uint64)
-        w = b.column(weight_col).combine_chunks().to_numpy(zero_copy_only=False)
+        wc = b.column(weight_col)
+        if wc.null_count:
+            # NaN slips through the <=0 check and .astype(uint64) on NaN
+            # is undefined — a silent bogus key, not an error
+            raise ValueError("weights must be non-null")
+        w = wc.combine_chunks().to_numpy(zero_copy_only=False)
         if (w <= 0).any():
             raise ValueError("weights must be positive")
         key = ((h >> np.uint64(1)) // w.astype(np.uint64)).astype(np.int64)

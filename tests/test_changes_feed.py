@@ -207,3 +207,37 @@ def test_expire_before_tombstones_through_log(tmp_path, ray_session):
     # idempotent: everything live now postdates the cut
     again = expire_before(log_dir, table_dir, cut, num_buckets=4)
     assert again["expired"] == 0
+
+    # tombstones follow the LOG's partition layout (2 parts in _setup):
+    # no new part=N dirs appear
+    import os
+
+    parts = {d for d in os.listdir(log_dir) if d.startswith("part=")}
+    assert parts == {"part=0", "part=1"}
+
+
+def test_changes_bucket_emptied_at_to_epoch(tmp_path, ray_session):
+    """An overwrite replay that leaves a bucket with no files at the new
+    epoch must emit D rows for that bucket's previously-live keys, not
+    crash on the schemaless empty side."""
+    import pyarrow as pa
+
+    from etl_rs_ray.datagen import generate_repos
+
+    events, log_dir = _setup(tmp_path, n=120, seed=7)
+    table_dir = str(tmp_path / "table")
+    assert replay(log_dir, table_dir, num_buckets=4).committed
+    lake = LakeTable(table_dir)
+    live0 = lake.snapshot_table().num_rows
+
+    # overwrite with a tiny disjoint log -> most buckets empty at epoch 1
+    repos2 = generate_repos(n_files=3, seed=99)
+    ev2 = generate_events(repos2, update_frac=0.0, delete_frac=0.0, dup_frac=0.0, seed=99)
+    log2 = str(tmp_path / "log2")
+    write_event_log(ev2, log2, num_partitions=2)
+    assert replay(log2, table_dir, num_buckets=4, mode="overwrite").committed
+
+    feed = LakeTable(table_dir).changes(0, 1, include_old=True).to_pandas()
+    d = feed[feed["op"] == "D"]
+    assert len(d) >= live0 - 3  # every dropped key surfaced as a delete
+    assert d["old_lsn"].notna().all()

@@ -247,3 +247,15 @@ def test_priority_sample_rejects_bad_weights(ray_session):
     t = pa.table({"id": [1, 2], "w": [0, 3]})
     with pytest.raises(Exception):
         priority_sample(ray.data.from_arrow(t), "id", "w", n=1).to_pandas()
+
+
+def test_priority_sample_rejects_null_weights(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from etl_rs_ray.stages.sampling import priority_sample
+
+    t = pa.table({"id": [1, 2, 3], "w": pa.array([5, None, 7], pa.int64())})
+    with pytest.raises(Exception, match="non-null"):
+        priority_sample(ray.data.from_arrow(t), "id", "w", n=2).to_pandas()
