@@ -2456,6 +2456,31 @@ def docs_chunking(sf_dir: str):
     )
 
 
+def docs_search_topk(sf_dir: str):
+    """Full-text retrieval over a physical inverted index: build the
+    term-sharded index (one postings file per term-hash shard), then
+    search for a 3-term query READING ONLY the query terms' shards —
+    the IVF pruning contract applied to text (stages/text_index.py).
+    Scoring is integer tf-idf (tf * ((N*1000)//df)), so the oracle
+    reproduces every score exactly. Asserts the pruned read touched
+    fewer shards than exist."""
+    import tempfile
+
+    from ..stages.text_index import build_text_index, search_text_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _table_rows(sf_dir, "documents")
+    terms = ["shuffle", "merge", "vector"]
+    with tempfile.TemporaryDirectory(prefix="textidx_") as d:
+        build_text_index(ds, d, n_docs=n_docs, num_shards=16)
+        out, paths = search_text_index(d, terms, k=10)
+        import os
+
+        total = len(os.listdir(os.path.join(d, "terms")))
+        assert 0 < len(paths) < total, (len(paths), total)
+    return out
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2534,6 +2559,7 @@ QUERIES = {
     "embeddings_dim_stats": embeddings_dim_stats,
     "events_gap_histogram": events_gap_histogram,
     "docs_chunking": docs_chunking,
+    "docs_search_topk": docs_search_topk,
 }
 
 ORACLE_SQL = {
@@ -3609,4 +3635,23 @@ ORACLE_SQL["docs_chunking"] = """
     SELECT doc_id, chunk_idx,
            least(32, n_tok - chunk_idx * 16) AS chunk_tokens
     FROM c
+"""
+
+ORACLE_SQL["docs_search_topk"] = """
+    WITH toks AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+      ) t WHERE term IN ('shuffle', 'merge', 'vector')
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT doc_id,
+           CAST(sum(tf * ((nd * 1000) // df)) AS BIGINT) AS score_milli
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY score_milli DESC, doc_id
+    LIMIT 10
 """

@@ -419,3 +419,41 @@ def test_tfidf_top_terms_matches_sql():
     # the tokenizer lowers and splits on non-alphanumerics: 'Tail-42'
     # becomes tokens 'tail' and '42' — never a term containing '-'
     assert not got["top_term"].str.contains("-").any()
+
+
+def test_text_index_build_search_pruning(ray_session, tmp_path):
+    """Inverted index: search reads only query-term shards, scores match
+    a brute-force computation, unknown terms return empty."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.text_index import build_text_index, search_text_index
+
+    docs = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry apple"),
+        (3, "durian"),
+        (4, "apple apple apple apple"),
+    ]
+    t = pa.table(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([x for _, x in docs])}
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(ray.data.from_arrow(t).repartition(2), idx, n_docs=5, num_shards=8)
+
+    out, paths = search_text_index(idx, ["apple", "cherry"], k=10)
+    total = len(os.listdir(os.path.join(idx, "terms")))
+    assert 0 < len(paths) <= total
+
+    # brute force: df(apple)=3, df(cherry)=2; w = (5*1000)//df
+    wa, wc = 5000 // 3, 5000 // 2
+    want = {0: 2 * wa, 1: 1 * wc, 2: 3 * wc + 1 * wa, 4: 4 * wa}
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("score_milli").to_pylist()))
+    assert got == want
+
+    empty, _ = search_text_index(idx, ["zzz"], k=5)
+    assert empty.num_rows == 0
