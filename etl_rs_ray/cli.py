@@ -358,6 +358,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "expire":
+        _init_ray(args.num_cpus)
         from .pipelines.cdc import expire_before
 
         out = expire_before(args.log, args.table, args.before_lsn,

@@ -675,9 +675,14 @@ def expire_before(
     """
     import ray
 
-    from ..sources.event_log import EventLogWriter, list_segments
+    from ..sources.event_log import EventLogWriter, list_segments, next_lsn
     from ..sources.lake import LakeTable
 
+    # catch the table up to the log head FIRST: selecting expired keys
+    # from a stale snapshot would tombstone a key whose newer version
+    # (past the cut) is still sitting unapplied in the log — the delete
+    # would then outrank that update and over-delete
+    replay(log_dir, table_dir, num_buckets=num_buckets, mode="delta")
     lake = LakeTable(table_dir, num_buckets)
     snap = lake.snapshot(columns=["repo", "path", "commit", "lang", "lsn"])
 
@@ -699,7 +704,7 @@ def expire_before(
         else pa.table({c: pa.array([], pa.string()) for c in ["repo", "path", "commit", "lang"]})
     )
     segs = list_segments(log_dir)
-    base = max((s.lsn_max for s in segs), default=-1) + 1
+    base = next_lsn(log_dir)
     if num_partitions is None:
         # tombstones must follow the LOG's key->partition layout, or a
         # key's delete lands in a different partition than its history

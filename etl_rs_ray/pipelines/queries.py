@@ -2430,7 +2430,9 @@ def docs_chunking(sf_dir: str):
     W, S = 32, 16
 
     def expand(b: pa.Table) -> pa.Table:
-        n = pc.cast(token_count(b.column("text")), pa.int64()).to_numpy(
+        # null text -> null token count; the oracle's WHERE n_tok > 0
+        # drops those docs, so treat null as 0 here
+        n = pc.fill_null(pc.cast(token_count(b.column("text")), pa.int64()), 0).to_numpy(
             zero_copy_only=False
         )
         ids = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)

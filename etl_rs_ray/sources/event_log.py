@@ -262,6 +262,13 @@ def read_event_log_table(log_dir: str, lsn_from=None, lsn_to=None) -> pa.Table:
     return t
 
 
+def next_lsn(log_dir: str) -> int:
+    """First unused LSN after the log's current tail — THE LSN-allocation
+    rule; every appender must use this."""
+    segs = list_segments(log_dir) if os.path.isdir(log_dir) else []
+    return max((s.lsn_max for s in segs), default=-1) + 1
+
+
 def ingest_table_as_inserts(
     table: pa.Table,
     log_dir: str,
@@ -280,8 +287,7 @@ def ingest_table_as_inserts(
             f"input_hint schema); missing: {sorted(missing)}"
         )
     if start_lsn is None:
-        segs = list_segments(log_dir) if os.path.isdir(log_dir) else []
-        start_lsn = max((s.lsn_max for s in segs), default=-1) + 1
+        start_lsn = next_lsn(log_dir)
     n = table.num_rows
     table = table.add_column(0, "lsn", pa.array(range(start_lsn, start_lsn + n), pa.int64()))
     table = table.add_column(1, "op", pa.array(["I"] * n, pa.string()))

@@ -95,17 +95,17 @@ def maintain_grouped_agg(
 
     import ray
 
-    blocks = [
-        t for t in ray.get(
-            inc.map_batches(
-                fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    if not blocks:
+    all_blocks = ray.get(
+        inc.map_batches(
+            fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).to_arrow_refs()
+    )
+    blocks = [t for t in all_blocks if t.num_rows]
+    # even empty increment blocks carry the typed (g, dn, ds_*) schema
+    typed = blocks or [t for t in all_blocks if t.num_columns]
+    if not typed:
         return view if view is not None else pa.schema([]).empty_table()
-    delta = pa.concat_tables(blocks, promote_options="permissive")
+    delta = pa.concat_tables(typed, promote_options="permissive")
 
     if view is None:
         gtype = delta.schema.field("g").type

@@ -236,10 +236,12 @@ def priority_sample(ds, id_col: str, weight_col: str, n: int, seed: str = "s0",
             h = np.array([md5_u64(k) for k in keys.to_pylist()], dtype=np.uint64)
         wc = b.column(weight_col)
         if wc.null_count:
-            # NaN slips through the <=0 check and .astype(uint64) on NaN
-            # is undefined — a silent bogus key, not an error
+            # NaN/null slips through the <=0 check and .astype(uint64)
+            # on NaN is undefined — a silent bogus key, not an error
             raise ValueError("weights must be non-null")
         w = wc.combine_chunks().to_numpy(zero_copy_only=False)
+        if np.issubdtype(w.dtype, np.floating) and np.isnan(w).any():
+            raise ValueError("weights must be non-null")
         if (w <= 0).any():
             raise ValueError("weights must be positive")
         key = ((h >> np.uint64(1)) // w.astype(np.uint64)).astype(np.int64)

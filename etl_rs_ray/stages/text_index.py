@@ -98,19 +98,32 @@ def search_text_index(index_dir: str, query_terms: list[str], k: int = 10):
             pa.table({"doc_id": pa.array([], pa.int64()), "score_milli": pa.array([], pa.int64())}),
             [],
         )
-    t = pa.concat_tables(pq.read_table(p) for p in paths)
-    t = t.filter(pc.is_in(t.column("term"), value_set=pa.array(terms, pa.string())))
+    term_set = pa.array(terms, pa.string())
+    # postings are term-sorted in 64k row groups: the parquet filter
+    # prunes row groups by term statistics instead of reading each shard
+    # in full
+    t = pa.concat_tables(
+        pq.read_table(p, filters=[("term", "in", terms)]) for p in paths
+    )
+    t = t.filter(pc.is_in(t.column("term"), value_set=term_set)).combine_chunks()
     if t.num_rows == 0:
         return (
             pa.table({"doc_id": pa.array([], pa.int64()), "score_milli": pa.array([], pa.int64())}),
             paths,
         )
     df = pa.TableGroupBy(t.select(["term", "doc_id"]), "term").aggregate([([], "count_all")])
-    w = {
-        term: (n_docs * 1000) // int(n)
-        for term, n in zip(df.column("term").to_pylist(), df.column("count_all").to_pylist())
-    }
-    weights = pa.array([w[x] for x in t.column("term").to_pylist()], pa.int64())
+    dft = df.column("term").combine_chunks()
+    w = pa.array(
+        [
+            (n_docs * 1000) // int(n)
+            for n in df.column("count_all").to_pylist()
+        ],
+        pa.int64(),
+    )
+    # vectorized weight join: position of each posting's term in the
+    # (tiny) df table, then take — no per-row Python over postings
+    pos = pc.index_in(t.column("term"), value_set=dft)
+    weights = w.take(pos)
     scored = pa.table(
         {
             "doc_id": t.column("doc_id"),
