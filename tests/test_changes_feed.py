@@ -241,3 +241,37 @@ def test_changes_bucket_emptied_at_to_epoch(tmp_path, ray_session):
     d = feed[feed["op"] == "D"]
     assert len(d) >= live0 - 3  # every dropped key surfaced as a delete
     assert d["old_lsn"].notna().all()
+
+
+def test_expire_catches_up_before_selecting(tmp_path, ray_session):
+    """A key whose newer version (past the cut) sits UNAPPLIED in the
+    log must survive expiry — the stale-snapshot over-delete case."""
+    import pyarrow as pa
+
+    from etl_rs_ray.pipelines.cdc import expire_before
+    from etl_rs_ray.sources.event_log import EVENT_SCHEMA, EventLogWriter
+
+    key = ("org0/p", "src/a.py", "c0")
+    rows = [
+        {"lsn": 0, "op": "I", "repo": key[0], "path": key[1], "commit": key[2],
+         "lang": "py", "content": "v0"},
+        {"lsn": 1, "op": "I", "repo": "org0/p", "path": "src/b.py", "commit": "c1",
+         "lang": "py", "content": "old"},
+        # the update that must save `key` from expiry, NOT yet applied
+        {"lsn": 10, "op": "U", "repo": key[0], "path": key[1], "commit": key[2],
+         "lang": "py", "content": "v1"},
+    ]
+    log_dir = str(tmp_path / "log")
+    EventLogWriter(log_dir, num_partitions=2).write(
+        pa.Table.from_pylist(rows, schema=EVENT_SCHEMA)
+    )
+    table_dir = str(tmp_path / "t")
+    # apply ONLY lsn 0..1; lsn 10 stays unapplied in the log
+    assert replay(log_dir, table_dir, target_lsn=1, num_buckets=4).committed
+
+    out = expire_before(log_dir, table_dir, before_lsn=5, num_buckets=4)
+    # only src/b.py (lsn 1 < 5, no newer version) expires
+    assert out["expired"] == 1
+    snap = LakeTable(table_dir).snapshot_table()
+    live = {(r["repo"], r["path"], r["commit"]): r["content"] for r in snap.to_pylist()}
+    assert live == {key: "v1"}
