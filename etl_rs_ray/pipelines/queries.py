@@ -2483,6 +2483,107 @@ def docs_search_topk(sf_dir: str):
     return out
 
 
+def events_late_corrections(sf_dir: str):
+    """Allowed-lateness accounting per event-time window — the streaming
+    retraction/correction surface: events are on-time or late against
+    the running watermark (max event-time over arrival order, 60 s
+    allowed lateness); each hourly window reports its on-time aggregate
+    and the late CORRECTION it would have to emit downstream. Watermark
+    via the two-pass distributed prefix scan (no global sort), then
+    bounded-domain window partials."""
+    from ..stages.ordered import prefix_scan
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts_micros": pc.cast(b.column("ts"), pa.int64()),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    scanned = prefix_scan(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        "event_id",
+        [("ts_micros", "max", "wm_micros", False)],
+    )
+    hour_us = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        late = pc.fill_null(
+            pc.less(b.column("ts_micros"), pc.subtract(b.column("wm_micros"), 60_000_000)),
+            False,
+        )
+        t = pa.table(
+            {
+                "window_start": pc.multiply(
+                    pc.divide(b.column("ts_micros"), hour_us), hour_us
+                ),
+                "late": late,
+                "cents": b.column("value_cents"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["window_start", "late"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["window_start", "late", "cents", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["window_start", "late"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        g = g.rename_columns(["window_start", "late", "cents", "n"])
+        on = g.filter(pc.invert(g.column("late").combine_chunks())).select(
+            ["window_start", "cents", "n"]
+        ).rename_columns(["window_start", "on_time_cents", "n_on_time"])
+        lt = g.filter(g.column("late").combine_chunks()).select(
+            ["window_start", "cents", "n"]
+        ).rename_columns(["window_start", "late_cents", "n_late"])
+        pos = pc.index_in(
+            on.column("window_start").combine_chunks(),
+            value_set=lt.column("window_start").combine_chunks(),
+        )
+        lc = pc.fill_null(lt.column("late_cents").combine_chunks().take(pos), 0)
+        ln = pc.fill_null(lt.column("n_late").combine_chunks().take(pos), 0)
+        # windows with ONLY late rows still appear: union missing ones
+        pos2 = pc.index_in(
+            lt.column("window_start").combine_chunks(),
+            value_set=on.column("window_start").combine_chunks(),
+        )
+        only_late = lt.filter(pc.is_null(pos2))
+        out = pa.table(
+            {
+                "window_start": on.column("window_start"),
+                "n_on_time": on.column("n_on_time"),
+                "on_time_cents": on.column("on_time_cents"),
+                "n_late": ln,
+                "late_cents": lc,
+            }
+        )
+        if only_late.num_rows:
+            extra = pa.table(
+                {
+                    "window_start": only_late.column("window_start"),
+                    "n_on_time": pa.array([0] * only_late.num_rows, pa.int64()),
+                    "on_time_cents": pa.array([0] * only_late.num_rows, pa.int64()),
+                    "n_late": only_late.column("n_late"),
+                    "late_cents": only_late.column("late_cents"),
+                }
+            )
+            out = pa.concat_tables([out, extra])
+        return out
+
+    return drop_empty_blocks(
+        scanned.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2562,6 +2663,7 @@ QUERIES = {
     "events_gap_histogram": events_gap_histogram,
     "docs_chunking": docs_chunking,
     "docs_search_topk": docs_search_topk,
+    "events_late_corrections": events_late_corrections,
 }
 
 ORACLE_SQL = {
@@ -3656,4 +3758,24 @@ ORACLE_SQL["docs_search_topk"] = """
     GROUP BY doc_id
     ORDER BY score_milli DESC, doc_id
     LIMIT 10
+"""
+
+ORACLE_SQL["events_late_corrections"] = """
+    WITH w AS (
+        SELECT epoch_us(ts) AS tus,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               COALESCE(epoch_us(ts) <
+                        MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - 60000000, FALSE) AS late
+        FROM events
+    )
+    SELECT (tus // 3600000000) * 3600000000 AS window_start,
+           count(*) FILTER (WHERE NOT late) AS n_on_time,
+           CAST(COALESCE(sum(cents) FILTER (WHERE NOT late), 0) AS BIGINT)
+               AS on_time_cents,
+           count(*) FILTER (WHERE late) AS n_late,
+           CAST(COALESCE(sum(cents) FILTER (WHERE late), 0) AS BIGINT)
+               AS late_cents
+    FROM w GROUP BY 1
 """
