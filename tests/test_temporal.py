@@ -350,3 +350,52 @@ def test_gapfill_locf_matches_sql():
     spans = got.groupby("k")["bucket_start"].agg(["min", "max", "count"])
     assert spans["min"].nunique() == 1 and spans["max"].nunique() == 1
     assert (spans["count"] == spans["max"].iloc[0] - spans["min"].iloc[0] + 1).all()
+
+
+def test_late_corrections_only_late_window(ray_session, tmp_path, monkeypatch):
+    """A window whose every event arrives late (after the watermark has
+    moved past it) must still appear in the corrections output — the
+    only-late union branch the driver tiers never exercise."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_rs_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    h = 3_600_000_000  # 1h in us
+    base = np.datetime64("2025-03-01T00:00:00", "us")
+    rows = [
+        # on-time events in hours 0 and 2 push the watermark forward
+        (0, base + np.timedelta64(0, "us"), 1, "a", 1.0),
+        (1, base + np.timedelta64(10 * 60, "s"), 1, "a", 2.0),
+        (2, base + np.timedelta64(2 * 3600, "s"), 1, "a", 3.0),
+        # hour-1 events arrive AFTER the wm reached hour 2 -> entire
+        # hour-1 window is late-only
+        (3, base + np.timedelta64(3600 + 100, "s"), 1, "a", 4.0),
+        (4, base + np.timedelta64(3600 + 200, "s"), 1, "a", 5.0),
+        (5, base + np.timedelta64(2 * 3600 + 300, "s"), 1, "a", 6.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    got = QUERIES["events_late_corrections"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["events_late_corrections"]).fetchdf()
+    g = got.sort_values("window_start").reset_index(drop=True)
+    w = want.sort_values("window_start").reset_index(drop=True)
+    assert g[sorted(g.columns)].equals(w[sorted(w.columns)].astype(g[sorted(g.columns)].dtypes.to_dict()))
+    # the hour-1 window exists with zero on-time rows
+    only_late = g[(g["n_on_time"] == 0) & (g["n_late"] > 0)]
+    assert len(only_late) == 1
