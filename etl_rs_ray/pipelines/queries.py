@@ -2584,6 +2584,59 @@ def events_late_corrections(sf_dir: str):
     )
 
 
+def embeddings_cov_block(sf_dir: str):
+    """Covariance structure of the embedding space (PCA prep): exact
+    integer Gram-matrix moments for the first 8 dimensions — per batch
+    ONE matmul over the micro-quantized (n, 8) block (the
+    X^T X partial-aggregation pattern; at 64 dims the same call computes
+    the full matrix), one tiny fold, upper triangle out. The oracle
+    pays the unnest self-join this avoids."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    D = 8
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding").combine_chunks()
+        if col.null_count:
+            b = b.filter(pc.is_valid(col))
+            col = b.column("embedding").combine_chunks()
+        if b.num_rows == 0:
+            return pa.table(
+                {"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()), "sum_i": pa.array([], pa.int64()),
+                 "sum_j": pa.array([], pa.int64()), "sum_ij": pa.array([], pa.int64())}
+            )
+        arr = col.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, -1)[:, :D]
+        scaled = arr.astype(np.float64) * 1000.0
+        milli = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
+        gram = milli.T @ milli                      # ONE matmul per batch
+        sums = milli.sum(axis=0)
+        iu, ju = np.triu_indices(D)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "n": pa.array(np.full(len(iu), arr.shape[0], dtype=np.int64)),
+                "sum_i": pa.array(sums[iu]),
+                "sum_j": pa.array(sums[ju]),
+                "sum_ij": pa.array(gram[iu, ju]),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["i", "j"]).aggregate(
+            [("n", "sum"), ("sum_i", "sum"), ("sum_j", "sum"), ("sum_ij", "sum")]
+        )
+        return g.rename_columns(["i", "j", "n", "sum_i", "sum_j", "sum_ij"])
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2664,6 +2717,7 @@ QUERIES = {
     "docs_chunking": docs_chunking,
     "docs_search_topk": docs_search_topk,
     "events_late_corrections": events_late_corrections,
+    "embeddings_cov_block": embeddings_cov_block,
 }
 
 ORACLE_SQL = {
@@ -3778,4 +3832,24 @@ ORACLE_SQL["events_late_corrections"] = """
            CAST(COALESCE(sum(cents) FILTER (WHERE late), 0) AS BIGINT)
                AS late_cents
     FROM w GROUP BY 1
+"""
+
+ORACLE_SQL["embeddings_cov_block"] = """
+    WITH e AS (
+        SELECT u.r AS rid, u.i - 1 AS dim,
+               CAST(round(CAST(u.e AS DOUBLE) * 1000) AS BIGINT) AS v
+        FROM (
+            SELECT vec_id AS r,
+                   unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ) u
+        WHERE u.i <= 8
+    )
+    SELECT a.dim AS i, b.dim AS j, count(*) AS n,
+           CAST(sum(a.v) AS BIGINT) AS sum_i,
+           CAST(sum(b.v) AS BIGINT) AS sum_j,
+           CAST(sum(a.v * b.v) AS BIGINT) AS sum_ij
+    FROM e a JOIN e b ON a.rid = b.rid AND a.dim <= b.dim
+    GROUP BY 1, 2
 """
