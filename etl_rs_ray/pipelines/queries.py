@@ -2637,6 +2637,79 @@ def embeddings_cov_block(sf_dir: str):
     )
 
 
+def _xor_by_group(group: pa.Array | pa.ChunkedArray, h: "np.ndarray"):
+    """(groups, xor-of-h, count) — XOR folds per group via one stable
+    sort + reduceat; XOR is order-insensitive and cannot overflow, so
+    partials combine with the same operation."""
+    g = group.combine_chunks() if isinstance(group, pa.ChunkedArray) else group
+    enc = g.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    order = np.argsort(idx, kind="stable")
+    si = idx[order]
+    sh = h[order]
+    starts = np.flatnonzero(np.concatenate(([True], si[1:] != si[:-1])))
+    xors = np.bitwise_xor.reduceat(sh, starts)
+    counts = np.diff(np.append(starts, len(si)))
+    keys = enc.dictionary.take(pa.array(si[starts]))
+    return keys, xors, counts
+
+
+def events_table_digest(sf_dir: str):
+    """Order-insensitive table content digest per group — the
+    anti-entropy primitive two replicas exchange to find diverging
+    partitions without shipping rows: per-batch XOR of per-row md5
+    hashes (canonical column encoding), XOR-folded per event_type. Any
+    single-row difference flips the group digest; XOR partials combine
+    associatively with no overflow. md5 is the SQL-mirrorable oracle
+    tier; production swaps in the vectorized stable_hash64 exactly like
+    sampling's fast path."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.dedup import md5_u64
+
+        key = pc.binary_join_element_wise(
+            pc.cast(b.column("event_id"), pa.string()),
+            pc.cast(b.column("user_id"), pa.string()),
+            pc.cast(_cents(b.column("value")), pa.string()),
+            "|",
+        )
+        h = np.array([md5_u64(k) for k in key.to_pylist()], dtype=np.uint64)
+        keys, xors, counts = _xor_by_group(b.column("event_type"), h)
+        return pa.table(
+            {
+                "event_type": keys,
+                "h": pa.array(xors.view(np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        keys, xors, _ = _xor_by_group(t.column("event_type"), h)
+        # counts fold by SUM, not XOR
+        g = pa.TableGroupBy(t.select(["event_type", "n"]), "event_type").aggregate(
+            [("n", "sum")]
+        )
+        pos = pc.index_in(keys, value_set=g.column("event_type").combine_chunks())
+        return pa.table(
+            {
+                "event_type": keys,
+                "digest": pa.array([str(x) for x in xors], pa.string()),
+                "n": g.column("n_sum").combine_chunks().take(pos),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2718,6 +2791,7 @@ QUERIES = {
     "docs_search_topk": docs_search_topk,
     "events_late_corrections": events_late_corrections,
     "embeddings_cov_block": embeddings_cov_block,
+    "events_table_digest": events_table_digest,
 }
 
 ORACLE_SQL = {
@@ -3852,4 +3926,16 @@ ORACLE_SQL["embeddings_cov_block"] = """
            CAST(sum(a.v * b.v) AS BIGINT) AS sum_ij
     FROM e a JOIN e b ON a.rid = b.rid AND a.dim <= b.dim
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["events_table_digest"] = """
+    SELECT event_type,
+           CAST(bit_xor(md5_number_lower(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(user_id AS VARCHAR) || '|' ||
+               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+           )) AS VARCHAR) AS digest,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
 """
