@@ -479,3 +479,52 @@ def test_state_diff_ops(ray_session):
     }
     d_rows = out[out["op"] == "D"]
     assert d_rows["new_o"].isna().all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_state_diff_random_streams_vs_bruteforce(seed, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.ordered import state_diff
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    t = pa.table(
+        {
+            "k": rng.integers(0, 80, n),
+            "o": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 5, n),
+            "dead": rng.random(n) < 0.2,
+        }
+    )
+    cut1, cut2 = n // 3, (2 * n) // 3
+
+    def brute(cut):
+        state = {}
+        for r in t.to_pylist():
+            if r["o"] < cut:
+                state[r["k"]] = r
+        return {k: r for k, r in state.items() if not r["dead"]}
+
+    s1, s2 = brute(cut1), brute(cut2)
+    want = {}
+    for k, r in s2.items():
+        if k not in s1:
+            want[k] = ("I", r["o"])
+        elif s1[k]["o"] != r["o"]:
+            want[k] = ("U", r["o"])
+    for k in s1:
+        if k not in s2:
+            want[k] = ("D", None)
+
+    out = state_diff(
+        ray.data.from_arrow(t).repartition(5), "k", "o", cut1, cut2, ["v"],
+        deleted_col="dead", num_partitions=3,
+    ).to_pandas()
+    got = {
+        int(r.k): (r.op, None if r.op == "D" else int(r.new_o))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
