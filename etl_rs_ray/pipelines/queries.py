@@ -2537,45 +2537,23 @@ def events_late_corrections(sf_dir: str):
             [("cents", "sum"), ("n", "sum")]
         )
         g = g.rename_columns(["window_start", "late", "cents", "n"])
-        on = g.filter(pc.invert(g.column("late").combine_chunks())).select(
+        late_mask = g.column("late").combine_chunks()
+        on = g.filter(pc.invert(late_mask)).select(
             ["window_start", "cents", "n"]
         ).rename_columns(["window_start", "on_time_cents", "n_on_time"])
-        lt = g.filter(g.column("late").combine_chunks()).select(
+        lt = g.filter(late_mask).select(
             ["window_start", "cents", "n"]
         ).rename_columns(["window_start", "late_cents", "n_late"])
-        pos = pc.index_in(
-            on.column("window_start").combine_chunks(),
-            value_set=lt.column("window_start").combine_chunks(),
-        )
-        lc = pc.fill_null(lt.column("late_cents").combine_chunks().take(pos), 0)
-        ln = pc.fill_null(lt.column("n_late").combine_chunks().take(pos), 0)
-        # windows with ONLY late rows still appear: union missing ones
-        pos2 = pc.index_in(
-            lt.column("window_start").combine_chunks(),
-            value_set=on.column("window_start").combine_chunks(),
-        )
-        only_late = lt.filter(pc.is_null(pos2))
-        out = pa.table(
-            {
-                "window_start": on.column("window_start"),
-                "n_on_time": on.column("n_on_time"),
-                "on_time_cents": on.column("on_time_cents"),
-                "n_late": ln,
-                "late_cents": lc,
-            }
-        )
-        if only_late.num_rows:
-            extra = pa.table(
-                {
-                    "window_start": only_late.column("window_start"),
-                    "n_on_time": pa.array([0] * only_late.num_rows, pa.int64()),
-                    "on_time_cents": pa.array([0] * only_late.num_rows, pa.int64()),
-                    "n_late": only_late.column("n_late"),
-                    "late_cents": only_late.column("late_cents"),
-                }
+        # full outer join keeps only-late windows too; driver compare is
+        # order-insensitive
+        out = on.join(lt, keys="window_start", join_type="full outer")
+        for c in ["n_on_time", "on_time_cents", "n_late", "late_cents"]:
+            out = out.set_column(
+                out.column_names.index(c), c, pc.fill_null(out.column(c), 0)
             )
-            out = pa.concat_tables([out, extra])
-        return out
+        return out.select(
+            ["window_start", "n_on_time", "on_time_cents", "n_late", "late_cents"]
+        )
 
     return drop_empty_blocks(
         scanned.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -2605,7 +2583,15 @@ def embeddings_cov_block(sf_dir: str):
                  "n": pa.array([], pa.int64()), "sum_i": pa.array([], pa.int64()),
                  "sum_j": pa.array([], pa.int64()), "sum_ij": pa.array([], pa.int64())}
             )
-        arr = col.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, -1)[:, :D]
+        lens = pc.unique(pc.list_value_length(col))
+        if len(lens) != 1:
+            raise ValueError(f"ragged embedding lengths: {lens.to_pylist()[:5]}")
+        flat = col.flatten()
+        if flat.null_count:
+            # a NaN element would turn into INT64_MIN after the quantize
+            # floor — refuse rather than silently poison the moments
+            raise ValueError("null embedding elements")
+        arr = flat.to_numpy(zero_copy_only=False).reshape(b.num_rows, -1)[:, :D]
         scaled = arr.astype(np.float64) * 1000.0
         milli = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
         gram = milli.T @ milli                      # ONE matmul per batch
@@ -2637,21 +2623,34 @@ def embeddings_cov_block(sf_dir: str):
     )
 
 
-def _xor_by_group(group: pa.Array | pa.ChunkedArray, h: "np.ndarray"):
-    """(groups, xor-of-h, count) — XOR folds per group via one stable
-    sort + reduceat; XOR is order-insensitive and cannot overflow, so
-    partials combine with the same operation."""
+def _xor_by_group(group: pa.Array | pa.ChunkedArray, h: "np.ndarray",
+                  weights: "np.ndarray | None" = None):
+    """(groups, xor-of-h, count-or-weight-sum) — XOR folds per group via
+    one stable sort + reduceat; XOR is order-insensitive and cannot
+    overflow, so partials combine with the same operation. A null group
+    value forms ONE group (SQL GROUP BY semantics), emitted with a null
+    key. ``weights`` switches the third output from row counts to a
+    reduceat-sum over the same segments (for folding partial counts)."""
     g = group.combine_chunks() if isinstance(group, pa.ChunkedArray) else group
     enc = g.dictionary_encode()
-    idx = enc.indices.to_numpy(zero_copy_only=False)
+    # null indices surface as NaN through to_numpy; route them to one
+    # past-the-end group id instead
+    nd = len(enc.dictionary)
+    idx = enc.indices.fill_null(nd).to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(idx, kind="stable")
     si = idx[order]
     sh = h[order]
     starts = np.flatnonzero(np.concatenate(([True], si[1:] != si[:-1])))
     xors = np.bitwise_xor.reduceat(sh, starts)
-    counts = np.diff(np.append(starts, len(si)))
-    keys = enc.dictionary.take(pa.array(si[starts]))
-    return keys, xors, counts
+    if weights is None:
+        agg = np.diff(np.append(starts, len(si))).astype(np.int64)
+    else:
+        agg = np.add.reduceat(weights[order], starts).astype(np.int64)
+    key_idx = si[starts]
+    keys = pa.concat_arrays([enc.dictionary, pa.array([None], enc.dictionary.type)]).take(
+        pa.array(key_idx)
+    )
+    return keys, xors, agg
 
 
 def events_table_digest(sf_dir: str):
@@ -2674,30 +2673,33 @@ def events_table_digest(sf_dir: str):
             pc.cast(_cents(b.column("value")), pa.string()),
             "|",
         )
-        h = np.array([md5_u64(k) for k in key.to_pylist()], dtype=np.uint64)
+        # a null key column nulls the joined key; md5(NULL) is NULL in
+        # SQL and bit_xor skips it, while count(*) still counts the row
+        # — XOR identity 0 mirrors exactly that
+        h = np.array(
+            [0 if k is None else md5_u64(k) for k in key.to_pylist()], dtype=np.uint64
+        )
         keys, xors, counts = _xor_by_group(b.column("event_type"), h)
         return pa.table(
             {
                 "event_type": keys,
                 "h": pa.array(xors.view(np.int64)),
-                "n": pa.array(counts.astype(np.int64)),
+                "n": pa.array(counts),
             }
         )
 
     def fold(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
-        keys, xors, _ = _xor_by_group(t.column("event_type"), h)
-        # counts fold by SUM, not XOR
-        g = pa.TableGroupBy(t.select(["event_type", "n"]), "event_type").aggregate(
-            [("n", "sum")]
-        )
-        pos = pc.index_in(keys, value_set=g.column("event_type").combine_chunks())
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        # XOR folds the digests, the weight path reduceat-sums n over
+        # the same segments — one pass, no second groupby
+        keys, xors, counts = _xor_by_group(t.column("event_type"), h, weights=n)
         return pa.table(
             {
                 "event_type": keys,
                 "digest": pa.array([str(x) for x in xors], pa.string()),
-                "n": g.column("n_sum").combine_chunks().take(pos),
+                "n": pa.array(counts),
             }
         )
 

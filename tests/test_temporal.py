@@ -352,7 +352,7 @@ def test_gapfill_locf_matches_sql():
     assert (spans["count"] == spans["max"].iloc[0] - spans["min"].iloc[0] + 1).all()
 
 
-def test_late_corrections_only_late_window(ray_session, tmp_path, monkeypatch):
+def test_late_corrections_only_late_window(ray_session, tmp_path):
     """A window whose every event arrives late (after the watermark has
     moved past it) must still appear in the corrections output — the
     only-late union branch the driver tiers never exercise."""
