@@ -2623,92 +2623,32 @@ def embeddings_cov_block(sf_dir: str):
     )
 
 
-def _xor_by_group(group: pa.Array | pa.ChunkedArray, h: "np.ndarray",
-                  weights: "np.ndarray | None" = None):
-    """(groups, xor-of-h, count-or-weight-sum) — XOR folds per group via
-    one stable sort + reduceat; XOR is order-insensitive and cannot
-    overflow, so partials combine with the same operation. A null group
-    value forms ONE group (SQL GROUP BY semantics), emitted with a null
-    key. ``weights`` switches the third output from row counts to a
-    reduceat-sum over the same segments (for folding partial counts)."""
-    g = group.combine_chunks() if isinstance(group, pa.ChunkedArray) else group
-    enc = g.dictionary_encode()
-    # null indices surface as NaN through to_numpy; route them to one
-    # past-the-end group id instead
-    nd = len(enc.dictionary)
-    idx = enc.indices.fill_null(nd).to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(idx, kind="stable")
-    si = idx[order]
-    sh = h[order]
-    starts = np.flatnonzero(np.concatenate(([True], si[1:] != si[:-1])))
-    xors = np.bitwise_xor.reduceat(sh, starts)
-    if weights is None:
-        agg = np.diff(np.append(starts, len(si))).astype(np.int64)
-    else:
-        agg = np.add.reduceat(weights[order], starts).astype(np.int64)
-    key_idx = si[starts]
-    keys = pa.concat_arrays([enc.dictionary, pa.array([None], enc.dictionary.type)]).take(
-        pa.array(key_idx)
-    )
-    return keys, xors, agg
-
-
 def events_table_digest(sf_dir: str):
     """Order-insensitive table content digest per group — the
     anti-entropy primitive two replicas exchange to find diverging
-    partitions without shipping rows: per-batch XOR of per-row md5
-    hashes (canonical column encoding), XOR-folded per event_type. Any
-    single-row difference flips the group digest; XOR partials combine
-    associatively with no overflow. md5 is the SQL-mirrorable oracle
-    tier; production swaps in the vectorized stable_hash64 exactly like
-    sampling's fast path."""
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id", "value"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        from ..stages.dedup import md5_u64
-
-        key = pc.binary_join_element_wise(
-            pc.cast(b.column("event_id"), pa.string()),
-            pc.cast(b.column("user_id"), pa.string()),
-            pc.cast(_cents(b.column("value")), pa.string()),
-            "|",
-        )
-        # a null key column nulls the joined key; md5(NULL) is NULL in
-        # SQL and bit_xor skips it, while count(*) still counts the row
-        # — XOR identity 0 mirrors exactly that
-        h = np.array(
-            [0 if k is None else md5_u64(k) for k in key.to_pylist()], dtype=np.uint64
-        )
-        keys, xors, counts = _xor_by_group(b.column("event_type"), h)
-        return pa.table(
-            {
-                "event_type": keys,
-                "h": pa.array(xors.view(np.int64)),
-                "n": pa.array(counts),
-            }
-        )
-
-    def fold(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        # XOR folds the digests, the weight path reduceat-sums n over
-        # the same segments — one pass, no second groupby
-        keys, xors, counts = _xor_by_group(t.column("event_type"), h, weights=n)
-        return pa.table(
-            {
-                "event_type": keys,
-                "digest": pa.array([str(x) for x in xors], pa.string()),
-                "n": pa.array(counts),
-            }
-        )
-
+    partitions without shipping rows (stages/digest.py::table_digest):
+    per-batch XOR of per-row md5 hashes, XOR-folded per event_type; any
+    single-row difference flips the group digest, XOR partials combine
+    with no overflow. md5 is the SQL-mirrorable oracle tier; the
+    vectorized stable_hash64 fast path is the production default."""
+    from ..stages.digest import table_digest
     from ..util import drop_empty_blocks
 
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    q = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
     return drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        table_digest(q, "event_type", ["event_id", "user_id", "value_cents"], hash="md5")
     )
 
 
