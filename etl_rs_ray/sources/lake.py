@@ -341,6 +341,67 @@ class LakeTable:
             diff_bucket, batch_format="pyarrow", batch_size=None
         )
 
+    def bucket_digests(self, epoch: int | None = None,
+                       key_cols=("repo", "path", "commit"),
+                       cols=("repo", "path", "commit", "lsn"),
+                       lsn_col: str = "lsn", op_col: str = "op") -> dict:
+        """Per-bucket anti-entropy digests: XOR of per-row stable hashes
+        over the bucket's LIVE state (stages/digest.py semantics). Two
+        replicas compare {bucket: (digest, rows)} maps — one local read
+        pass each, zero row exchange — and re-sync only the buckets
+        whose digests diverge. Buckets are the unit because the durable
+        partitioner makes them comparable across replicas."""
+        import ray
+
+        from ..sources.event_log import stable_hash64
+        from ..stages.merge_apply import lww_reduce
+
+        sets = self.bucket_file_sets(epoch)
+        if not sets:
+            return {}
+        items = [{"bucket": b, "files": f} for b, f in sorted(sets.items())]
+        keys = tuple(key_cols)
+        want = list(cols)
+
+        def digest_bucket(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from ..state.schema_evolution import unify_tables
+
+            out = []
+            for b, files in zip(batch.column("bucket"), batch.column("files")):
+                t = unify_tables([pq.read_table(f) for f in files.as_py()])
+                t = lww_reduce(t, keys, lsn_col=lsn_col, op_col=op_col,
+                               drop_tombstones=True)
+                parts = [pc.cast(t.column(c), pa.string()) for c in want]
+                rk = pc.binary_join_element_wise(*parts, "|")
+                rk = rk.combine_chunks() if isinstance(rk, pa.ChunkedArray) else rk
+                h = stable_hash64(pc.fill_null(rk, "")).astype(np.uint64)
+                h[np.asarray(pc.is_null(rk).to_numpy(zero_copy_only=False))] = 0
+                out.append(
+                    {"bucket": b.as_py(),
+                     "digest": str(np.bitwise_xor.reduce(h) if len(h) else 0),
+                     "rows": t.num_rows}
+                )
+            return pa.Table.from_pylist(
+                out,
+                schema=pa.schema(
+                    [("bucket", pa.int64()), ("digest", pa.string()), ("rows", pa.int64())]
+                ),
+            )
+
+        import ray.data
+
+        res = (
+            ray.data.from_items(items)
+            .repartition(len(items))
+            .map_batches(digest_bucket, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        return {
+            int(r.bucket): (r.digest, int(r.rows)) for r in res.itertuples(index=False)
+        }
+
     def compact(self, key_cols=("repo", "path", "commit")) -> bool:
         """Fold every bucket's delta files into a fresh base (one Ray task
         per bucket) and commit — bounds read amplification after many
