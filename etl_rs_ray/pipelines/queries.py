@@ -1893,14 +1893,66 @@ def q5_regional_supplier_volume(sf_dir: str):
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nat_keys32 = nat_keys.cast(pa.int32())
-    orders = broadcast_lookup_join(
-        orders, cust, on="o_custkey", dim_key="c_custkey",
-        take_cols={"c_nationkey": "c_nationkey"}, how="inner",
-    ).map_batches(
-        lambda b: b.filter(pc.is_in(b.column("c_nationkey"), value_set=nat_keys32)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        # small dimension: one broadcast, applied map-side
+        orders = broadcast_lookup_join(
+            orders, cust, on="o_custkey", dim_key="c_custkey",
+            take_cols={"c_nationkey": "c_nationkey"}, how="inner",
+        ).map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_nationkey"), value_set=nat_keys32)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        # customer too big to broadcast: attach c_nationkey via a
+        # tagged-union keyed merge on custkey (the same join mechanism
+        # as the final orderkey merge) — nothing big ever broadcasts
+        def c_tag2(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int32()),
+                                  value_set=nat_keys32))
+            return pa.table(
+                {
+                    "ckey": t.column("c_custkey"),
+                    "okey": pa.nulls(t.num_rows, pa.int64()),
+                    "c_nat": t.column("c_nationkey").cast(pa.int32()),
+                }
+            )
+
+        def o_tag2(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "ckey": b.column("o_custkey"),
+                    "okey": b.column("o_orderkey"),
+                    "c_nat": pa.nulls(b.num_rows, pa.int32()),
+                }
+            )
+
+        def attach(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            c = t.filter(pc.is_valid(t.column("c_nat")))
+            o = t.filter(pc.is_valid(t.column("okey")))
+            pos = pc.index_in(
+                o.column("ckey").combine_chunks(),
+                value_set=c.column("ckey").combine_chunks(),
+            )
+            nat = c.column("c_nat").combine_chunks().take(pos)
+            keep = pc.is_valid(nat)
+            return pa.table(
+                {
+                    "o_orderkey": o.column("okey").combine_chunks().filter(keep),
+                    "c_nationkey": nat.filter(keep),
+                }
+            )
+
+        cu = _hash_shuffle(
+            cust.map_batches(c_tag2, batch_format="pyarrow", zero_copy_batch=True).union(
+                orders.map_batches(o_tag2, batch_format="pyarrow", zero_copy_batch=True)
+            )
+        )
+        nparts_c = _partitions(rows=_table_rows(sf_dir, "customer"))
+        orders = cu.repartition(num_blocks=nparts_c, keys=["ckey"]).map_batches(
+            attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
 
     sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     li = _read(
