@@ -1959,10 +1959,64 @@ def q5_regional_supplier_volume(sf_dir: str):
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    li = broadcast_lookup_join(
-        li, sup, on="l_suppkey", dim_key="s_suppkey",
-        take_cols={"s_nationkey": "s_nationkey"}, how="inner",
-    )
+    if _table_rows(sf_dir, "supplier") < 2_000_000:
+        li = broadcast_lookup_join(
+            li, sup, on="l_suppkey", dim_key="s_suppkey",
+            take_cols={"s_nationkey": "s_nationkey"}, how="inner",
+        )
+    else:
+        # supplier too big to broadcast: attach s_nationkey via a
+        # tagged-union keyed merge on suppkey before the revenue partials
+        def s_tag(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "skey": b.column("s_suppkey"),
+                    "okey": pa.nulls(b.num_rows, pa.int64()),
+                    "s_nat": b.column("s_nationkey").cast(pa.int32()),
+                    "l_extendedprice": pa.nulls(b.num_rows, pa.float64()),
+                    "l_discount": pa.nulls(b.num_rows, pa.float64()),
+                }
+            )
+
+        def l_tag(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "skey": b.column("l_suppkey"),
+                    "okey": b.column("l_orderkey"),
+                    "s_nat": pa.nulls(b.num_rows, pa.int32()),
+                    "l_extendedprice": b.column("l_extendedprice"),
+                    "l_discount": b.column("l_discount"),
+                }
+            )
+
+        def attach_s(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            s = t.filter(pc.is_valid(t.column("s_nat")))
+            l = t.filter(pc.is_valid(t.column("okey")))
+            pos = pc.index_in(
+                l.column("skey").combine_chunks(),
+                value_set=s.column("skey").combine_chunks(),
+            )
+            nat = s.column("s_nat").combine_chunks().take(pos)
+            keep = pc.is_valid(nat)
+            return pa.table(
+                {
+                    "l_orderkey": l.column("okey").combine_chunks().filter(keep),
+                    "s_nationkey": nat.filter(keep),
+                    "l_extendedprice": l.column("l_extendedprice").combine_chunks().filter(keep),
+                    "l_discount": l.column("l_discount").combine_chunks().filter(keep),
+                }
+            )
+
+        su = _hash_shuffle(
+            sup.map_batches(s_tag, batch_format="pyarrow", zero_copy_batch=True).union(
+                li.map_batches(l_tag, batch_format="pyarrow", zero_copy_batch=True)
+            )
+        )
+        nparts_s = _partitions(rows=_table_rows(sf_dir, "lineitem"))
+        li = su.repartition(num_blocks=nparts_s, keys=["skey"]).map_batches(
+            attach_s, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
 
     def li_partial(b: pa.Table) -> pa.Table:
         b = b.filter(
