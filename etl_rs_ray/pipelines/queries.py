@@ -1769,7 +1769,16 @@ def q3_shipping_priority(sf_dir: str):
         .filter(expr="c_mktsegment == 'BUILDING'")
         .select_columns(["c_custkey"])
     )
-    orders = broadcast_semi_join(orders, cust_keys, on="o_custkey")
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        orders = broadcast_semi_join(orders, cust_keys, on="o_custkey")
+    else:
+        # keyset too big for a plain is_in broadcast: Bloom prefilter +
+        # exact verification of the survivors only
+        from ..stages.joins import bloom_semi_join
+
+        orders = bloom_semi_join(
+            orders, cust_keys, on="o_custkey", dim_key="c_custkey", bits_log2=24
+        )
 
     li = _read(
         sf_dir,
