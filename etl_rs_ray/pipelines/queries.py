@@ -1769,15 +1769,23 @@ def q3_shipping_priority(sf_dir: str):
         .filter(expr="c_mktsegment == 'BUILDING'")
         .select_columns(["c_custkey"])
     )
-    if _table_rows(sf_dir, "customer") < 2_000_000:
+    n_cust = _table_rows(sf_dir, "customer")
+    if n_cust < 2_000_000:
         orders = broadcast_semi_join(orders, cust_keys, on="o_custkey")
     else:
-        # keyset too big for a plain is_in broadcast: Bloom prefilter +
-        # exact verification of the survivors only
+        # keyset too big for a plain is_in broadcast: Bloom prefilter
+        # sized to the keyset (m/n ~ 16 -> ~0.24% FPR, capped at a
+        # 128 MiB bitmap) + exact verification of the survivors through
+        # the keyed-SHUFFLE tier — the distinct keyset never broadcasts
+        # either
+        import math
+
         from ..stages.joins import bloom_semi_join
 
+        bits = min(30, max(20, math.ceil(math.log2(max(n_cust, 1) * 16))))
         orders = bloom_semi_join(
-            orders, cust_keys, on="o_custkey", dim_key="c_custkey", bits_log2=24
+            orders, cust_keys, on="o_custkey", dim_key="c_custkey",
+            bits_log2=bits, verify="shuffle",
         )
 
     li = _read(
@@ -1913,54 +1921,28 @@ def q5_regional_supplier_volume(sf_dir: str):
             zero_copy_batch=True,
         )
     else:
-        # customer too big to broadcast: attach c_nationkey via a
-        # tagged-union keyed merge on custkey (the same join mechanism
-        # as the final orderkey merge) — nothing big ever broadcasts
-        def c_tag2(b: pa.Table) -> pa.Table:
-            t = b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int32()),
-                                  value_set=nat_keys32))
-            return pa.table(
-                {
-                    "ckey": t.column("c_custkey"),
-                    "okey": pa.nulls(t.num_rows, pa.int64()),
-                    "c_nat": t.column("c_nationkey").cast(pa.int32()),
-                }
-            )
+        # customer too big to broadcast: attach c_nationkey through the
+        # shuffle-tier lookup join (stages/joins.keyed_lookup_join) —
+        # nothing big ever broadcasts. The dimension is pre-filtered to
+        # the region's nations so non-matching customers never shuffle;
+        # partitions sized by the DOMINANT side (orders)
+        from ..stages.joins import keyed_lookup_join
 
-        def o_tag2(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "ckey": b.column("o_custkey"),
-                    "okey": b.column("o_orderkey"),
-                    "c_nat": pa.nulls(b.num_rows, pa.int32()),
-                }
-            )
-
-        def attach(t: pa.Table) -> pa.Table:
-            t = t.combine_chunks()
-            c = t.filter(pc.is_valid(t.column("c_nat")))
-            o = t.filter(pc.is_valid(t.column("okey")))
-            pos = pc.index_in(
-                o.column("ckey").combine_chunks(),
-                value_set=c.column("ckey").combine_chunks(),
-            )
-            nat = c.column("c_nat").combine_chunks().take(pos)
-            keep = pc.is_valid(nat)
-            return pa.table(
-                {
-                    "o_orderkey": o.column("okey").combine_chunks().filter(keep),
-                    "c_nationkey": nat.filter(keep),
-                }
-            )
-
-        cu = _hash_shuffle(
-            cust.map_batches(c_tag2, batch_format="pyarrow", zero_copy_batch=True).union(
-                orders.map_batches(o_tag2, batch_format="pyarrow", zero_copy_batch=True)
-            )
+        cust_r = cust.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("c_nationkey").cast(pa.int32()), value_set=nat_keys32)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        nparts_c = _partitions(rows=_table_rows(sf_dir, "customer"))
-        orders = cu.repartition(num_blocks=nparts_c, keys=["ckey"]).map_batches(
-            attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        orders = keyed_lookup_join(
+            orders.select_columns(["o_orderkey", "o_custkey"]),
+            cust_r,
+            on="o_custkey",
+            dim_key="c_custkey",
+            take_cols={"c_nationkey": "c_nationkey"},
+            how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")),
         )
 
     sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
@@ -1974,57 +1956,27 @@ def q5_regional_supplier_volume(sf_dir: str):
             take_cols={"s_nationkey": "s_nationkey"}, how="inner",
         )
     else:
-        # supplier too big to broadcast: attach s_nationkey via a
-        # tagged-union keyed merge on suppkey before the revenue partials
-        def s_tag(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "skey": b.column("s_suppkey"),
-                    "okey": pa.nulls(b.num_rows, pa.int64()),
-                    "s_nat": b.column("s_nationkey").cast(pa.int32()),
-                    "l_extendedprice": pa.nulls(b.num_rows, pa.float64()),
-                    "l_discount": pa.nulls(b.num_rows, pa.float64()),
-                }
-            )
+        # supplier too big to broadcast: shuffle-tier lookup join on
+        # suppkey BEFORE the revenue partials; the dimension is
+        # pre-filtered to the region's nations so ~(1 - 1/|regions|) of
+        # lineitem drops at the attach, not later
+        from ..stages.joins import keyed_lookup_join
 
-        def l_tag(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "skey": b.column("l_suppkey"),
-                    "okey": b.column("l_orderkey"),
-                    "s_nat": pa.nulls(b.num_rows, pa.int32()),
-                    "l_extendedprice": b.column("l_extendedprice"),
-                    "l_discount": b.column("l_discount"),
-                }
-            )
-
-        def attach_s(t: pa.Table) -> pa.Table:
-            t = t.combine_chunks()
-            s = t.filter(pc.is_valid(t.column("s_nat")))
-            l = t.filter(pc.is_valid(t.column("okey")))
-            pos = pc.index_in(
-                l.column("skey").combine_chunks(),
-                value_set=s.column("skey").combine_chunks(),
-            )
-            nat = s.column("s_nat").combine_chunks().take(pos)
-            keep = pc.is_valid(nat)
-            return pa.table(
-                {
-                    "l_orderkey": l.column("okey").combine_chunks().filter(keep),
-                    "s_nationkey": nat.filter(keep),
-                    "l_extendedprice": l.column("l_extendedprice").combine_chunks().filter(keep),
-                    "l_discount": l.column("l_discount").combine_chunks().filter(keep),
-                }
-            )
-
-        su = _hash_shuffle(
-            sup.map_batches(s_tag, batch_format="pyarrow", zero_copy_batch=True).union(
-                li.map_batches(l_tag, batch_format="pyarrow", zero_copy_batch=True)
-            )
+        sup_r = sup.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("s_nationkey").cast(pa.int32()), value_set=nat_keys32)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        nparts_s = _partitions(rows=_table_rows(sf_dir, "lineitem"))
-        li = su.repartition(num_blocks=nparts_s, keys=["skey"]).map_batches(
-            attach_s, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        li = keyed_lookup_join(
+            li,
+            sup_r,
+            on="l_suppkey",
+            dim_key="s_suppkey",
+            take_cols={"s_nationkey": "s_nationkey"},
+            how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "lineitem")),
         )
 
     def li_partial(b: pa.Table) -> pa.Table:

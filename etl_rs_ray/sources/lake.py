@@ -353,7 +353,6 @@ class LakeTable:
         partitioner makes them comparable across replicas."""
         import ray
 
-        from ..sources.event_log import stable_hash64
         from ..stages.merge_apply import lww_reduce
 
         sets = self.bucket_file_sets(epoch)
@@ -366,6 +365,7 @@ class LakeTable:
         def digest_bucket(batch: pa.Table) -> pa.Table:
             import numpy as np
 
+            from ..stages.digest import row_hashes
             from ..state.schema_evolution import unify_tables
 
             out = []
@@ -373,11 +373,9 @@ class LakeTable:
                 t = unify_tables([pq.read_table(f) for f in files.as_py()])
                 t = lww_reduce(t, keys, lsn_col=lsn_col, op_col=op_col,
                                drop_tombstones=True)
-                parts = [pc.cast(t.column(c), pa.string()) for c in want]
-                rk = pc.binary_join_element_wise(*parts, "|")
-                rk = rk.combine_chunks() if isinstance(rk, pa.ChunkedArray) else rk
-                h = stable_hash64(pc.fill_null(rk, "")).astype(np.uint64)
-                h[np.asarray(pc.is_null(rk).to_numpy(zero_copy_only=False))] = 0
+                # the SHARED canonical row encoding (stages/digest.py) —
+                # replicas and table_digest outputs stay comparable
+                h = row_hashes(t, want, hash="fast")
                 out.append(
                     {"bucket": b.as_py(),
                      "digest": str(np.bitwise_xor.reduce(h) if len(h) else 0),

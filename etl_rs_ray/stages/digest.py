@@ -25,6 +25,12 @@ def xor_by_group(group, h: np.ndarray, weights: np.ndarray | None = None):
     sort + reduceat pass. Null group values form one null-keyed group
     (SQL GROUP BY semantics)."""
     g = group.combine_chunks() if isinstance(group, pa.ChunkedArray) else group
+    if len(g) == 0:
+        return (
+            pa.array([], g.type),
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+        )
     enc = g.dictionary_encode()
     nd = len(enc.dictionary)
     idx = enc.indices.fill_null(nd).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -48,6 +54,27 @@ def _row_keys(b: pa.Table, cols: list[str]) -> pa.Array:
     return pc.binary_join_element_wise(*parts, "|")
 
 
+def row_hashes(b: pa.Table, cols: list[str], hash: str = "fast") -> np.ndarray:
+    """Canonical per-row uint64 hashes over ``cols`` — THE row encoding
+    every digest consumer must share (a divergence here silently breaks
+    the very primitive that detects divergence). Null row keys hash to 0
+    (the XOR identity, mirroring SQL bit_xor skipping md5(NULL))."""
+    key = _row_keys(b, cols)
+    k = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+    if hash == "fast":
+        from ..sources.event_log import stable_hash64
+
+        h = stable_hash64(pc.fill_null(k, "")).astype(np.uint64)
+        if k.null_count:
+            h[np.asarray(pc.is_null(k).to_numpy(zero_copy_only=False))] = 0
+        return h
+    from .dedup import md5_u64
+
+    return np.array(
+        [0 if x is None else md5_u64(x) for x in k.to_pylist()], dtype=np.uint64
+    )
+
+
 def table_digest(ds, group_col: str, cols: list[str], hash: str = "fast"):
     """Per-group (digest, n) over the canonical encoding of ``cols``.
     A single differing row flips its group's digest. Null row keys XOR
@@ -55,20 +82,7 @@ def table_digest(ds, group_col: str, cols: list[str], hash: str = "fast"):
     digest under a null key."""
 
     def partial(b: pa.Table) -> pa.Table:
-        key = _row_keys(b, cols)
-        if hash == "fast":
-            from ..sources.event_log import stable_hash64
-
-            k = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
-            h = stable_hash64(pc.fill_null(k, "")).astype(np.uint64)
-            h[np.asarray(pc.is_null(k).to_numpy(zero_copy_only=False))] = 0
-        else:
-            from .dedup import md5_u64
-
-            h = np.array(
-                [0 if x is None else md5_u64(x) for x in key.to_pylist()],
-                dtype=np.uint64,
-            )
+        h = row_hashes(b, list(cols), hash=hash)
         keys, xors, counts = xor_by_group(b.column(group_col), h)
         return pa.table(
             {

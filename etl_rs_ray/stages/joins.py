@@ -17,6 +17,7 @@ thumb: <~1 GB). For two big sides, use the tagged-union grouped merge
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -97,20 +98,118 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _key_hash64(arr: "pa.Array | pa.ChunkedArray") -> "np.ndarray":
+def keyed_lookup_join(
+    fact,
+    dim,
+    on: str,
+    dim_key: str,
+    take_cols: dict[str, str],
+    how: str = "inner",
+    num_partitions: int | None = None,
+):
+    """The shuffle-tier sibling of ``broadcast_lookup_join``: attach
+    dimension columns when the dimension is too big to broadcast. One
+    tagged union keyed on the join key, hash-repartitioned, then a
+    whole-block index_in/take per partition. ``dim`` must be unique on
+    ``dim_key`` (a lookup, not a general join). ``how``: "inner" drops
+    unmatched fact rows, "anti" keeps ONLY unmatched fact rows (and
+    attaches nothing), "left" keeps all."""
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    def _pa_types(ds) -> dict:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        return dict(zip(base.names, base.types))
+
+    fact_types = _pa_types(fact)
+    dim_types = _pa_types(dim)
+    fact_cols = list(fact_types)
+    payload = [c for c in fact_cols if c != on]
+    out_cols = {out for out in take_cols.values()}
+    if out_cols & set(fact_cols):
+        raise ValueError(f"take_cols collide with fact columns: {out_cols & set(fact_cols)}")
+    # plain dicts only below — closures must not capture the Datasets
+    payload_types = {c: fact_types[c] for c in payload}
+    taken_types = {out: dim_types[src] for src, out in take_cols.items()}
+
+    def tag_dim(b: pa.Table) -> pa.Table:
+        cols = {on: b.column(dim_key)}
+        for c in payload:
+            cols[c] = pa.nulls(b.num_rows, payload_types[c])
+        for src, out in take_cols.items():
+            cols["__d_" + out] = b.column(src)
+        cols["__dim"] = pa.array(np.ones(b.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    def tag_fact(b: pa.Table) -> pa.Table:
+        cols = {on: b.column(on)}
+        for c in payload:
+            cols[c] = b.column(c)
+        for _, out in take_cols.items():
+            cols["__d_" + out] = pa.nulls(b.num_rows, taken_types[out])
+        cols["__dim"] = pa.array(np.zeros(b.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        dmask = t.column("__dim").combine_chunks()
+        d = t.filter(dmask)
+        f = t.filter(pc.invert(dmask))
+        pos = pc.index_in(
+            f.column(on).combine_chunks(), value_set=d.column(on).combine_chunks()
+        )
+        if how == "anti":
+            out = f.filter(pc.is_null(pos))
+            return out.drop_columns(
+                ["__dim"] + [c for c in out.column_names if c.startswith("__d_")]
+            )
+        cols = {on: f.column(on)}
+        for c in payload:
+            cols[c] = f.column(c)
+        for _, outn in take_cols.items():
+            cols[outn] = d.column("__d_" + outn).combine_chunks().take(pos)
+        out = pa.table(cols)
+        if how == "inner":
+            out = out.filter(pc.is_valid(pos))
+        return out
+
+    u = fact.map_batches(tag_fact, batch_format="pyarrow", zero_copy_batch=True).union(
+        dim.map_batches(tag_dim, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    u.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    nparts = num_partitions or 16
+    out = u.repartition(num_blocks=nparts, keys=[on]).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    from ..util import drop_empty_blocks
+
+    out = drop_empty_blocks(out)
+    out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return out
+
+
+def _key_hash64(arr: "pa.Array | pa.ChunkedArray") -> "tuple[np.ndarray, np.ndarray | None]":
     """Vectorized version-stable 64-bit hash of a key column: integers go
     straight through splitmix64; strings/binary use the owned poly64-v1
-    rolling hash (sources/event_log.stable_hash64)."""
+    rolling hash (sources/event_log.stable_hash64). Returns
+    (hashes, null_mask-or-None) — a null integer key would otherwise
+    convert the WHOLE batch to float64+NaN and corrupt every row's hash
+    through the uint64 reinterpret."""
     import numpy as np
 
     from ..sources.event_log import _splitmix64, stable_hash64
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    nulls = None
+    if arr.null_count:
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        arr = arr.fill_null(0) if pa.types.is_integer(arr.type) else arr.fill_null("")
     if pa.types.is_integer(arr.type):
         v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-        return _splitmix64(v.copy())
-    return stable_hash64(arr)
+        return _splitmix64(v.copy()), nulls
+    return stable_hash64(arr), nulls
 
 
 def build_bloom(keys_ds, on: str, *, bits_log2: int = 20, k: int = 4):
@@ -128,7 +227,9 @@ def build_bloom(keys_ds, on: str, *, bits_log2: int = 20, k: int = 4):
 
     def partial(b: pa.Table) -> pa.Table:
         bm = np.zeros(m_words, dtype=np.uint64)
-        h = _key_hash64(b.column(on))
+        h, nulls = _key_hash64(b.column(on))
+        if nulls is not None:
+            h = h[~nulls]  # null keys never join; keep them out of the filter
         h1 = h >> np.uint64(64 - bits_log2)
         h2 = (h & np.uint64((1 << 32) - 1)) | np.uint64(1)  # odd -> full-period step
         for i in range(k):
@@ -192,7 +293,7 @@ def bloom_semi_join(
             import numpy as np
 
             bm = ray.get(bitmap_ref)
-            h = _key_hash64(batch.column(on))
+            h, nulls = _key_hash64(batch.column(on))
             h1 = h >> np.uint64(64 - bits_log2)
             h2 = (h & np.uint64((1 << 32) - 1)) | np.uint64(1)
             member = np.ones(len(h), dtype=bool)
@@ -201,6 +302,9 @@ def bloom_semi_join(
                 bit = (bm[(pos >> np.uint64(6)).astype(np.int64)]
                        >> (pos & np.uint64(63))) & np.uint64(1)
                 member &= bit.astype(bool)
+            if nulls is not None:
+                # null keys are definite non-members (is_in semantics)
+                member &= ~nulls
             return batch.filter(pa.array(member if keep_members else ~member))
 
         return probe
@@ -210,20 +314,37 @@ def bloom_semi_join(
     )
     if verify is None:
         return survivors
-    if verify != "broadcast":
+    if verify not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown verify mode {verify!r}")
     if counters is not None:
         survivors = survivors.materialize()
         counters["bloom_survivors"] = survivors.count()
+
+    def _exact(side, anti_: bool):
+        if verify == "broadcast":
+            return broadcast_semi_join(side, dkeys, on, anti=anti_)
+        # shuffle tier: even the distinct key set can't broadcast — the
+        # survivors (~sel + FPR of the fact side) pay ONE keyed-shuffle
+        # lookup against the dimension keys instead
+        ddist = dkeys.map_batches(
+            lambda b, _o=on: pa.table({_o: pc.unique(b.column(_o))}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return keyed_lookup_join(
+            side, ddist, on=on, dim_key=on, take_cols={},
+            how="anti" if anti_ else "inner",
+        )
+
     if not anti:
-        return broadcast_semi_join(survivors, dkeys, on)
+        return _exact(survivors, False)
     # a Bloom filter has no false negatives, so bloom-rejected rows are
     # DEFINITE non-members; only the survivors (members + ~0.24% false
     # positives) pay the exact check to recover the rest of the anti set
     rejected = fact.map_batches(
         make_probe(False), batch_format="pyarrow", zero_copy_batch=True
     )
-    false_pos = broadcast_semi_join(survivors, dkeys, on, anti=True)
+    false_pos = _exact(survivors, True)
     return rejected.union(false_pos)
 
 

@@ -389,9 +389,10 @@ def _multi_key_hash(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
     from .joins import _key_hash64
     from ..sources.event_log import _splitmix64
 
-    h = _key_hash64(t.column(keys[0]))
+    h, _ = _key_hash64(t.column(keys[0]))
     for k in keys[1:]:
-        h = _splitmix64(h + _key_hash64(t.column(k)))
+        hk, _ = _key_hash64(t.column(k))
+        h = _splitmix64(h + hk)
     return h
 
 

@@ -268,3 +268,65 @@ def test_cooccurrence_pairs_matches_self_join():
     want["n_baskets"] = want["n_baskets"].astype("int64")
     assert got.equals(want.reset_index(drop=True))
     assert (got["item_a"] < got["item_b"]).all()
+
+
+def test_keyed_lookup_join_modes(ray_session):
+    """Shuffle-tier lookup join: inner/left/anti semantics, including
+    null fact keys (never match) and unmatched rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.joins import keyed_lookup_join
+
+    fact = pa.table(
+        {
+            "k": pa.array([1, 2, 3, None, 2], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    dim = pa.table(
+        {"dk": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])}
+    )
+    f = ray.data.from_arrow(fact).repartition(3)
+    d = ray.data.from_arrow(dim)
+
+    inner = keyed_lookup_join(f, d, on="k", dim_key="dk",
+                              take_cols={"name": "k_name"}, how="inner",
+                              num_partitions=2).to_pandas().sort_values("v")
+    assert list(inner["v"]) == [10, 20, 50]
+    assert list(inner["k_name"]) == ["a", "b", "b"]
+
+    anti = keyed_lookup_join(f, d, on="k", dim_key="dk", take_cols={},
+                             how="anti", num_partitions=2).to_pandas()
+    assert sorted(anti["v"]) == [30, 40]  # unmatched + null key
+
+    left = keyed_lookup_join(f, d, on="k", dim_key="dk",
+                             take_cols={"name": "k_name"}, how="left",
+                             num_partitions=2).to_pandas().sort_values("v")
+    assert len(left) == 5 and left["k_name"].isna().sum() == 2
+
+
+def test_bloom_semi_join_null_fact_keys(ray_session):
+    """A null integer key in one batch must not corrupt the other rows'
+    hashes (the float64+NaN reinterpret hazard) — and nulls never join."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.joins import bloom_semi_join
+
+    fact = pa.table(
+        {"k": pa.array([1, None, 2, 3, 4], pa.int64()),
+         "v": pa.array([1, 2, 3, 4, 5], pa.int64())}
+    )
+    dim = pa.table({"k": pa.array([1, 2, 4], pa.int64())})
+    f = ray.data.from_arrow(fact)  # one block -> null shares the batch
+    d = ray.data.from_arrow(dim)
+    semi = bloom_semi_join(f, d, on="k").to_pandas()
+    assert sorted(semi["v"]) == [1, 3, 5]
+    anti = bloom_semi_join(f, d, on="k", anti=True).to_pandas()
+    assert sorted(anti["v"]) == [2, 4]
+    # shuffle-tier verify gives the same exact result
+    semi2 = bloom_semi_join(f, d, on="k", verify="shuffle").to_pandas()
+    assert sorted(semi2["v"]) == [1, 3, 5]
+    anti2 = bloom_semi_join(f, d, on="k", anti=True, verify="shuffle").to_pandas()
+    assert sorted(anti2["v"]) == [2, 4]
