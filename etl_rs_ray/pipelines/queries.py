@@ -2719,6 +2719,69 @@ def events_table_digest(sf_dir: str):
     )
 
 
+def events_value_regression(sf_dir: str):
+    """Grouped OLS regression (value-cents ~ props.k per event type):
+    slope and intercept derived from the SAME exact int64 moment
+    partials as the correlation query — one pass, one tiny fold, and an
+    identical-IEEE final expression on both sides (the normal-equation
+    solve for one regressor is closed-form). Zero-variance groups emit
+    NULL like SQL division by zero."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = _cents(b.column("value"))
+        s = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        x = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "sxy"]]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "sxy"]]
+        )
+        g = g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = g.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = g.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = g.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = g.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / denom
+            intercept = (sy - slope * sx) / n
+        bad = denom == 0.0
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": g.column("n"),
+                "slope": pa.array(np.where(bad, np.nan, slope), pa.float64(), mask=bad),
+                "intercept": pa.array(
+                    np.where(bad, np.nan, intercept), pa.float64(), mask=bad
+                ),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2801,6 +2864,7 @@ QUERIES = {
     "events_late_corrections": events_late_corrections,
     "embeddings_cov_block": embeddings_cov_block,
     "events_table_digest": events_table_digest,
+    "events_value_regression": events_value_regression,
 }
 
 ORACLE_SQL = {
@@ -3947,4 +4011,35 @@ ORACLE_SQL["events_table_digest"] = """
            count(*) AS n
     FROM events
     GROUP BY event_type
+"""
+
+ORACLE_SQL["events_value_regression"] = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) = 0
+                THEN NULL
+                ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           END AS slope,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) = 0
+                THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                        * sx)
+                     / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM m
 """
