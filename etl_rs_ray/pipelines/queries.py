@@ -2782,6 +2782,63 @@ def events_value_regression(sf_dir: str):
     )
 
 
+def events_winsorized_stats(sf_dir: str):
+    """Per-group winsorization: values capped at the exact p05/p95 order
+    statistics (percentile_disc over the integer cents domain —
+    stages/grouping.py::grouped_quantiles_discrete), then the winsorized
+    sum/count per event type. The caps table is tiny (one row per
+    group) and broadcasts; everything stays integer-exact, so the SQL
+    mirror is bit-for-bit."""
+    import ray as _ray
+
+    from ..stages.grouping import grouped_quantiles_discrete
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b.column("event_type"), "cents": _cents(b.column("value"))}
+        )
+
+    q = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+    caps = pa.Table.from_pylist(
+        grouped_quantiles_discrete(q, "event_type", "cents", [0.05, 0.95]).take_all()
+    )
+    lo = dict(zip(caps.column("event_type").to_pylist(), caps.column("p005").to_pylist()))
+    hi = dict(zip(caps.column("event_type").to_pylist(), caps.column("p095").to_pylist()))
+    gkeys = pa.array(sorted(lo), pa.string())
+    lo_arr = pa.array([lo[k] for k in sorted(lo)], pa.int64())
+    hi_arr = pa.array([hi[k] for k in sorted(hi)], pa.int64())
+    ref = _ray.put((gkeys, lo_arr, hi_arr))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks, los, his = _ray.get(ref)
+        pos = pc.index_in(b.column("event_type"), value_set=ks)
+        l = los.take(pos)
+        h = his.take(pos)
+        w = pc.min_element_wise(pc.max_element_wise(b.column("cents"), l), h)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "w": w,
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, "event_type").aggregate([("w", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "wsum", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "event_type").aggregate([("wsum", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "winsorized_cents", "n"])
+
+    return drop_empty_blocks(
+        q.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2865,6 +2922,7 @@ QUERIES = {
     "embeddings_cov_block": embeddings_cov_block,
     "events_table_digest": events_table_digest,
     "events_value_regression": events_value_regression,
+    "events_winsorized_stats": events_winsorized_stats,
 }
 
 ORACLE_SQL = {
@@ -4042,4 +4100,23 @@ ORACLE_SQL["events_value_regression"] = """
                      / CAST(n AS DOUBLE)
            END AS intercept
     FROM m
+"""
+
+ORACLE_SQL["events_winsorized_stats"] = """
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    caps AS (
+        SELECT event_type,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS hi
+        FROM e GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(sum(least(greatest(e.cents, c.lo), c.hi)) AS BIGINT)
+               AS winsorized_cents,
+           count(*) AS n
+    FROM e JOIN caps c USING (event_type)
+    GROUP BY e.event_type
 """
