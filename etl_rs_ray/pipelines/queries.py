@@ -2839,6 +2839,32 @@ def events_winsorized_stats(sf_dir: str):
     )
 
 
+def events_interval_coalesce(sf_dir: str):
+    """Union of time ranges per user: each event opens an interval
+    [ts, ts + value seconds] (integer microseconds — cents x 10ms is
+    exact); overlapping/touching intervals merge into maximal islands
+    (stages/temporal.py::coalesce_intervals, one keyed shuffle,
+    segmented-cummax kernel)."""
+    from ..stages.temporal import coalesce_intervals
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("ts"), pa.int64())
+        dur_us = pc.multiply(_cents(b.column("value")), 10_000)  # value sec exactly
+        return pa.table(
+            {"user_id": b.column("user_id"), "s": s, "e": pc.add(s, dur_us)}
+        )
+
+    return drop_empty_blocks(
+        coalesce_intervals(
+            ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id", "s", "e",
+        )
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2923,6 +2949,7 @@ QUERIES = {
     "events_table_digest": events_table_digest,
     "events_value_regression": events_value_regression,
     "events_winsorized_stats": events_winsorized_stats,
+    "events_interval_coalesce": events_interval_coalesce,
 }
 
 ORACLE_SQL = {
@@ -4119,4 +4146,32 @@ ORACLE_SQL["events_winsorized_stats"] = """
            count(*) AS n
     FROM e JOIN caps c USING (event_type)
     GROUP BY e.event_type
+"""
+
+ORACLE_SQL["events_interval_coalesce"] = """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM iv
+    ),
+    y AS (
+        SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk
+        FROM x
+    ),
+    z AS (
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM y
+    )
+    SELECT user_id, island,
+           min(s) AS island_start, max(e) AS island_end,
+           count(*) AS n_intervals
+    FROM z GROUP BY 1, 2
 """

@@ -729,3 +729,61 @@ def first_touch_curve(
     return folded.repartition(1).map_batches(
         curve, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def coalesce_intervals(
+    ds,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    num_partitions: int | None = None,
+):
+    """Merge overlapping/touching intervals per key into maximal islands
+    (union of time ranges — the interval-coalescing half of
+    gaps-and-islands). ONE keyed shuffle; per block the kernel computes
+    a segmented exclusive running max of interval ends (offset-trick
+    cummax, no per-group Python), breaks an island where a start
+    exceeds it, and reduces each island with reduceat. Interval ties on
+    start are order-insensitive: an equal-start interval can never open
+    a new island. Output: key, island (1-based per key), island_start,
+    island_end, n_intervals. Integer start/end only (quantize first);
+    values must fit below 2^53 so the segment-offset trick stays exact.
+    Equivalent SQL: max(e) OVER (... ROWS ... AND 1 PRECEDING) + the
+    classic sum-of-breaks island id."""
+    from .ordered import per_key_ordered
+
+    C = np.int64(1) << 53
+
+    def kernel(t: pa.Table, first: np.ndarray, gidx: np.ndarray) -> pa.Table:
+        s = t.column(start_col).to_numpy(zero_copy_only=False)
+        e = t.column(end_col).to_numpy(zero_copy_only=False)
+        if not (np.issubdtype(s.dtype, np.integer) and np.issubdtype(e.dtype, np.integer)):
+            raise TypeError("coalesce_intervals needs integer bounds; quantize first")
+        if len(e) and (np.abs(e).max() >= C or np.abs(s).max() >= C):
+            raise ValueError("interval bounds must be < 2^53")
+        g64 = gidx.astype(np.int64)
+        inc = np.maximum.accumulate(e + g64 * C) - g64 * C  # segmented cummax
+        prev = np.empty_like(inc)
+        if len(inc):
+            prev[1:] = inc[:-1]
+        prev[first] = np.iinfo(np.int64).min
+        brk = first | (s > prev)
+        istarts = np.flatnonzero(brk)
+        # 1-based island id per key: breaks since the segment's first row
+        cum_brk = np.cumsum(brk)
+        seg_base = cum_brk[np.flatnonzero(first)] - 1
+        island_at_start = (cum_brk - seg_base[gidx])[istarts]
+        return pa.table(
+            {
+                key_col: t.column(key_col).take(pa.array(istarts)),
+                "island": pa.array(island_at_start, pa.int64()),
+                "island_start": pa.array(s[istarts], pa.int64()),
+                "island_end": pa.array(np.maximum.reduceat(e, istarts), pa.int64()),
+                "n_intervals": pa.array(
+                    np.diff(np.append(istarts, len(s))).astype(np.int64)
+                ),
+            }
+        )
+
+    return per_key_ordered(ds, key_col, start_col, kernel, num_partitions=num_partitions)

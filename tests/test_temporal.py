@@ -399,3 +399,53 @@ def test_late_corrections_only_late_window(ray_session, tmp_path):
     # the hour-1 window exists with zero on-time rows
     only_late = g[(g["n_on_time"] == 0) & (g["n_late"] > 0)]
     assert len(only_late) == 1
+
+
+def test_coalesce_intervals_dense_overlaps(ray_session):
+    """Dense overlapping/touching/nested/duplicate intervals vs a brute
+    force sweep — the sf tiers are overlap-sparse, this isn't."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_rs_ray.stages.temporal import coalesce_intervals
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    k = rng.integers(0, 25, n)
+    s = rng.integers(0, 500, n).astype(np.int64)
+    e = s + rng.integers(0, 60, n).astype(np.int64)  # zero-length too
+    t = pa.table({"k": k, "s": s, "e": e})
+    got = (
+        coalesce_intervals(ray.data.from_arrow(t).repartition(5), "k", "s", "e",
+                           num_partitions=3)
+        .to_pandas()
+        .sort_values(["k", "island"])
+        .reset_index(drop=True)
+    )
+
+    # brute force per key
+    want = []
+    for key in sorted(set(k.tolist())):
+        ivs = sorted(
+            [(int(a), int(b)) for a, b, kk in zip(s, e, k) if kk == key]
+        )
+        isl, cs, ce, cnt = [], None, None, 0
+        for a, b in ivs:
+            if cs is None or a > ce:
+                if cs is not None:
+                    isl.append((cs, ce, cnt))
+                cs, ce, cnt = a, b, 1
+            else:
+                ce = max(ce, b)
+                cnt += 1
+        if cs is not None:
+            isl.append((cs, ce, cnt))
+        for i, (a, b, c) in enumerate(isl, 1):
+            want.append((key, i, a, b, c))
+
+    got_rows = [
+        (int(r.k), int(r.island), int(r.island_start), int(r.island_end), int(r.n_intervals))
+        for r in got.itertuples(index=False)
+    ]
+    assert got_rows == want
