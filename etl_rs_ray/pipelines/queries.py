@@ -2865,6 +2865,139 @@ def events_interval_coalesce(sf_dir: str):
     )
 
 
+def events_profile(sf_dir: str):
+    """Data-quality column profile (the Deequ/expectations shape): one
+    row per profiled column with row count, null count, EXACT distinct
+    count, and min/max rendered canonically. Per-batch partials carry
+    per-column unique-value sets (the |rows| -> |domain| reduction);
+    one fold unions them — for a column whose domain won't fit a block,
+    swap the exact distinct for the HLL sketch (stages/sketches.py),
+    same plumbing."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    COLS = ["event_type", "user_id", "value_cents"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "user_id": b.column("user_id"),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = []
+        for c in COLS:
+            col = b.column(c)
+            u = pc.unique(pc.drop_null(col))
+            out.append(
+                {
+                    "column": c,
+                    "n": b.num_rows,
+                    "nulls": col.null_count,
+                    "uniques": [str(x) for x in u.to_pylist()],
+                    "vmin": str(pc.min(col).as_py()) if b.num_rows - col.null_count else None,
+                    "vmax": str(pc.max(col).as_py()) if b.num_rows - col.null_count else None,
+                }
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [
+                    ("column", pa.string()),
+                    ("n", pa.int64()),
+                    ("nulls", pa.int64()),
+                    ("uniques", pa.list_(pa.string())),
+                    ("vmin", pa.string()),
+                    ("vmax", pa.string()),
+                ]
+            ),
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        out = []
+        for c in COLS:
+            rows = t.filter(pc.equal(t.column("column"), c))
+            uniq = set()
+            for lst in rows.column("uniques").to_pylist():
+                uniq.update(lst)
+            mins = [x for x in rows.column("vmin").to_pylist() if x is not None]
+            maxs = [x for x in rows.column("vmax").to_pylist() if x is not None]
+            is_num = c != "event_type"
+            key = (lambda v: int(v)) if is_num else (lambda v: v)
+            out.append(
+                {
+                    "column": c,
+                    "n": int(pc.sum(rows.column("n")).as_py() or 0),
+                    "nulls": int(pc.sum(rows.column("nulls")).as_py() or 0),
+                    "n_distinct": len(uniq),
+                    "vmin": min(mins, key=key) if mins else None,
+                    "vmax": max(maxs, key=key) if maxs else None,
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def orders_integrity_audit(sf_dir: str):
+    """Referential-integrity / uniqueness audit: orphan orders (custkey
+    not in customer — broadcast anti membership over the distinct key
+    set), duplicate primary keys on orders, and childless customers —
+    one small report row per check. Each check is a shuffle-free
+    partial+fold; the key sets move as distinct aggregates, never as
+    rows."""
+    from ..stages.joins import broadcast_semi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust_keys = _read(sf_dir, "customer", columns=["c_custkey"])
+    orphans = broadcast_semi_join(orders, cust_keys, on="o_custkey", anti=True).count()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    buyer_keys = _read(sf_dir, "orders", columns=["o_custkey"])
+    childless = broadcast_semi_join(cust, buyer_keys, on="c_custkey", anti=True).count()
+
+    def dup_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["o_orderkey"]), "o_orderkey").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["o_orderkey", "c"])
+
+    def dup_fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "o_orderkey").aggregate([("c", "sum")])
+        dups = pc.sum(
+            pc.if_else(
+                pc.greater(g.column("c_sum"), 1),
+                pc.subtract(g.column("c_sum"), 1),
+                pa.scalar(0, pa.int64()),
+            )
+        ).as_py()
+        return pa.table({"dup_rows": pa.array([int(dups or 0)], pa.int64())})
+
+    dup_rows = (
+        orders.map_batches(dup_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(dup_fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .take_all()[0]["dup_rows"]
+    )
+    return pa.table(
+        {
+            "check": pa.array(
+                ["orphan_orders", "childless_customers", "duplicate_orderkeys"],
+                pa.string(),
+            ),
+            "violations": pa.array([orphans, childless, dup_rows], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -2950,6 +3083,8 @@ QUERIES = {
     "events_value_regression": events_value_regression,
     "events_winsorized_stats": events_winsorized_stats,
     "events_interval_coalesce": events_interval_coalesce,
+    "events_profile": events_profile,
+    "orders_integrity_audit": orders_integrity_audit,
 }
 
 ORACLE_SQL = {
@@ -4174,4 +4309,44 @@ ORACLE_SQL["events_interval_coalesce"] = """
            min(s) AS island_start, max(e) AS island_end,
            count(*) AS n_intervals
     FROM z GROUP BY 1, 2
+"""
+
+ORACLE_SQL["events_profile"] = """
+    WITH e AS (
+        SELECT event_type, user_id,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    )
+    SELECT 'event_type' AS "column", count(*) AS n,
+           count(*) - count(event_type) AS nulls,
+           count(DISTINCT event_type) AS n_distinct,
+           CAST(min(event_type) AS VARCHAR) AS vmin,
+           CAST(max(event_type) AS VARCHAR) AS vmax
+    FROM e
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM e
+    UNION ALL
+    SELECT 'value_cents', count(*), count(*) - count(value_cents),
+           count(DISTINCT value_cents),
+           CAST(min(value_cents) AS VARCHAR), CAST(max(value_cents) AS VARCHAR)
+    FROM e
+"""
+
+ORACLE_SQL["orders_integrity_audit"] = """
+    SELECT 'orphan_orders' AS "check",
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS violations
+    UNION ALL
+    SELECT 'childless_customers',
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+    UNION ALL
+    SELECT 'duplicate_orderkeys',
+           (SELECT COALESCE(sum(c - 1), 0) FROM
+              (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+               HAVING count(*) > 1) t)
 """
