@@ -2998,6 +2998,52 @@ def orders_integrity_audit(sf_dir: str):
     )
 
 
+def events_mode_value(sf_dir: str):
+    """MODE per group: the most frequent value-cents per event type
+    (ties broken by the smaller value, SQL-mirrorable). Per-batch
+    (group, value) count partials — the |rows| -> |distinct pairs|
+    reduction — one fold, then a vectorized per-group argmax by sort +
+    first-per-key mask."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": b.column("event_type"), "v": _cents(b.column("value"))}
+        )
+        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "v", "c"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([("c", "sum")])
+        g = g.rename_columns(["event_type", "v", "c"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("event_type", "ascending"),
+                ("c", "descending"),
+                ("v", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        first = _first_per_key_mask(g, ("event_type",))
+        g = g.filter(first)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "mode_cents": g.column("v"),
+                "mode_count": g.column("c"),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -3085,6 +3131,7 @@ QUERIES = {
     "events_interval_coalesce": events_interval_coalesce,
     "events_profile": events_profile,
     "orders_integrity_audit": orders_integrity_audit,
+    "events_mode_value": events_mode_value,
 }
 
 ORACLE_SQL = {
@@ -4349,4 +4396,17 @@ ORACLE_SQL["orders_integrity_audit"] = """
            (SELECT COALESCE(sum(c - 1), 0) FROM
               (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
                HAVING count(*) > 1) t)
+"""
+
+ORACLE_SQL["events_mode_value"] = """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, v AS mode_cents, c AS mode_count FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY c DESC, v ASC) AS rn
+        FROM c
+    ) WHERE rn = 1
 """
