@@ -3044,6 +3044,50 @@ def events_mode_value(sf_dir: str):
     )
 
 
+def events_pattern_matches(sf_dir: str):
+    """Sequence pattern matching (MATCH_RECOGNIZE-lite): per user, count
+    CONSECUTIVE view->click->purchase runs over the full LSN-ordered
+    history — stricter than the funnel (which tolerates gaps). One keyed
+    shuffle builds each user's event-initial string vectorized
+    (stages/ordered.py::path_per_key ListArray join), then one RE2
+    count per user string; non-overlapping leftmost semantics match
+    DuckDB's regexp_extract_all exactly."""
+    from ..stages.ordered import path_per_key
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "letter": pc.utf8_slice_codeunits(b.column("event_type"), 0, 1),
+            }
+        )
+
+    paths = path_per_key(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        ["event_id"],
+        "letter",
+        limit_k=_table_rows(sf_dir, "events"),
+        sep="",
+        path_col="s",
+    )
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("s"), pattern="vcp")
+        t = pa.table(
+            {"user_id": b.column("user_id"), "n_matches": pc.cast(n, pa.int64())}
+        )
+        return t.filter(pc.greater(t.column("n_matches"), 0))
+
+    return drop_empty_blocks(
+        paths.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 QUERIES = {
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
@@ -3132,6 +3176,7 @@ QUERIES = {
     "events_profile": events_profile,
     "orders_integrity_audit": orders_integrity_audit,
     "events_mode_value": events_mode_value,
+    "events_pattern_matches": events_pattern_matches,
 }
 
 ORACLE_SQL = {
@@ -4409,4 +4454,16 @@ ORACLE_SQL["events_mode_value"] = """
             PARTITION BY event_type ORDER BY c DESC, v ASC) AS rn
         FROM c
     ) WHERE rn = 1
+"""
+
+ORACLE_SQL["events_pattern_matches"] = """
+    WITH p AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_matches
+    FROM p
+    WHERE length(regexp_extract_all(s, 'vcp')) > 0
 """
