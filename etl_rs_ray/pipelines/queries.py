@@ -3797,7 +3797,8 @@ ORACLE_SQL["events_scd2_history"] = """
 ORACLE_SQL["events_running_total"] = """
     SELECT user_id, event_id,
            CAST(round(value * 100) AS BIGINT) AS value_cents,
-           SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS run_value_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS run_value_cents,
            COALESCE(LAG(CAST(round(value * 100) AS BIGINT)) OVER w, -1)
                AS prev_value_cents,
            ROW_NUMBER() OVER w AS rn
@@ -3827,20 +3828,21 @@ ORACLE_SQL["orders_bloom_semi_join"] = """
 ORACLE_SQL["orders_rollup"] = """
     SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
            COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
            COUNT(*) AS n
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 ORACLE_SQL["events_pivot_by_type"] = """
     SELECT user_id,
-      SUM(CASE WHEN event_type='click'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS click_sum,
-      SUM(CASE WHEN event_type='error'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS error_sum,
-      SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS purchase_sum,
-      SUM(CASE WHEN event_type='signup'   THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS signup_sum,
-      SUM(CASE WHEN event_type='view'     THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS view_sum,
-      SUM(CASE WHEN event_type IN ('click','error','purchase','signup','view')
-               THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS total_cents
+      CAST(SUM(CASE WHEN event_type='click'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_sum,
+      CAST(SUM(CASE WHEN event_type='error'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS error_sum,
+      CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_sum,
+      CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup_sum,
+      CAST(SUM(CASE WHEN event_type='view'     THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_sum,
+      CAST(SUM(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+               THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_cents
     FROM events
     GROUP BY user_id
 """
@@ -3878,9 +3880,10 @@ ORACLE_SQL["events_quantiles_by_type"] = """
 ORACLE_SQL["events_rolling_revenue"] = """
     SELECT user_id, event_id,
            CAST(round(value * 100) AS BIGINT) AS value_cents,
-           SUM(CAST(round(value * 100) AS BIGINT)) OVER
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER
                (PARTITION BY user_id ORDER BY event_id
-                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_sum_cents,
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS roll_sum_cents,
            LEAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id), 10)
                AS roll_n
     FROM events
@@ -4009,8 +4012,8 @@ ORACLE_SQL["events_sessionize"] = """
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
-      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM o
     )
     SELECT user_id, event_id, session_seq,
@@ -4033,7 +4036,8 @@ ORACLE_SQL["events_gapfill_locf"] = """
              CAST(round(value*100) AS BIGINT) AS v
       FROM events
     ),
-    agg AS (SELECT event_type, h, count(*) AS n, sum(v) AS s FROM e GROUP BY 1, 2),
+    agg AS (SELECT event_type, h, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1, 2),
     bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
     series(h) AS (
       SELECT lo FROM bounds
@@ -4438,7 +4442,7 @@ ORACLE_SQL["orders_integrity_audit"] = """
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
     UNION ALL
     SELECT 'duplicate_orderkeys',
-           (SELECT COALESCE(sum(c - 1), 0) FROM
+           (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) FROM
               (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
                HAVING count(*) > 1) t)
 """

@@ -68,6 +68,28 @@ def test_query_matches_oracle(name):
     assert _canon(got) == _canon(want)
 
 
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_oracle_emits_no_decimal_or_unsigned(name):
+    """Guard against the r3 driver-red class: DuckDB SUM(BIGINT) returns
+    HUGEINT, which pyarrow surfaces as decimal128 and the driver's value
+    hash then distinguishes Decimal("120") from 120 even when every value
+    matches. Every oracle output column must be a plain signed-int / float /
+    string / bool / timestamp type — never decimal or unsigned."""
+    import pyarrow as pa
+
+    con = _duck()
+    tbl = con.execute(entry_mod.oracle_sql()[name]).fetch_arrow_table()
+    bad = {
+        f.name: str(f.type)
+        for f in tbl.schema
+        if pa.types.is_decimal(f.type) or pa.types.is_unsigned_integer(f.type)
+    }
+    assert not bad, (
+        f"oracle {name} emits decimal/unsigned columns {bad}; "
+        "wrap the expression in CAST(... AS BIGINT)"
+    )
+
+
 def test_every_query_has_an_oracle():
     """No rows-only queries remain: every pipeline the driver runs is
     hash-checked against a DuckDB oracle."""
