@@ -3088,37 +3088,89 @@ def events_pattern_matches(sf_dir: str):
     )
 
 
+# Dict order is the driver-gate priority: the correctness driver compares
+# the FIRST 50 entries against their oracles each round. Curated so every
+# operator family not yet covered by a CORRECTNESS_r* row (the 38 queries
+# added after the r3 gate snapshot) sits inside the gate, alongside 12
+# already-green anchors — the flagship families plus the three queries
+# whose oracles were re-cast to BIGINT this round. Previously-green
+# queries pushed past position 50 retain their CORRECTNESS_r03 evidence
+# and stay covered by tests/test_queries_oracle.py's full sweep.
 QUERIES = {
+    # -- already-green anchors (flagships + the 3 re-cast oracles) -------
+    "events_lww_state": events_lww_state,
+    "q1_pricing_summary": q1_pricing_summary,
+    "customer_order_revenue": customer_order_revenue,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_decontaminate": docs_decontaminate,
+    "embeddings_ann_ivf": embeddings_ann_ivf,
+    "media_features": media_features,
+    "events_heavy_hitters": events_heavy_hitters,
+    "events_running_total": events_running_total,
+    "orders_rollup": orders_rollup,
+    "events_pivot_by_type": events_pivot_by_type,
+    # -- families without a driver-gate row yet (newest first-class ops) -
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_regional_supplier_volume": q5_regional_supplier_volume,
+    "events_cdc_diff": events_cdc_diff,
+    "events_scd2_incremental": events_scd2_incremental,
+    "docs_search_topk": docs_search_topk,
+    "parts_skyline": parts_skyline,
+    "parts_fuzzy_pairs": parts_fuzzy_pairs,
+    "orders_zorder_layout": orders_zorder_layout,
+    "events_rolling_revenue": events_rolling_revenue,
+    "events_sessionize": events_sessionize,
+    "events_gapfill_locf": events_gapfill_locf,
+    "orders_integrity_audit": orders_integrity_audit,
+    "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_quantiles_by_type": events_quantiles_by_type,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_mad_outliers": events_mad_outliers,
+    "events_user_paths": events_user_paths,
+    "events_rank_stats": events_rank_stats,
+    "events_audience_overlap": events_audience_overlap,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "events_cooccurrence": events_cooccurrence,
+    "events_props_extract": events_props_extract,
+    "docs_priority_sample": docs_priority_sample,
+    "events_value_corr": events_value_corr,
+    "events_window_distinct_users": events_window_distinct_users,
+    "events_cumulative_users": events_cumulative_users,
+    "embeddings_dim_stats": embeddings_dim_stats,
+    "events_gap_histogram": events_gap_histogram,
+    "docs_chunking": docs_chunking,
+    "events_late_corrections": events_late_corrections,
+    "embeddings_cov_block": embeddings_cov_block,
+    "events_table_digest": events_table_digest,
+    "events_value_regression": events_value_regression,
+    "events_winsorized_stats": events_winsorized_stats,
+    "events_interval_coalesce": events_interval_coalesce,
+    "events_profile": events_profile,
+    "events_mode_value": events_mode_value,
+    "events_pattern_matches": events_pattern_matches,
+    # -- position >50: green in CORRECTNESS_r03, swept every session -----
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
-    "q1_pricing_summary": q1_pricing_summary,
     "lineitem_revenue_filter": lineitem_revenue_filter,
-    "events_lww_state": events_lww_state,
     "events_exact_dedup": events_exact_dedup,
     "events_window_filter": events_window_filter,
     "orders_topk": orders_topk,
-    "customer_order_revenue": customer_order_revenue,
     "customers_without_orders": customers_without_orders,
     "nation_region_join": nation_region_join,
-    "docs_exact_dedup": docs_exact_dedup,
     "docs_digits": docs_digits,
     "docs_token_stats": docs_token_stats,
     "embeddings_topk": embeddings_topk,
-    "docs_minhash_dedup": docs_minhash_dedup,
-    "docs_decontaminate": docs_decontaminate,
     "docs_lang_quality": docs_lang_quality,
     "events_type_stats": events_type_stats,
     "supplier_nation_region": supplier_nation_region,
     "part_filter_like": part_filter_like,
     "docs_simhash_dedup": docs_simhash_dedup,
-    "embeddings_ann_ivf": embeddings_ann_ivf,
-    "media_features": media_features,
     "events_asof_join": events_asof_join,
     "events_windowed_agg": events_windowed_agg,
     "events_hopping_agg": events_hopping_agg,
     "events_session_agg": events_session_agg,
     "events_sketch_stats": events_sketch_stats,
-    "events_heavy_hitters": events_heavy_hitters,
     "docs_ngram_dedup": docs_ngram_dedup,
     "embeddings_cosine_dedup": embeddings_cosine_dedup,
     "orders_topk_per_customer": orders_topk_per_customer,
@@ -3133,50 +3185,9 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_stratified_sample": events_stratified_sample,
     "events_scd2_history": events_scd2_history,
-    "events_running_total": events_running_total,
     "events_watermark": events_watermark,
     "orders_bloom_semi_join": orders_bloom_semi_join,
-    "orders_rollup": orders_rollup,
-    "events_pivot_by_type": events_pivot_by_type,
     "events_cms_frequencies": events_cms_frequencies,
-    "events_distinct_users_by_type": events_distinct_users_by_type,
-    "events_quantiles_by_type": events_quantiles_by_type,
-    "events_rolling_revenue": events_rolling_revenue,
-    "events_retention_cohorts": events_retention_cohorts,
-    "events_mad_outliers": events_mad_outliers,
-    "events_user_paths": events_user_paths,
-    "events_rank_stats": events_rank_stats,
-    "events_audience_overlap": events_audience_overlap,
-    "docs_tfidf_top_terms": docs_tfidf_top_terms,
-    "events_sessionize": events_sessionize,
-    "events_cooccurrence": events_cooccurrence,
-    "events_gapfill_locf": events_gapfill_locf,
-    "events_scd2_incremental": events_scd2_incremental,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_regional_supplier_volume": q5_regional_supplier_volume,
-    "parts_skyline": parts_skyline,
-    "events_props_extract": events_props_extract,
-    "docs_priority_sample": docs_priority_sample,
-    "parts_fuzzy_pairs": parts_fuzzy_pairs,
-    "events_value_corr": events_value_corr,
-    "events_cdc_diff": events_cdc_diff,
-    "orders_zorder_layout": orders_zorder_layout,
-    "events_window_distinct_users": events_window_distinct_users,
-    "events_cumulative_users": events_cumulative_users,
-    "embeddings_dim_stats": embeddings_dim_stats,
-    "events_gap_histogram": events_gap_histogram,
-    "docs_chunking": docs_chunking,
-    "docs_search_topk": docs_search_topk,
-    "events_late_corrections": events_late_corrections,
-    "embeddings_cov_block": embeddings_cov_block,
-    "events_table_digest": events_table_digest,
-    "events_value_regression": events_value_regression,
-    "events_winsorized_stats": events_winsorized_stats,
-    "events_interval_coalesce": events_interval_coalesce,
-    "events_profile": events_profile,
-    "orders_integrity_audit": orders_integrity_audit,
-    "events_mode_value": events_mode_value,
-    "events_pattern_matches": events_pattern_matches,
 }
 
 ORACLE_SQL = {
