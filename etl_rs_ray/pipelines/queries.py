@@ -24,7 +24,36 @@ from ..stages.merge_apply import _first_per_key_mask
 from ..stages.text_stats import token_count
 
 
-def _read(sf_dir: str, table: str, **kwargs) -> ray.data.Dataset:
+# Target rows per read block by per-row compute weight: text/binary
+# payload tables run shingling / regex / decode kernels costing ~0.1-1 ms
+# per row, so they want task-level parallelism even at a few thousand
+# rows; the TPC-H-shape numeric tables are vectorized scans where 32k
+# rows is microseconds of work and scheduling dominates below that.
+_ROWS_PER_BLOCK = {"documents": 512, "media": 256, "embeddings": 1024}
+
+
+def _read(
+    sf_dir: str, table: str, rows_per_block: int | None = None, **kwargs
+) -> ray.data.Dataset:
+    """read_parquet with small-input micro-task prevention. Ray's default
+    parallelism heuristic splits EVERY file into ~2x-cpus read tasks — 64
+    tasks for a 5-row table — and per-task scheduling (~6 ms each) then
+    dominates small-tier walls. When the table's row count (one cached
+    footer read) implies fewer than the default number of blocks at
+    ``rows_per_block`` rows each, pass an explicit block count; otherwise
+    leave ``override_num_blocks`` unset so Ray's byte-based target block
+    sizing governs — large inputs keep full streaming parallelism, so the
+    gate cannot cap scale-out at 100-TB inputs."""
+    if "override_num_blocks" not in kwargs:
+        import ray as _ray
+
+        if rows_per_block is None:
+            rows_per_block = _ROWS_PER_BLOCK.get(table, 32_768)
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        rows = _table_rows(sf_dir, table)
+        want = -(-rows // rows_per_block) if rows else 1
+        if want < 2 * cpus:
+            kwargs["override_num_blocks"] = max(1, min(want, 2 * cpus))
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kwargs)
 
 
@@ -49,10 +78,21 @@ def _partitions(cap: int = 32, rows: int | None = None) -> int:
     return n
 
 
-def _table_rows(sf_dir: str, table: str) -> int:
-    import pyarrow.parquet as pq
+_TABLE_ROWS_CACHE: dict[tuple[str, str], int] = {}
 
-    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    # one parquet-footer read per (sf_dir, table) per process: the size
+    # gates consult this on every query, and the driver chains 50 queries
+    # over the same immutable testdata files
+    key = (sf_dir, table)
+    n = _TABLE_ROWS_CACHE.get(key)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+        _TABLE_ROWS_CACHE[key] = n
+    return n
 
 
 def _docs_small(sf_dir: str, threshold: int = 200_000) -> bool:
