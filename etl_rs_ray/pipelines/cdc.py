@@ -124,8 +124,10 @@ def make_bucket_merger(
         incoming = lww_reduce(incoming, key_cols, lsn_col, op_col, stats=stats)
         existing = _read_bucket_state(bucket_files.get(b), key_cols, lsn_col, op_col)
         merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
-        # deterministic bytes: retried tasks must re-produce identical files
-        merged = merged.sort_by([(k, "ascending") for k in key_cols])
+        # merged is already key-sorted (lww_reduce sorts by (key, lsn desc)
+        # and every merge_bucket_tables path returns an lww_reduce output or
+        # a filter of one), so bytes are deterministic under retry without
+        # re-sorting — a full sort+copy pass over the bucket state saved
         filename = f"bucket-{b}.parquet"
         out = os.path.join(staging_dir, filename)
         tmp = out + f".tmp-{os.getpid()}"
@@ -390,7 +392,13 @@ def _merge_xpart_task(
 
     entries = []
     for b in sorted(acc):
-        incoming = fold(b)
+        # a bucket whose last drain already folded it (pending == 0, one
+        # accumulated table) is already LWW-reduced — re-reducing would be
+        # a no-op full sort+copy of its final state
+        if pending.get(b, 0) == 0 and len(acc[b]) == 1:
+            incoming = acc[b][0]
+        else:
+            incoming = fold(b)
         stats = LwwStats(events_in=events_in[b], rows_out=incoming.num_rows)
         stats.superseded_dropped = events_in[b] - incoming.num_rows
         if op_col in incoming.column_names:
@@ -401,7 +409,8 @@ def _merge_xpart_task(
         else:
             existing = _read_bucket_state(bucket_files.get(b), key_cols, lsn_col, op_col)
             merged = merge_bucket_tables(existing, incoming, key_cols, lsn_col, op_col)
-        merged = merged.sort_by([(k, "ascending") for k in key_cols])
+        # merged is key-sorted by construction (see make_bucket_merger) —
+        # skipping the redundant final sort saves a full copy pass per bucket
         filename = f"bucket-{b}.parquet"
         out = os.path.join(staging_dir, filename)
         tmp = out + f".tmp-{os.getpid()}"
