@@ -35,6 +35,7 @@ from ..functions.registry import TransformChain
 from ..sources.event_log import fast_hash_bucket, read_event_log, select_segments
 from ..sources.lake import LakeTable
 from ..stages.merge_apply import DEFAULT_KEY, LwwStats, lww_reduce, merge_bucket_tables
+from ..state import fs
 
 def curate_batch(batch: pa.Table) -> pa.Table:
     """The normalize/curate stage of the full ingest pipeline: language-ID
@@ -97,10 +98,10 @@ def _read_bucket_state(files: list[str] | None, key_cols, lsn_col, op_col) -> pa
     if not files:
         return None
     if len(files) == 1:
-        return pq.read_table(files[0])
+        return fs.read_table(files[0])
     from ..state.schema_evolution import unify_tables
 
-    t = unify_tables([pq.read_table(f) for f in files])
+    t = unify_tables([fs.read_table(f) for f in files])
     # deltas carry tombstones; folding drops them from the stored state
     return lww_reduce(t, key_cols, lsn_col, op_col, drop_tombstones=True)
 
@@ -129,10 +130,7 @@ def make_bucket_merger(
         # a filter of one), so bytes are deterministic under retry without
         # re-sorting — a full sort+copy pass over the bucket state saved
         filename = f"bucket-{b}.parquet"
-        out = os.path.join(staging_dir, filename)
-        tmp = out + f".tmp-{os.getpid()}"
-        pq.write_table(merged, tmp, row_group_size=128 * 1024)
-        os.replace(tmp, out)
+        fs.write_table_atomic(merged, fs.join(staging_dir, filename), row_group_size=128 * 1024)
         hwm = pc.max(incoming.column(lsn_col)).as_py() if incoming.num_rows else -1
         return pa.table(
             {
@@ -412,10 +410,7 @@ def _merge_xpart_task(
         # merged is key-sorted by construction (see make_bucket_merger) —
         # skipping the redundant final sort saves a full copy pass per bucket
         filename = f"bucket-{b}.parquet"
-        out = os.path.join(staging_dir, filename)
-        tmp = out + f".tmp-{os.getpid()}"
-        pq.write_table(merged, tmp, row_group_size=128 * 1024)
-        os.replace(tmp, out)
+        fs.write_table_atomic(merged, fs.join(staging_dir, filename), row_group_size=128 * 1024)
         hwm = pc.max(incoming.column(lsn_col)).as_py() if incoming.num_rows else -1
         entries.append(
             {
@@ -536,6 +531,16 @@ def replay(
 
             tag = _hashlib.sha1(staging.encode()).hexdigest()[:16]
             shuffle_dir = os.path.join(base, f"etl_rs_ray_shuffle_{tag}")
+        elif fs.is_uri(staging):
+            # remote table (object store): the transient spill must NOT
+            # round-trip through the remote store — keep it node-local
+            import hashlib as _hashlib
+            import tempfile as _tempfile
+
+            tag = _hashlib.sha1(staging.encode()).hexdigest()[:16]
+            shuffle_dir = os.path.join(
+                _tempfile.gettempdir(), f"etl_rs_ray_shuffle_{tag}"
+            )
         else:
             shuffle_dir = os.path.join(staging, "_shuffle")
         _shutil.rmtree(shuffle_dir, ignore_errors=True)

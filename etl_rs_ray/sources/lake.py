@@ -21,20 +21,20 @@ CURRENT) and can be vacuumed.
 from __future__ import annotations
 
 import os
-import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..sources.event_log import PARTITIONER_ID
+from ..state import fs
 from ..state.manifest import ManifestStore
 
 
 class LakeTable:
     def __init__(self, table_dir: str, num_buckets: int = 64):
         self.table_dir = table_dir
-        os.makedirs(table_dir, exist_ok=True)
+        fs.makedirs(table_dir)
         self.manifests = ManifestStore(table_dir)
         m = self.manifests.read()
         if m is not None:
@@ -69,7 +69,7 @@ class LakeTable:
         if not m:
             return {}
         return {
-            int(b): os.path.join(self.table_dir, e["file"])
+            int(b): fs.join(self.table_dir, e["file"])
             for b, e in m["buckets"].items()
             if e.get("file")
         }
@@ -83,8 +83,8 @@ class LakeTable:
         for b, e in m["buckets"].items():
             files = []
             if e.get("file"):
-                files.append(os.path.join(self.table_dir, e["file"]))
-            files.extend(os.path.join(self.table_dir, f) for f in e.get("delta_files", []))
+                files.append(fs.join(self.table_dir, e["file"]))
+            files.extend(fs.join(self.table_dir, f) for f in e.get("delta_files", []))
             if files:
                 out[int(b)] = files
         return out
@@ -120,7 +120,7 @@ class LakeTable:
         from ..stages.merge_apply import lww_reduce
         from ..state.schema_evolution import unify_tables
 
-        t = unify_tables([pq.read_table(f) for f in files])
+        t = unify_tables([fs.read_table(f) for f in files])
         return lww_reduce(t, tuple(key_cols), drop_tombstones=True)
 
     def snapshot(self, columns: list[str] | None = None, epoch: int | None = None,
@@ -165,7 +165,7 @@ class LakeTable:
         files = self.data_files(epoch)
         if not files:
             return pa.schema([]).empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+        return pa.concat_tables([fs.read_table(f) for f in files], promote_options="permissive")
 
     def changes(self, from_epoch: int | None, to_epoch: int | None = None,
                 key_cols=("repo", "path", "commit"), lsn_col: str = "lsn",
@@ -203,7 +203,7 @@ class LakeTable:
         def _state(files: list[str]) -> pa.Table | None:
             if not files:
                 return None
-            t = unify_tables([pq.read_table(f) for f in files])
+            t = unify_tables([fs.read_table(f) for f in files])
             return lww_reduce(t, keys, lsn_col=lsn_col, op_col=op_col,
                               drop_tombstones=False)
 
@@ -370,7 +370,7 @@ class LakeTable:
 
             out = []
             for b, files in zip(batch.column("bucket"), batch.column("files")):
-                t = unify_tables([pq.read_table(f) for f in files.as_py()])
+                t = unify_tables([fs.read_table(f) for f in files.as_py()])
                 t = lww_reduce(t, keys, lsn_col=lsn_col, op_col=op_col,
                                drop_tombstones=True)
                 # the SHARED canonical row encoding (stages/digest.py) —
@@ -418,10 +418,7 @@ class LakeTable:
         def compact_bucket(b: int, files: list[str], staging: str) -> dict:
             t = merge(files, key_cols).sort_by([(k, "ascending") for k in key_cols])
             filename = f"bucket-{b}.parquet"
-            out = os.path.join(staging, filename)
-            tmp = out + f".tmp-{os.getpid()}"
-            pq.write_table(t, tmp, row_group_size=128 * 1024)
-            os.replace(tmp, out)
+            fs.write_table_atomic(t, fs.join(staging, filename), row_group_size=128 * 1024)
             return {"bucket": b, "filename": filename, "rows": t.num_rows}
 
         entries = ray.get([compact_bucket.remote(b, files, staging) for b, files in sets.items()])
@@ -457,30 +454,27 @@ class LakeTable:
                 continue
             for entry in m["buckets"].values():
                 if entry.get("file"):
-                    referenced.add(os.path.join(self.table_dir, entry["file"]))
+                    referenced.add(fs.join(self.table_dir, entry["file"]))
                 referenced.update(
-                    os.path.join(self.table_dir, f) for f in entry.get("delta_files", [])
+                    fs.join(self.table_dir, f) for f in entry.get("delta_files", [])
                 )
             kept += 1
         removed = []
-        data_root = os.path.join(self.table_dir, "data")
-        if os.path.isdir(data_root):
-            for root, _dirs, files in os.walk(data_root):
-                for fn in files:
-                    p = os.path.join(root, fn)
-                    if p not in referenced:
-                        os.unlink(p)
-                        removed.append(p)
-        staging_root = os.path.join(self.table_dir, "_staging")
-        if os.path.isdir(staging_root):
-            shutil.rmtree(staging_root, ignore_errors=True)
+        data_root = fs.join(self.table_dir, "data")
+        for p in fs.find_files(data_root):
+            if p not in referenced:
+                fs.unlink(p)
+                removed.append(p)
+        staging_root = fs.join(self.table_dir, "_staging")
+        if fs.exists(staging_root):
+            fs.rmtree(staging_root)
             removed.append(staging_root)
         # drop manifests older than the kept window (CURRENT stays valid)
-        for fn in os.listdir(self.manifests.manifest_dir):
+        for fn in fs.listdir(self.manifests.manifest_dir):
             if fn.startswith("manifest-"):
                 e = int(fn.split("-")[1].split(".")[0])
                 if e <= cur - keep_epochs:
-                    os.unlink(os.path.join(self.manifests.manifest_dir, fn))
+                    fs.unlink(fs.join(self.manifests.manifest_dir, fn))
         return removed
 
     def metrics(self) -> dict:
@@ -490,8 +484,8 @@ class LakeTable:
     # --- write side --------------------------------------------------------
 
     def staging_dir(self, epoch: int) -> str:
-        d = os.path.join(self.table_dir, "_staging", f"epoch-{epoch}")
-        os.makedirs(d, exist_ok=True)
+        d = fs.join(self.table_dir, "_staging", f"epoch-{epoch}")
+        fs.makedirs(d)
         return d
 
     def commit_epoch(
@@ -521,22 +515,22 @@ class LakeTable:
         if prev and mode in ("upsert", "delta"):
             buckets.update({str(k): dict(v) for k, v in prev["buckets"].items()})
 
-        data_dir = os.path.join(self.table_dir, "data", f"epoch-{epoch}")
-        os.makedirs(data_dir, exist_ok=True)
+        data_dir = fs.join(self.table_dir, "data", f"epoch-{epoch}")
+        fs.makedirs(data_dir)
         staging = self.staging_dir(epoch)
         for b, entry in written_buckets.items():
-            staged = os.path.join(staging, entry["filename"])
+            staged = fs.join(staging, entry["filename"])
             if mode != "delta" and entry.get("rows", 0) == 0:
                 # bucket became empty (all keys tombstoned) -> drop it
                 buckets.pop(str(b), None)
-                if os.path.exists(staged):
-                    os.unlink(staged)
+                if fs.exists(staged):
+                    fs.unlink(staged)
                 continue
             final_rel = os.path.join("data", f"epoch-{epoch}", entry["filename"])
-            final_abs = os.path.join(self.table_dir, final_rel)
-            if os.path.exists(staged):
-                os.replace(staged, final_abs)
-            elif not os.path.exists(final_abs):
+            final_abs = fs.join(self.table_dir, final_rel)
+            if fs.exists(staged):
+                fs.replace_into(staged, final_abs)
+            elif not fs.exists(final_abs):
                 raise FileNotFoundError(f"bucket {b}: neither staged nor final file exists: {staged}")
             if mode == "delta":
                 cur = buckets.get(str(b), {"file": None, "rows": 0, "delta_files": []})
@@ -552,7 +546,7 @@ class LakeTable:
                     "hwm_lsn": int(entry.get("hwm_lsn", hwm_lsn)),
                     "stats": entry.get("stats", {}),
                 }
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.rmtree(staging)
         manifest = {
             "num_buckets": self.num_buckets,
             "partitioner": PARTITIONER_ID,

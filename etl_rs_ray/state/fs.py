@@ -1,0 +1,201 @@
+"""Filesystem abstraction for the lake's durable surfaces.
+
+At sandbox scale every lake path is a local directory; at 100 TB the
+table lives in object storage. This module keeps the local path exactly
+as fast as before (plain ``os``/``shutil`` — no wrapper objects, no
+per-call scheme sniff beyond one ``"://" in path`` check) and routes
+any path carrying a URI scheme (``memory://``, ``s3://``, ``gs://``,
+``file://``) through ``fsspec``.
+
+Scope: ONLY the durable, shared surfaces go through here — manifests,
+staged bucket files, committed data files. The transient exchange spill
+(``pipelines/cdc.py`` shuffle dir) is *node-local by design* (fast local
+disk / ramdisk on each worker node) and keeps raw ``os`` access.
+
+Atomicity notes (why publish-by-manifest makes this safe):
+
+- Local: data files are written ``tmp`` + ``os.replace`` (atomic), and
+  the manifest CURRENT pointer swap is the single commit point.
+- Object stores: there is no rename, but a single PUT is atomic-visible,
+  so ``replace_into`` writes the final object directly. Uncommitted
+  objects are garbage until a manifest references them — a half-failed
+  epoch never becomes visible, and retried tasks re-PUT identical bytes
+  to the same key (deterministic staging filenames).
+
+Workers re-instantiate the filesystem from the URI (``_fs`` is cached
+per scheme+process), so staged writes work from any node for real
+shared stores. ``memory://`` is per-process and therefore only usable
+for driver-side operations (tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import shutil
+
+import pyarrow.parquet as pq
+
+__all__ = [
+    "is_uri", "join", "makedirs", "exists", "listdir", "find_files",
+    "unlink", "rmtree", "replace_into", "read_text", "write_text_atomic",
+    "write_json_atomic", "read_json", "read_table", "write_table_atomic",
+]
+
+_FS_CACHE: dict[str, object] = {}
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _fs(path: str):
+    """fsspec filesystem for a URI, cached per scheme in this process."""
+    scheme = path.split("://", 1)[0]
+    fs = _FS_CACHE.get(scheme)
+    if fs is None:
+        import fsspec
+
+        fs = fsspec.filesystem(scheme)
+        _FS_CACHE[scheme] = fs
+    return fs
+
+
+def _strip(path: str) -> str:
+    """Canonical scheme-less path for pyarrow ``filesystem=`` calls —
+    fsspec's own normalization (e.g. MemoryFileSystem roots paths at /)
+    so reads and writes agree on the key."""
+    return _fs(path)._strip_protocol(path) if "://" in path else path
+
+
+def join(base: str, *parts: str) -> str:
+    if is_uri(base):
+        return posixpath.join(base, *parts)
+    return os.path.join(base, *parts)
+
+
+def makedirs(path: str) -> None:
+    if is_uri(path):
+        _fs(path).makedirs(path, exist_ok=True)
+    else:
+        os.makedirs(path, exist_ok=True)
+
+
+def exists(path: str) -> bool:
+    if is_uri(path):
+        return _fs(path).exists(path)
+    return os.path.exists(path)
+
+
+def listdir(path: str) -> list[str]:
+    """Base names of entries directly under ``path`` ([] if absent)."""
+    if is_uri(path):
+        fs = _fs(path)
+        if not fs.exists(path):
+            return []
+        return [posixpath.basename(p.rstrip("/")) for p in fs.ls(path, detail=False)]
+    if not os.path.isdir(path):
+        return []
+    return os.listdir(path)
+
+
+def find_files(path: str) -> list[str]:
+    """Every file path under ``path`` recursively, in the same form the
+    caller would build with ``join`` (scheme preserved for URIs)."""
+    if is_uri(path):
+        fs = _fs(path)
+        if not fs.exists(path):
+            return []
+        # rebuild each result as <path>/<suffix> so returned strings are
+        # comparable to join(path, ...)-built ones (fs.find returns
+        # scheme-less canonical paths, e.g. rooted at / for memory://)
+        root = _strip(path).rstrip("/")
+        base = path.rstrip("/")
+        return [base + p[len(root):] for p in fs.find(path)]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(os.path.join(root, fn) for fn in files)
+    return out
+
+
+def unlink(path: str) -> None:
+    if is_uri(path):
+        _fs(path).rm_file(path)
+    else:
+        os.unlink(path)
+
+
+def rmtree(path: str) -> None:
+    if is_uri(path):
+        fs = _fs(path)
+        if fs.exists(path):
+            fs.rm(path, recursive=True)
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def replace_into(staged: str, final: str) -> None:
+    """Move a staged object to its final name. Local: atomic rename.
+    Object store: server-side move (copy+delete under fsspec); safe
+    because nothing reads the final name until the manifest commits."""
+    if is_uri(staged):
+        _fs(staged).mv(staged, final)
+    else:
+        os.replace(staged, final)
+
+
+def read_text(path: str) -> str:
+    if is_uri(path):
+        with _fs(path).open(path, "r") as f:
+            return f.read()
+    with open(path) as f:
+        return f.read()
+
+
+def write_text_atomic(path: str, data: str) -> None:
+    """Local: tmp + fsync + rename (atomic). URI: direct PUT (atomic per
+    object-store semantics — readers see old or new, never partial)."""
+    if is_uri(path):
+        with _fs(path).open(path, "w") as f:
+            f.write(data)
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def write_json_atomic(path: str, obj: dict) -> None:
+    write_text_atomic(path, json.dumps(obj, indent=1, sort_keys=True))
+
+
+def read_json(path: str) -> dict:
+    return json.loads(read_text(path))
+
+
+def read_table(path: str, **kwargs):
+    if is_uri(path):
+        return pq.read_table(_strip(path), filesystem=_fs(path), **kwargs)
+    return pq.read_table(path, **kwargs)
+
+
+def parquet_file(path: str) -> pq.ParquetFile:
+    if is_uri(path):
+        return pq.ParquetFile(_fs(path).open(path, "rb"))
+    return pq.ParquetFile(path)
+
+
+def write_table_atomic(table, final_path: str, **kwargs) -> None:
+    """Publish a parquet file at ``final_path`` such that a concurrent
+    reader never sees partial bytes. Local: write tmp, atomic rename.
+    URI: direct write (single-PUT visibility; the manifest protocol
+    guarantees nobody reads the name before commit anyway)."""
+    if is_uri(final_path):
+        pq.write_table(table, _strip(final_path), filesystem=_fs(final_path), **kwargs)
+        return
+    tmp = final_path + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, **kwargs)
+    os.replace(tmp, final_path)

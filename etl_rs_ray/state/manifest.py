@@ -23,37 +23,34 @@ manifest log whose tail pointer is the only mutable state.
 
 from __future__ import annotations
 
-import json
-import os
+from . import fs
 
 
 class ManifestStore:
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
-        self.manifest_dir = os.path.join(table_dir, "_manifests")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.manifest_dir = fs.join(table_dir, "_manifests")
+        fs.makedirs(self.manifest_dir)
 
     @property
     def current_path(self) -> str:
-        return os.path.join(self.manifest_dir, "CURRENT")
+        return fs.join(self.manifest_dir, "CURRENT")
 
     def current_epoch(self) -> int:
         try:
-            with open(self.current_path) as f:
-                return int(f.read().strip())
+            return int(fs.read_text(self.current_path).strip())
         except FileNotFoundError:
             return -1
 
     def manifest_path(self, epoch: int) -> str:
-        return os.path.join(self.manifest_dir, f"manifest-{epoch}.json")
+        return fs.join(self.manifest_dir, f"manifest-{epoch}.json")
 
     def read(self, epoch: int | None = None) -> dict | None:
         if epoch is None:
             epoch = self.current_epoch()
         if epoch < 0:
             return None
-        with open(self.manifest_path(epoch)) as f:
-            return json.load(f)
+        return fs.read_json(self.manifest_path(epoch))
 
     def commit(self, epoch: int, manifest: dict) -> bool:
         """Write manifest-<epoch> and swing CURRENT. Returns False (no-op)
@@ -61,17 +58,7 @@ class ManifestStore:
         if self.current_epoch() >= epoch:
             return False
         manifest = dict(manifest, epoch=epoch)
-        mpath = self.manifest_path(epoch)
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, mpath)
-        tmp_cur = self.current_path + ".tmp"
-        with open(tmp_cur, "w") as f:
-            f.write(str(epoch))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp_cur, self.current_path)  # the single atomic commit point
+        fs.write_json_atomic(self.manifest_path(epoch), manifest)
+        # the single atomic commit point
+        fs.write_text_atomic(self.current_path, str(epoch))
         return True
