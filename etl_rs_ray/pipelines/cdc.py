@@ -162,9 +162,11 @@ def make_spiller(
     """Map stage of the disk exchange (sort-based shuffle): per input
     block, LWW-precompact (the combiner — superseded events die before
     any data moves), assign lake buckets, stable-sort by exchange
-    partition (xpart = bucket % num_xparts), then write ONE parquet file
-    per block with ONE ROW GROUP per touched xpart. The accounting rows
-    are the shuffle index: (xpart, file, row-group ordinal).
+    partition (xpart = bucket % num_xparts), then write ONE meta file
+    per block with ONE RECORD BATCH per touched xpart, plus a payload
+    sidecar holding every non-fold column exactly once (see
+    ``_attach_payload``). The accounting rows are the shuffle index:
+    (xpart, file, batch ordinal, batch start row).
 
     One file per block — not one per (block, xpart) — is the classic
     sort-based-shuffle file bound: M files total instead of M x R, which
@@ -196,8 +198,20 @@ def make_spiller(
             "raw_events": pa.array([], pa.int64()),
             "file": pa.array([], pa.string()),
             "rg": pa.array([], pa.int32()),
+            "rg_start": pa.array([], pa.int64()),
         }
     )
+
+    # Lazy payload: only (key, lsn, op, bucket) participate in the fold's
+    # sort/take passes — every other column (content, commit, lang, any
+    # normalize-added signal) is pure payload the reducer never inspects,
+    # so shipping it THROUGH the fold copies megabytes per pass for
+    # nothing. Payload is spilled ONCE to a per-block sidecar in the
+    # block's sorted row order; meta rows are re-joined to it by (file,
+    # row ordinal) AFTER the fold, so only final LWW winners pay the
+    # payload read (measured: content bytes were 40% of the 10M-event
+    # replay wall; superseded rows never move their payload again).
+    fold_cols = set(key_cols) | {lsn_col, op_col, "bucket", "_x"}
 
     def spill(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -220,8 +234,14 @@ def make_spiller(
         sort_keys = [("_x", "ascending")] + [(k, "ascending") for k in key_cols] + [
             (lsn_col, "descending")
         ]
-        batch = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
-        batch = batch.filter(_first_per_key_mask(batch, key_cols))
+        # sort + combiner mask are computed on the fold columns only, then
+        # applied to the full batch in ONE take — payload strings are
+        # copied once, not once for the sort and again for the filter
+        small = batch.select(list(dict.fromkeys(["_x", *key_cols, lsn_col])))
+        sort_idx = pc.sort_indices(small, sort_keys=sort_keys)
+        small = small.take(sort_idx)
+        mask = _first_per_key_mask(small, key_cols)
+        batch = batch.take(sort_idx.filter(mask))
         xs = batch.column("_x").to_numpy(zero_copy_only=False)
         batch = batch.drop_columns(["_x"])
         bounds = np.flatnonzero(np.diff(xs)) + 1
@@ -250,7 +270,32 @@ def make_spiller(
         os.makedirs(shuffle_dir, exist_ok=True)
         fpath = os.path.join(shuffle_dir, fname)
         tmp = fpath + f".tmp-{os.getpid()}"
-        out_x, out_n = [], []
+
+        payload_names = [c for c in batch.column_names if c not in fold_cols]
+        if payload_names:
+            # sidecar keeps the block's sorted row order, so the meta row
+            # at global ordinal i IS payload row i — the pointer the
+            # reducer carries is just (file, ordinal)
+            import json
+
+            payload = batch.select(payload_names)
+            orig_cols = [c for c in batch.column_names if c != "bucket"]
+            pschema = payload.schema.with_metadata(
+                {b"orig_cols": json.dumps(orig_cols).encode()}
+            )
+            ppath = os.path.join(shuffle_dir, f"payload-{tag}.arrow")
+            ptmp = ppath + f".tmp-{os.getpid()}"
+            with pa.OSFile(ptmp, "wb") as sink, pa.ipc.new_file(
+                sink, pschema, options=opts
+            ) as writer:
+                writer.write_table(
+                    payload.combine_chunks().replace_schema_metadata(pschema.metadata),
+                    max_chunksize=64 * 1024,
+                )
+            os.replace(ptmp, ppath)
+            batch = batch.drop_columns(payload_names)
+
+        out_x, out_n, out_s = [], [], []
         with pa.OSFile(tmp, "wb") as sink, pa.ipc.new_file(sink, batch.schema, options=opts) as writer:
             for s, e in zip(starts.tolist(), ends.tolist()):
                 for off in range(s, e, rg_rows):
@@ -258,6 +303,7 @@ def make_spiller(
                     writer.write_table(batch.slice(off, sz).combine_chunks(), max_chunksize=sz)
                     out_x.append(int(xs[s]))
                     out_n.append(sz)
+                    out_s.append(off)
         os.replace(tmp, fpath)
         raw_col = [raw_rows] + [0] * (len(out_x) - 1)  # attribute once per batch
         return pa.table(
@@ -267,15 +313,63 @@ def make_spiller(
                 "raw_events": pa.array(raw_col, pa.int64()),
                 "file": pa.array([fname] * len(out_x)),
                 "rg": pa.array(range(len(out_x)), pa.int32()),
+                "rg_start": pa.array(out_s, pa.int64()),
             }
         )
 
     return spill
 
 
+def _attach_payload(
+    t: pa.Table, fid_files: list[str], shuffle_dir: str
+) -> pa.Table:
+    """Re-join a folded meta table to its spilled payload sidecars by
+    (file id, row ordinal) — only LWW winners reach here, so payload
+    bytes of superseded rows are read zero times after their one spill
+    write. Gathers are grouped per sidecar (one zero-copy mmap open
+    each) with ordinals pre-sorted, then scattered back to fold order."""
+    if "_cfid" not in t.column_names:
+        return t
+    import json
+
+    from ..state.schema_evolution import unify_tables
+
+    fids = t.column("_cfid").combine_chunks().to_numpy()
+    refs = t.column("_cref").combine_chunks().to_numpy()
+    t = t.drop_columns(["_cfid", "_cref"])
+    if t.num_rows == 0:
+        fname = fid_files[0].replace("block-", "payload-", 1)
+        rd = pa.ipc.open_file(pa.memory_map(os.path.join(shuffle_dir, fname)))
+        for name, col in zip(
+            rd.schema.names, rd.read_all().slice(0, 0).columns
+        ):
+            t = t.append_column(name, col)
+        return t
+    order = np.lexsort((refs, fids))
+    sfids, srefs = fids[order], refs[order]
+    bounds = np.flatnonzero(np.diff(sfids)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(sfids)]))
+    parts, orig_cols = [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        fname = fid_files[int(sfids[s])].replace("block-", "payload-", 1)
+        rd = pa.ipc.open_file(pa.memory_map(os.path.join(shuffle_dir, fname)))
+        for c in json.loads((rd.schema.metadata or {})[b"orig_cols"]):
+            if c not in orig_cols:
+                orig_cols.append(c)
+        parts.append(rd.read_all().take(pa.array(srefs[s:e])))
+    payload = parts[0] if len(parts) == 1 else unify_tables(parts)
+    payload = payload.take(pa.array(np.argsort(order)))
+    for name in payload.column_names:
+        t = t.append_column(name, payload.column(name))
+    sel = [c for c in orig_cols if c in t.column_names]
+    sel += [c for c in t.column_names if c not in sel]
+    return t.select(sel)
+
+
 def _merge_xpart_task(
     shuffle_dir: str,
-    plan: list[tuple[str, int]],
+    plan: list[tuple[str, int] | tuple[str, int, int]],
     bucket_files: dict,
     staging_dir: str,
     key_cols=DEFAULT_KEY,
@@ -382,12 +476,37 @@ def _merge_xpart_task(
     # its last buffer. Resident mappings are therefore bounded by the
     # files of one fold window, not the whole plan — at O(100k) map
     # blocks per 100-TB epoch the task never nears the fd limit.
-    cur_fname, cur_rd = None, None
-    for fname, rg in sorted(plan):
+    fid_files = sorted({item[0] for item in plan})
+    fid_of = {f: i for i, f in enumerate(fid_files)}
+    cur_fname, cur_rd, cur_fid, cur_has_payload, cur_starts = None, None, -1, False, None
+    for item in sorted(plan):
+        fname, rg = item[0], int(item[1])
+        start = int(item[2]) if len(item) > 2 else None
         if fname != cur_fname:
             cur_fname = fname
             cur_rd = pa.ipc.open_file(pa.memory_map(os.path.join(shuffle_dir, fname)))
+            cur_fid = fid_of[fname]
+            cur_has_payload = os.path.exists(
+                os.path.join(shuffle_dir, fname.replace("block-", "payload-", 1))
+            )
+            cur_starts = None
         data = pa.Table.from_batches([cur_rd.get_batch(rg)])
+        if cur_has_payload:
+            if start is None:
+                # legacy 2-tuple plan (tests): reconstruct batch offsets once
+                if cur_starts is None:
+                    sizes = [
+                        cur_rd.get_batch(j).num_rows
+                        for j in range(cur_rd.num_record_batches)
+                    ]
+                    cur_starts = np.concatenate(([0], np.cumsum(sizes)))
+                start = int(cur_starts[rg])
+            n = data.num_rows
+            data = data.append_column(
+                "_cfid", pa.array(np.full(n, cur_fid, dtype=np.int32))
+            ).append_column(
+                "_cref", pa.array(start + np.arange(n, dtype=np.int64))
+            )
         raw.append(data)
         raw_rows += data.num_rows
         if raw_rows >= fold_rows:
@@ -404,6 +523,8 @@ def _merge_xpart_task(
             incoming = acc[b][0]
         else:
             incoming = fold(b)
+        # only the bucket's final winners fetch their payload columns back
+        incoming = _attach_payload(incoming, fid_files, shuffle_dir)
         stats = LwwStats(events_in=events_in[b], rows_out=incoming.num_rows)
         stats.superseded_dropped = events_in[b] - incoming.num_rows
         if op_col in incoming.column_names:
@@ -564,9 +685,11 @@ def replay(
         if os.environ.get("ETL_RS_RAY_STATS"):
             print(spill_ds.stats())
         events_read = sum(int(r["raw_events"]) for r in spilled)
-        plans: dict[int, list[tuple[str, int]]] = {}
+        plans: dict[int, list[tuple[str, int, int]]] = {}
         for r in spilled:
-            plans.setdefault(int(r["xpart"]), []).append((r["file"], int(r["rg"])))
+            plans.setdefault(int(r["xpart"]), []).append(
+                (r["file"], int(r["rg"]), int(r["rg_start"]))
+            )
         if not plans:
             return _noop()
         bucket_files = lake.bucket_file_sets() if mode == "upsert" else {}
