@@ -101,95 +101,17 @@ def _docs_small(sf_dir: str, threshold: int = 200_000) -> bool:
     return _table_rows(sf_dir, "documents") < threshold
 
 
+# TPC-H-style pipelines live in pipelines/tpch.py; re-exported here so the
+# QUERIES dict (the driver contract) and existing imports keep working.
+from .tpch import (  # noqa: E402
+    customer_order_revenue,
+    lineitem_revenue_filter,
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_regional_supplier_volume,
+)
+
 # --- aggregates --------------------------------------------------------------
-
-
-def q1_pricing_summary(sf_dir: str):
-    """TPC-H Q1-style groupby aggregate over lineitem (columns pruned at
-    the read). The group domain is BOUNDED (returnflag x linestatus ≈ 6
-    groups), so this is partial-aggregate-then-gather: each batch folds to
-    ≤6 partial rows (sums + counts, Mean decomposed as sum/count), and one
-    final block merges them — no keyed shuffle at any scale."""
-    ds = _read(
-        sf_dir,
-        "lineitem",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-    keys = ["l_returnflag", "l_linestatus"]
-
-    def partial(b: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(b, keys).aggregate(
-            [
-                ("l_quantity", "sum"),
-                ("l_extendedprice", "sum"),
-                ("l_discount", "sum"),
-                # avg() skips nulls (valid count) but count(*) doesn't
-                ("l_discount", "count"),
-                ("l_discount", "count", pc.CountOptions(mode="all")),
-            ]
-        )
-        return g.rename_columns(
-            keys + ["sum_qty", "sum_base_price", "sum_disc", "n_disc", "count_order"]
-        )
-
-    def merge(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, keys).aggregate(
-            [
-                ("sum_qty", "sum"),
-                ("sum_base_price", "sum"),
-                ("sum_disc", "sum"),
-                ("n_disc", "sum"),
-                ("count_order", "sum"),
-            ]
-        )
-        n = g.column("n_disc_sum")
-        # parallel float reduction order differs from DuckDB's by ~1e-6 on
-        # 1e9-magnitude sums; round to cents / 6dp on BOTH sides so the
-        # driver's value hash compares stably
-        return pa.table(
-            {
-                "l_returnflag": g.column("l_returnflag"),
-                "l_linestatus": g.column("l_linestatus"),
-                "sum_qty": g.column("sum_qty_sum"),
-                "sum_base_price": pc.round(g.column("sum_base_price_sum"), ndigits=2),
-                "avg_disc": pc.round(
-                    pc.divide(g.column("sum_disc_sum"), pc.cast(n, pa.float64())), ndigits=6
-                ),
-                "count_order": g.column("count_order_sum"),
-            }
-        )
-
-    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.repartition(1).map_batches(
-        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
-
-
-def lineitem_revenue_filter(sf_dir: str):
-    """Filter + computed projection with column pruning at the read."""
-    ds = _read(
-        sf_dir,
-        "lineitem",
-        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-
-    def fn(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch.column("l_quantity"), 45.0))
-        revenue = pc.multiply(
-            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
-        )
-        return pa.table(
-            {
-                "l_orderkey": batch.column("l_orderkey"),
-                "l_linenumber": batch.column("l_linenumber"),
-                "revenue": revenue,
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
-# --- CDC-style operators over the events stream ------------------------------
 
 
 def events_lww_state(sf_dir: str):
@@ -288,83 +210,6 @@ def orders_topk(sf_dir: str):
 
 
 # --- joins -------------------------------------------------------------------
-
-
-def customer_order_revenue(sf_dir: str):
-    """Inner join + aggregate: revenue per customer.
-
-    Eager aggregation below the join: orders are partial-aggregated per
-    batch down to one row per custkey FIRST, so whatever join mechanism
-    follows moves ~|customers| rows, never |orders| rows. The join itself
-    is a tagged union: customer rows and order-partials share one schema,
-    and a single grouped pass merges them (Max picks the name, Sum folds
-    the partials); inner-join semantics = keep keys seen on both sides.
-    Small inputs take the partial-aggregate-then-gather path (one final
-    merge block, no keyed shuffle — same gate as the events queries); big
-    inputs run the same union through one hash-shuffle groupby.
-    """
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-
-    def o_partial(b: pa.Table) -> pa.Table:
-        t = pa.TableGroupBy(b, "o_custkey").aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
-        )
-        return pa.table(
-            {
-                "c_custkey": t.column("o_custkey"),
-                "c_name": pa.nulls(t.num_rows, pa.string()),
-                "revenue": t.column("o_totalprice_sum"),
-                "order_count": t.column("o_totalprice_count").cast(pa.int64()),
-            }
-        )
-
-    def c_tag(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": b.column("c_custkey"),
-                "c_name": b.column("c_name"),
-                "revenue": pa.nulls(b.num_rows, pa.float64()),
-                "order_count": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-            }
-        )
-
-    def merge(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "c_custkey").aggregate(
-            [("c_name", "max"), ("revenue", "sum"), ("order_count", "sum")]
-        )
-        keep = pc.and_(
-            pc.is_valid(g.column("c_name_max")), pc.greater(g.column("order_count_sum"), 0)
-        )
-        g = g.filter(keep)
-        # integer cents: immune to ulp-level differences in parallel float
-        # reduction order (sum of 2dp prices x100 sits ~1e-6 from an int)
-        cents = pc.cast(pc.round(pc.multiply(g.column("revenue_sum"), 100.0)), pa.int64())
-        return pa.table(
-            {
-                "c_custkey": g.column("c_custkey"),
-                "c_name": g.column("c_name_max"),
-                "revenue_cents": cents,
-                "order_count": g.column("order_count_sum"),
-            }
-        )
-
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    u = orders.map_batches(o_partial, batch_format="pyarrow", zero_copy_batch=True).union(
-        cust.map_batches(c_tag, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    if _table_rows(sf_dir, "customer") < 2_000_000:
-        # union fits one merge block: gather, no keyed shuffle
-        return u.repartition(1).map_batches(
-            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-    u = _hash_shuffle(u)
-    nparts = _partitions(rows=_table_rows(sf_dir, "customer"))
-    # merge() folds via TableGroupBy, so one whole-block call per hash
-    # partition does all its groups at once (map_groups would pay one
-    # python call per customer)
-    return u.repartition(num_blocks=nparts, keys=["c_custkey"]).map_batches(
-        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
 
 
 def customers_without_orders(sf_dir: str):
@@ -1228,6 +1073,13 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
 
 
+def _cents_vs_props_k(b: pa.Table):
+    """(value-cents, props.k) int64 pair for the moment-based stats."""
+    x = _cents(b.column("value"))
+    s = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+    return x, pc.cast(pc.struct_field(s, "k"), pa.int64())
+
+
 def events_scd2_history(sf_dir: str):
     """SCD2 (slowly-changing-dimension type-2) history materialization
     from the change stream — the canonical CDC output the LWW state
@@ -1775,344 +1627,6 @@ def events_gapfill_locf(sf_dir: str):
     )
 
 
-def _micro_revenue(b: pa.Table) -> pa.ChunkedArray:
-    # per-row revenue = extendedprice * (1 - discount), quantized to
-    # integer micro-units so parallel fold order cannot flip the sum
-    # (2dp x 2dp inputs put x*1e6 ~50 units from any .5 boundary)
-    rev = pc.multiply(
-        b.column("l_extendedprice"), pc.subtract(1.0, b.column("l_discount"))
-    )
-    return pc.cast(pc.round(pc.multiply(rev, 1_000_000.0)), pa.int64())
-
-
-def q3_shipping_priority(sf_dir: str):
-    """TPC-H Q3-style 3-way join + grouped revenue + top-10: customers in
-    one market segment, orders placed before a date, lineitems shipped
-    after it. Distributed shape: the (filtered) customer keyset never
-    joins — it broadcast-semi-filters orders map-side; lineitem revenue
-    is partial-aggregated to one row per orderkey per batch BEFORE the
-    join, so the tagged-union merge moves ~|orders| rows, never
-    |lineitem| rows. Merged blocks emit their local top-10 and one final
-    block picks the global top-10 — no global range sort."""
-    from ..stages.joins import broadcast_semi_join
-
-    cutoff = pa.scalar(np.datetime64("1998-06-01T00:00:00", "us"), pa.timestamp("us"))
-    orders = _read(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(
-        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    cust_keys = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .filter(expr="c_mktsegment == 'BUILDING'")
-        .select_columns(["c_custkey"])
-    )
-    n_cust = _table_rows(sf_dir, "customer")
-    if n_cust < 2_000_000:
-        orders = broadcast_semi_join(orders, cust_keys, on="o_custkey")
-    else:
-        # keyset too big for a plain is_in broadcast: Bloom prefilter
-        # sized to the keyset (m/n ~ 16 -> ~0.24% FPR, capped at a
-        # 128 MiB bitmap) + exact verification of the survivors through
-        # the keyed-SHUFFLE tier — the distinct keyset never broadcasts
-        # either
-        import math
-
-        from ..stages.joins import bloom_semi_join
-
-        bits = min(30, max(20, math.ceil(math.log2(max(n_cust, 1) * 16))))
-        orders = bloom_semi_join(
-            orders, cust_keys, on="o_custkey", dim_key="c_custkey",
-            bits_log2=bits, verify="shuffle",
-        )
-
-    li = _read(
-        sf_dir,
-        "lineitem",
-        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
-    ).map_batches(
-        lambda b: b.filter(pc.greater(b.column("l_shipdate"), cutoff)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    def li_partial(b: pa.Table) -> pa.Table:
-        t = pa.table(
-            {"l_orderkey": b.column("l_orderkey"), "revenue_micro": _micro_revenue(b)}
-        )
-        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("revenue_micro", "sum")])
-        return pa.table(
-            {
-                "l_orderkey": g.column("l_orderkey"),
-                "revenue_micro": g.column("revenue_micro_sum"),
-                "o_orderdate": pa.nulls(g.num_rows, pa.timestamp("us")),
-                "o_orderpriority": pa.nulls(g.num_rows, pa.string()),
-            }
-        )
-
-    def o_tag(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_orderkey": b.column("o_orderkey"),
-                "revenue_micro": pa.nulls(b.num_rows, pa.int64()),
-                "o_orderdate": b.column("o_orderdate"),
-                "o_orderpriority": b.column("o_orderpriority"),
-            }
-        )
-
-    def topk(t: pa.Table, k: int = 10) -> pa.Table:
-        idx = pc.sort_indices(
-            t, sort_keys=[("revenue_micro", "descending"), ("l_orderkey", "ascending")]
-        )
-        return t.take(idx[:k])
-
-    def merge(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "l_orderkey").aggregate(
-            [("revenue_micro", "sum"), ("o_orderdate", "max"), ("o_orderpriority", "max")]
-        )
-        keep = pc.and_(
-            pc.is_valid(g.column("o_orderdate_max")),
-            pc.is_valid(g.column("revenue_micro_sum")),
-        )
-        g = g.filter(keep)
-        out = pa.table(
-            {
-                "l_orderkey": g.column("l_orderkey"),
-                "revenue_micro": g.column("revenue_micro_sum"),
-                "o_orderdate": g.column("o_orderdate_max"),
-                "o_orderpriority": g.column("o_orderpriority_max"),
-            }
-        )
-        return topk(out)
-
-    u = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
-        orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    if _table_rows(sf_dir, "orders") < 2_000_000:
-        merged = u.repartition(1).map_batches(
-            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-    else:
-        u = _hash_shuffle(u)
-        nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
-        merged = u.repartition(num_blocks=nparts, keys=["l_orderkey"]).map_batches(
-            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-    # merged blocks are already local top-10s; one tiny final pass
-    from ..util import drop_empty_blocks
-
-    return drop_empty_blocks(
-        merged.repartition(1).map_batches(
-            lambda t: topk(t), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-    )
-
-
-def q5_regional_supplier_volume(sf_dir: str):
-    """TPC-H Q5-style 6-table join with a nation-equality condition
-    (customer's nation == supplier's nation, both in one region).
-    Distributed shape: region/nation/supplier/customer are dimension
-    lookups broadcast once (ray.put) and applied map-side — at true
-    scale customer would flip to the tagged-union hash join like
-    customer_order_revenue; the two BIG tables (orders, lineitem) never
-    broadcast. Lineitem is partial-aggregated per batch to one row per
-    (orderkey, supplier-nation) before the keyed merge, which compares
-    each order's customer-nation against its lineitems' supplier-nations
-    and folds matching revenue per nation — block-local partials, one
-    tiny final fold."""
-    from ..stages.joins import broadcast_lookup_join
-
-    nat = pa.Table.from_pylist(
-        _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).take_all()
-    )
-    reg = pa.Table.from_pylist(
-        _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
-    )
-    asia = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column("r_regionkey")
-    nat = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=asia.combine_chunks()))
-    nat_keys = nat.column("n_nationkey").combine_chunks()
-
-    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"), pa.timestamp("us"))
-    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"), pa.timestamp("us"))
-    orders = _read(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(
-        lambda b: b.filter(
-            pc.and_(
-                pc.greater_equal(b.column("o_orderdate"), lo),
-                pc.less(b.column("o_orderdate"), hi),
-            )
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    nat_keys32 = nat_keys.cast(pa.int32())
-    if _table_rows(sf_dir, "customer") < 2_000_000:
-        # small dimension: one broadcast, applied map-side
-        orders = broadcast_lookup_join(
-            orders, cust, on="o_custkey", dim_key="c_custkey",
-            take_cols={"c_nationkey": "c_nationkey"}, how="inner",
-        ).map_batches(
-            lambda b: b.filter(pc.is_in(b.column("c_nationkey"), value_set=nat_keys32)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    else:
-        # customer too big to broadcast: attach c_nationkey through the
-        # shuffle-tier lookup join (stages/joins.keyed_lookup_join) —
-        # nothing big ever broadcasts. The dimension is pre-filtered to
-        # the region's nations so non-matching customers never shuffle;
-        # partitions sized by the DOMINANT side (orders)
-        from ..stages.joins import keyed_lookup_join
-
-        cust_r = cust.map_batches(
-            lambda b: b.filter(
-                pc.is_in(b.column("c_nationkey").cast(pa.int32()), value_set=nat_keys32)
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        orders = keyed_lookup_join(
-            orders.select_columns(["o_orderkey", "o_custkey"]),
-            cust_r,
-            on="o_custkey",
-            dim_key="c_custkey",
-            take_cols={"c_nationkey": "c_nationkey"},
-            how="inner",
-            num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")),
-        )
-
-    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    li = _read(
-        sf_dir, "lineitem",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-    if _table_rows(sf_dir, "supplier") < 2_000_000:
-        li = broadcast_lookup_join(
-            li, sup, on="l_suppkey", dim_key="s_suppkey",
-            take_cols={"s_nationkey": "s_nationkey"}, how="inner",
-        )
-    else:
-        # supplier too big to broadcast: shuffle-tier lookup join on
-        # suppkey BEFORE the revenue partials; the dimension is
-        # pre-filtered to the region's nations so ~(1 - 1/|regions|) of
-        # lineitem drops at the attach, not later
-        from ..stages.joins import keyed_lookup_join
-
-        sup_r = sup.map_batches(
-            lambda b: b.filter(
-                pc.is_in(b.column("s_nationkey").cast(pa.int32()), value_set=nat_keys32)
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        li = keyed_lookup_join(
-            li,
-            sup_r,
-            on="l_suppkey",
-            dim_key="s_suppkey",
-            take_cols={"s_nationkey": "s_nationkey"},
-            how="inner",
-            num_partitions=_partitions(rows=_table_rows(sf_dir, "lineitem")),
-        )
-
-    def li_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(
-            pc.is_in(b.column("s_nationkey").cast(pa.int32()), value_set=nat_keys32)
-        )
-        t = pa.table(
-            {
-                "okey": b.column("l_orderkey"),
-                "s_nat": b.column("s_nationkey").cast(pa.int32()),
-                "revenue_micro": _micro_revenue(b),
-            }
-        )
-        g = pa.TableGroupBy(t, ["okey", "s_nat"]).aggregate([("revenue_micro", "sum")])
-        return pa.table(
-            {
-                "okey": g.column("okey"),
-                "s_nat": g.column("s_nat"),
-                "c_nat": pa.nulls(g.num_rows, pa.int32()),
-                "revenue_micro": g.column("revenue_micro_sum"),
-            }
-        )
-
-    def o_tag(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "okey": b.column("o_orderkey"),
-                "s_nat": pa.nulls(b.num_rows, pa.int32()),
-                "c_nat": b.column("c_nationkey").cast(pa.int32()),
-                "revenue_micro": pa.nulls(b.num_rows, pa.int64()),
-            }
-        )
-
-    def merge(t: pa.Table) -> pa.Table:
-        # split the tagged union: one orders row per okey carries c_nat
-        t = t.combine_chunks()
-        o = t.filter(pc.is_valid(t.column("c_nat")))
-        l = t.filter(pc.is_valid(t.column("s_nat")))
-        pos = pc.index_in(
-            l.column("okey").combine_chunks(), value_set=o.column("okey").combine_chunks()
-        )
-        c_nat = o.column("c_nat").combine_chunks().take(pos)
-        keep = pc.and_kleene(
-            pc.is_valid(pos), pc.equal(l.column("s_nat").combine_chunks(), c_nat)
-        )
-        l = l.filter(pc.fill_null(keep, False))
-        g = pa.TableGroupBy(
-            pa.table(
-                {"n_nationkey": l.column("s_nat"), "revenue_micro": l.column("revenue_micro")}
-            ),
-            "n_nationkey",
-        ).aggregate([("revenue_micro", "sum")])
-        return pa.table(
-            {
-                "n_nationkey": g.column("n_nationkey"),
-                "revenue_micro": g.column("revenue_micro_sum"),
-            }
-        )
-
-    u = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
-        orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    if _table_rows(sf_dir, "orders") < 2_000_000:
-        partials = u.repartition(1).map_batches(
-            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-    else:
-        u = _hash_shuffle(u)
-        nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
-        partials = u.repartition(num_blocks=nparts, keys=["okey"]).map_batches(
-            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-
-    names = dict(
-        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "n_nationkey").aggregate([("revenue_micro", "sum")])
-        keys = g.column("n_nationkey").to_pylist()
-        return pa.table(
-            {
-                "n_name": pa.array([names[k] for k in keys], pa.string()),
-                "revenue_micro": g.column("revenue_micro_sum"),
-            }
-        )
-
-    from ..util import drop_empty_blocks
-
-    return drop_empty_blocks(
-        partials.repartition(1).map_batches(
-            finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-    )
-
-
 def parts_skyline(sf_dir: str):
     """2-D skyline (Pareto frontier): parts where no other part is both
     cheaper-or-equal and larger-or-equal (strict in one). Per-block
@@ -2213,55 +1727,10 @@ def events_value_corr(sf_dir: str):
     from the identical integer moments with the identical double
     expression on both sides (IEEE ops on equal inputs are bit-equal).
     Zero-variance groups emit NULL like SQL's division by zero."""
+    from ..stages.stats import grouped_pearson
+
     ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        x = _cents(b.column("value"))
-        s = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
-        y = pc.cast(pc.struct_field(s, "k"), pa.int64())
-        t = pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-                "sx": x,
-                "sy": y,
-                "sxx": pc.multiply(x, x),
-                "syy": pc.multiply(y, y),
-                "sxy": pc.multiply(x, y),
-            }
-        )
-        g = pa.TableGroupBy(t, "event_type").aggregate(
-            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
-        )
-        return g.rename_columns(
-            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"]
-        )
-
-    def fold(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "event_type").aggregate(
-            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
-        )
-        g = g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
-        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        sx = g.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
-        sy = g.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
-        sxx = g.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
-        syy = g.column("syy").to_numpy(zero_copy_only=False).astype(np.float64)
-        sxy = g.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
-        denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            corr = (n * sxy - sx * sy) / denom
-        return g.append_column(
-            "corr", pa.array(np.where(denom == 0.0, np.nan, corr), pa.float64(), mask=(denom == 0.0))
-        )
-
-    from ..util import drop_empty_blocks
-
-    return drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    )
+    return grouped_pearson(ds, "event_type", _cents_vs_props_k)
 
 
 def events_cdc_diff(sf_dir: str):
@@ -2744,59 +2213,11 @@ def events_value_regression(sf_dir: str):
     identical-IEEE final expression on both sides (the normal-equation
     solve for one regressor is closed-form). Zero-variance groups emit
     NULL like SQL division by zero."""
+    from ..stages.stats import grouped_ols
+
     ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        y = _cents(b.column("value"))
-        s = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
-        x = pc.cast(pc.struct_field(s, "k"), pa.int64())
-        t = pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-                "sx": x,
-                "sy": y,
-                "sxx": pc.multiply(x, x),
-                "sxy": pc.multiply(x, y),
-            }
-        )
-        g = pa.TableGroupBy(t, "event_type").aggregate(
-            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "sxy"]]
-        )
-        return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
-
-    def fold(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "event_type").aggregate(
-            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "sxy"]]
-        )
-        g = g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
-        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        sx = g.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
-        sy = g.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
-        sxx = g.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
-        sxy = g.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
-        denom = n * sxx - sx * sx
-        with np.errstate(divide="ignore", invalid="ignore"):
-            slope = (n * sxy - sx * sy) / denom
-            intercept = (sy - slope * sx) / n
-        bad = denom == 0.0
-        return pa.table(
-            {
-                "event_type": g.column("event_type"),
-                "n": g.column("n"),
-                "slope": pa.array(np.where(bad, np.nan, slope), pa.float64(), mask=bad),
-                "intercept": pa.array(
-                    np.where(bad, np.nan, intercept), pa.float64(), mask=bad
-                ),
-            }
-        )
-
-    from ..util import drop_empty_blocks
-
-    return drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return grouped_ols(
+        ds, "event_type", lambda b: _cents_vs_props_k(b)[::-1]
     )
 
 
@@ -2807,10 +2228,7 @@ def events_winsorized_stats(sf_dir: str):
     sum/count per event type. The caps table is tiny (one row per
     group) and broadcasts; everything stays integer-exact, so the SQL
     mirror is bit-for-bit."""
-    import ray as _ray
-
-    from ..stages.grouping import grouped_quantiles_discrete
-    from ..util import drop_empty_blocks
+    from ..stages.stats import winsorized_group_stats
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
@@ -2820,41 +2238,7 @@ def events_winsorized_stats(sf_dir: str):
         )
 
     q = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
-    caps = pa.Table.from_pylist(
-        grouped_quantiles_discrete(q, "event_type", "cents", [0.05, 0.95]).take_all()
-    )
-    lo = dict(zip(caps.column("event_type").to_pylist(), caps.column("p005").to_pylist()))
-    hi = dict(zip(caps.column("event_type").to_pylist(), caps.column("p095").to_pylist()))
-    gkeys = pa.array(sorted(lo), pa.string())
-    lo_arr = pa.array([lo[k] for k in sorted(lo)], pa.int64())
-    hi_arr = pa.array([hi[k] for k in sorted(hi)], pa.int64())
-    ref = _ray.put((gkeys, lo_arr, hi_arr))
-
-    def partial(b: pa.Table) -> pa.Table:
-        ks, los, his = _ray.get(ref)
-        pos = pc.index_in(b.column("event_type"), value_set=ks)
-        l = los.take(pos)
-        h = his.take(pos)
-        w = pc.min_element_wise(pc.max_element_wise(b.column("cents"), l), h)
-        t = pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "w": w,
-                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-            }
-        )
-        g = pa.TableGroupBy(t, "event_type").aggregate([("w", "sum"), ("one", "sum")])
-        return g.rename_columns(["event_type", "wsum", "n"])
-
-    def fold(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "event_type").aggregate([("wsum", "sum"), ("n", "sum")])
-        return g.rename_columns(["event_type", "winsorized_cents", "n"])
-
-    return drop_empty_blocks(
-        q.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    )
+    return winsorized_group_stats(q, "event_type", "cents", 0.05, 0.95)
 
 
 def events_interval_coalesce(sf_dir: str):
@@ -2891,8 +2275,9 @@ def events_profile(sf_dir: str):
     one fold unions them — for a column whose domain won't fit a block,
     swap the exact distinct for the HLL sketch (stages/sketches.py),
     same plumbing."""
+    from ..stages.stats import profile_columns
+
     ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
-    COLS = ["event_type", "user_id", "value_cents"]
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -2903,65 +2288,10 @@ def events_profile(sf_dir: str):
             }
         )
 
-    def partial(b: pa.Table) -> pa.Table:
-        out = []
-        for c in COLS:
-            col = b.column(c)
-            u = pc.unique(pc.drop_null(col))
-            out.append(
-                {
-                    "column": c,
-                    "n": b.num_rows,
-                    "nulls": col.null_count,
-                    "uniques": [str(x) for x in u.to_pylist()],
-                    "vmin": str(pc.min(col).as_py()) if b.num_rows - col.null_count else None,
-                    "vmax": str(pc.max(col).as_py()) if b.num_rows - col.null_count else None,
-                }
-            )
-        return pa.Table.from_pylist(
-            out,
-            schema=pa.schema(
-                [
-                    ("column", pa.string()),
-                    ("n", pa.int64()),
-                    ("nulls", pa.int64()),
-                    ("uniques", pa.list_(pa.string())),
-                    ("vmin", pa.string()),
-                    ("vmax", pa.string()),
-                ]
-            ),
-        )
-
-    def fold(t: pa.Table) -> pa.Table:
-        out = []
-        for c in COLS:
-            rows = t.filter(pc.equal(t.column("column"), c))
-            uniq = set()
-            for lst in rows.column("uniques").to_pylist():
-                uniq.update(lst)
-            mins = [x for x in rows.column("vmin").to_pylist() if x is not None]
-            maxs = [x for x in rows.column("vmax").to_pylist() if x is not None]
-            is_num = c != "event_type"
-            key = (lambda v: int(v)) if is_num else (lambda v: v)
-            out.append(
-                {
-                    "column": c,
-                    "n": int(pc.sum(rows.column("n")).as_py() or 0),
-                    "nulls": int(pc.sum(rows.column("nulls")).as_py() or 0),
-                    "n_distinct": len(uniq),
-                    "vmin": min(mins, key=key) if mins else None,
-                    "vmax": max(maxs, key=key) if maxs else None,
-                }
-            )
-        return pa.Table.from_pylist(out)
-
-    from ..util import drop_empty_blocks
-
-    return drop_empty_blocks(
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return profile_columns(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        cols=["event_type", "user_id", "value_cents"],
+        numeric=["user_id", "value_cents"],
     )
 
 
@@ -3022,43 +2352,18 @@ def events_mode_value(sf_dir: str):
     (group, value) count partials — the |rows| -> |distinct pairs|
     reduction — one fold, then a vectorized per-group argmax by sort +
     first-per-key mask."""
+    from ..stages.stats import grouped_mode
+
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table(
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
             {"event_type": b.column("event_type"), "v": _cents(b.column("value"))}
         )
-        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "v", "c"])
 
-    def fold(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([("c", "sum")])
-        g = g.rename_columns(["event_type", "v", "c"])
-        idx = pc.sort_indices(
-            g,
-            sort_keys=[
-                ("event_type", "ascending"),
-                ("c", "descending"),
-                ("v", "ascending"),
-            ],
-        )
-        g = g.take(idx)
-        first = _first_per_key_mask(g, ("event_type",))
-        g = g.filter(first)
-        return pa.table(
-            {
-                "event_type": g.column("event_type"),
-                "mode_cents": g.column("v"),
-                "mode_count": g.column("c"),
-            }
-        )
-
-    from ..util import drop_empty_blocks
-
-    return drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return grouped_mode(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "v", out_value="mode_cents", out_count="mode_count",
     )
 
 

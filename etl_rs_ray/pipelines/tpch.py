@@ -1,0 +1,532 @@
+"""TPC-H-style benchmark pipelines (Q1/Q3/Q5 shapes plus the
+customer-order revenue join), split out of pipelines/queries.py.
+
+Each pipeline documents its scale strategy inline: bounded-domain
+partial-aggregate-then-gather for Q1, size-gated broadcast joins with
+tagged-union keyed-merge / Bloom shuffle fallbacks for Q3/Q5 (forced-big-
+path tested in tests/test_queries_big_path.py). Helper gates resolve
+through pipelines/queries.py AT CALL TIME so the big-path suite's
+monkeypatching of ``queries._table_rows`` / ``queries._docs_small``
+governs these pipelines too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _queries_mod():
+    from . import queries
+
+    return queries
+
+
+def _read(*a, **k):
+    return _queries_mod()._read(*a, **k)
+
+
+def _table_rows(*a, **k):
+    return _queries_mod()._table_rows(*a, **k)
+
+
+def _partitions(*a, **k):
+    return _queries_mod()._partitions(*a, **k)
+
+
+def _hash_shuffle(ds):
+    return _queries_mod()._hash_shuffle(ds)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style groupby aggregate over lineitem (columns pruned at
+    the read). The group domain is BOUNDED (returnflag x linestatus ≈ 6
+    groups), so this is partial-aggregate-then-gather: each batch folds to
+    ≤6 partial rows (sums + counts, Mean decomposed as sum/count), and one
+    final block merges them — no keyed shuffle at any scale."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, keys).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("l_discount", "sum"),
+                # avg() skips nulls (valid count) but count(*) doesn't
+                ("l_discount", "count"),
+                ("l_discount", "count", pc.CountOptions(mode="all")),
+            ]
+        )
+        return g.rename_columns(
+            keys + ["sum_qty", "sum_base_price", "sum_disc", "n_disc", "count_order"]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, keys).aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_base_price", "sum"),
+                ("sum_disc", "sum"),
+                ("n_disc", "sum"),
+                ("count_order", "sum"),
+            ]
+        )
+        n = g.column("n_disc_sum")
+        # parallel float reduction order differs from DuckDB's by ~1e-6 on
+        # 1e9-magnitude sums; round to cents / 6dp on BOTH sides so the
+        # driver's value hash compares stably
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("sum_qty_sum"),
+                "sum_base_price": pc.round(g.column("sum_base_price_sum"), ndigits=2),
+                "avg_disc": pc.round(
+                    pc.divide(g.column("sum_disc_sum"), pc.cast(n, pa.float64())), ndigits=6
+                ),
+                "count_order": g.column("count_order_sum"),
+            }
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+def lineitem_revenue_filter(sf_dir: str):
+    """Filter + computed projection with column pruning at the read."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_quantity"), 45.0))
+        revenue = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- CDC-style operators over the events stream ------------------------------
+def customer_order_revenue(sf_dir: str):
+    """Inner join + aggregate: revenue per customer.
+
+    Eager aggregation below the join: orders are partial-aggregated per
+    batch down to one row per custkey FIRST, so whatever join mechanism
+    follows moves ~|customers| rows, never |orders| rows. The join itself
+    is a tagged union: customer rows and order-partials share one schema,
+    and a single grouped pass merges them (Max picks the name, Sum folds
+    the partials); inner-join semantics = keep keys seen on both sides.
+    Small inputs take the partial-aggregate-then-gather path (one final
+    merge block, no keyed shuffle — same gate as the events queries); big
+    inputs run the same union through one hash-shuffle groupby.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(b, "o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": pa.nulls(t.num_rows, pa.string()),
+                "revenue": t.column("o_totalprice_sum"),
+                "order_count": t.column("o_totalprice_count").cast(pa.int64()),
+            }
+        )
+
+    def c_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "revenue": pa.nulls(b.num_rows, pa.float64()),
+                "order_count": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "c_custkey").aggregate(
+            [("c_name", "max"), ("revenue", "sum"), ("order_count", "sum")]
+        )
+        keep = pc.and_(
+            pc.is_valid(g.column("c_name_max")), pc.greater(g.column("order_count_sum"), 0)
+        )
+        g = g.filter(keep)
+        # integer cents: immune to ulp-level differences in parallel float
+        # reduction order (sum of 2dp prices x100 sits ~1e-6 from an int)
+        cents = pc.cast(pc.round(pc.multiply(g.column("revenue_sum"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "c_name": g.column("c_name_max"),
+                "revenue_cents": cents,
+                "order_count": g.column("order_count_sum"),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    u = orders.map_batches(o_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        cust.map_batches(c_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        # union fits one merge block: gather, no keyed shuffle
+        return u.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    u = _hash_shuffle(u)
+    nparts = _partitions(rows=_table_rows(sf_dir, "customer"))
+    # merge() folds via TableGroupBy, so one whole-block call per hash
+    # partition does all its groups at once (map_groups would pay one
+    # python call per customer)
+    return u.repartition(num_blocks=nparts, keys=["c_custkey"]).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+def _micro_revenue(b: pa.Table) -> pa.ChunkedArray:
+    # per-row revenue = extendedprice * (1 - discount), quantized to
+    # integer micro-units so parallel fold order cannot flip the sum
+    # (2dp x 2dp inputs put x*1e6 ~50 units from any .5 boundary)
+    rev = pc.multiply(
+        b.column("l_extendedprice"), pc.subtract(1.0, b.column("l_discount"))
+    )
+    return pc.cast(pc.round(pc.multiply(rev, 1_000_000.0)), pa.int64())
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style 3-way join + grouped revenue + top-10: customers in
+    one market segment, orders placed before a date, lineitems shipped
+    after it. Distributed shape: the (filtered) customer keyset never
+    joins — it broadcast-semi-filters orders map-side; lineitem revenue
+    is partial-aggregated to one row per orderkey per batch BEFORE the
+    join, so the tagged-union merge moves ~|orders| rows, never
+    |lineitem| rows. Merged blocks emit their local top-10 and one final
+    block picks the global top-10 — no global range sort."""
+    from ..stages.joins import broadcast_semi_join
+
+    cutoff = pa.scalar(np.datetime64("1998-06-01T00:00:00", "us"), pa.timestamp("us"))
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust_keys = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    n_cust = _table_rows(sf_dir, "customer")
+    if n_cust < 2_000_000:
+        orders = broadcast_semi_join(orders, cust_keys, on="o_custkey")
+    else:
+        # keyset too big for a plain is_in broadcast: Bloom prefilter
+        # sized to the keyset (m/n ~ 16 -> ~0.24% FPR, capped at a
+        # 128 MiB bitmap) + exact verification of the survivors through
+        # the keyed-SHUFFLE tier — the distinct keyset never broadcasts
+        # either
+        import math
+
+        from ..stages.joins import bloom_semi_join
+
+        bits = min(30, max(20, math.ceil(math.log2(max(n_cust, 1) * 16))))
+        orders = bloom_semi_join(
+            orders, cust_keys, on="o_custkey", dim_key="c_custkey",
+            bits_log2=bits, verify="shuffle",
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_shipdate"), cutoff)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "revenue_micro": _micro_revenue(b)}
+        )
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("revenue_micro", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "revenue_micro": g.column("revenue_micro_sum"),
+                "o_orderdate": pa.nulls(g.num_rows, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(g.num_rows, pa.string()),
+            }
+        )
+
+    def o_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("o_orderkey"),
+                "revenue_micro": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderdate": b.column("o_orderdate"),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    def topk(t: pa.Table, k: int = 10) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_micro", "descending"), ("l_orderkey", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("revenue_micro", "sum"), ("o_orderdate", "max"), ("o_orderpriority", "max")]
+        )
+        keep = pc.and_(
+            pc.is_valid(g.column("o_orderdate_max")),
+            pc.is_valid(g.column("revenue_micro_sum")),
+        )
+        g = g.filter(keep)
+        out = pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "revenue_micro": g.column("revenue_micro_sum"),
+                "o_orderdate": g.column("o_orderdate_max"),
+                "o_orderpriority": g.column("o_orderpriority_max"),
+            }
+        )
+        return topk(out)
+
+    u = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        merged = u.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        u = _hash_shuffle(u)
+        nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
+        merged = u.repartition(num_blocks=nparts, keys=["l_orderkey"]).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    # merged blocks are already local top-10s; one tiny final pass
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        merged.repartition(1).map_batches(
+            lambda t: topk(t), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+def q5_regional_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style 6-table join with a nation-equality condition
+    (customer's nation == supplier's nation, both in one region).
+    Distributed shape: region/nation/supplier/customer are dimension
+    lookups broadcast once (ray.put) and applied map-side — at true
+    scale customer would flip to the tagged-union hash join like
+    customer_order_revenue; the two BIG tables (orders, lineitem) never
+    broadcast. Lineitem is partial-aggregated per batch to one row per
+    (orderkey, supplier-nation) before the keyed merge, which compares
+    each order's customer-nation against its lineitems' supplier-nations
+    and folds matching revenue per nation — block-local partials, one
+    tiny final fold."""
+    from ..stages.joins import broadcast_lookup_join
+
+    nat = pa.Table.from_pylist(
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    )
+    reg = pa.Table.from_pylist(
+        _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
+    )
+    asia = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column("r_regionkey")
+    nat = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=asia.combine_chunks()))
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"), pa.timestamp("us"))
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat_keys32 = nat_keys.cast(pa.int32())
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        # small dimension: one broadcast, applied map-side
+        orders = broadcast_lookup_join(
+            orders, cust, on="o_custkey", dim_key="c_custkey",
+            take_cols={"c_nationkey": "c_nationkey"}, how="inner",
+        ).map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_nationkey"), value_set=nat_keys32)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        # customer too big to broadcast: attach c_nationkey through the
+        # shuffle-tier lookup join (stages/joins.keyed_lookup_join) —
+        # nothing big ever broadcasts. The dimension is pre-filtered to
+        # the region's nations so non-matching customers never shuffle;
+        # partitions sized by the DOMINANT side (orders)
+        from ..stages.joins import keyed_lookup_join
+
+        cust_r = cust.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("c_nationkey").cast(pa.int32()), value_set=nat_keys32)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        orders = keyed_lookup_join(
+            orders.select_columns(["o_orderkey", "o_custkey"]),
+            cust_r,
+            on="o_custkey",
+            dim_key="c_custkey",
+            take_cols={"c_nationkey": "c_nationkey"},
+            how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")),
+        )
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    if _table_rows(sf_dir, "supplier") < 2_000_000:
+        li = broadcast_lookup_join(
+            li, sup, on="l_suppkey", dim_key="s_suppkey",
+            take_cols={"s_nationkey": "s_nationkey"}, how="inner",
+        )
+    else:
+        # supplier too big to broadcast: shuffle-tier lookup join on
+        # suppkey BEFORE the revenue partials; the dimension is
+        # pre-filtered to the region's nations so ~(1 - 1/|regions|) of
+        # lineitem drops at the attach, not later
+        from ..stages.joins import keyed_lookup_join
+
+        sup_r = sup.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("s_nationkey").cast(pa.int32()), value_set=nat_keys32)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        li = keyed_lookup_join(
+            li,
+            sup_r,
+            on="l_suppkey",
+            dim_key="s_suppkey",
+            take_cols={"s_nationkey": "s_nationkey"},
+            how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "lineitem")),
+        )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.is_in(b.column("s_nationkey").cast(pa.int32()), value_set=nat_keys32)
+        )
+        t = pa.table(
+            {
+                "okey": b.column("l_orderkey"),
+                "s_nat": b.column("s_nationkey").cast(pa.int32()),
+                "revenue_micro": _micro_revenue(b),
+            }
+        )
+        g = pa.TableGroupBy(t, ["okey", "s_nat"]).aggregate([("revenue_micro", "sum")])
+        return pa.table(
+            {
+                "okey": g.column("okey"),
+                "s_nat": g.column("s_nat"),
+                "c_nat": pa.nulls(g.num_rows, pa.int32()),
+                "revenue_micro": g.column("revenue_micro_sum"),
+            }
+        )
+
+    def o_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": b.column("o_orderkey"),
+                "s_nat": pa.nulls(b.num_rows, pa.int32()),
+                "c_nat": b.column("c_nationkey").cast(pa.int32()),
+                "revenue_micro": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        # split the tagged union: one orders row per okey carries c_nat
+        t = t.combine_chunks()
+        o = t.filter(pc.is_valid(t.column("c_nat")))
+        l = t.filter(pc.is_valid(t.column("s_nat")))
+        pos = pc.index_in(
+            l.column("okey").combine_chunks(), value_set=o.column("okey").combine_chunks()
+        )
+        c_nat = o.column("c_nat").combine_chunks().take(pos)
+        keep = pc.and_kleene(
+            pc.is_valid(pos), pc.equal(l.column("s_nat").combine_chunks(), c_nat)
+        )
+        l = l.filter(pc.fill_null(keep, False))
+        g = pa.TableGroupBy(
+            pa.table(
+                {"n_nationkey": l.column("s_nat"), "revenue_micro": l.column("revenue_micro")}
+            ),
+            "n_nationkey",
+        ).aggregate([("revenue_micro", "sum")])
+        return pa.table(
+            {
+                "n_nationkey": g.column("n_nationkey"),
+                "revenue_micro": g.column("revenue_micro_sum"),
+            }
+        )
+
+    u = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        partials = u.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        u = _hash_shuffle(u)
+        nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
+        partials = u.repartition(num_blocks=nparts, keys=["okey"]).map_batches(
+            merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+
+    names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "n_nationkey").aggregate([("revenue_micro", "sum")])
+        keys = g.column("n_nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in keys], pa.string()),
+                "revenue_micro": g.column("revenue_micro_sum"),
+            }
+        )
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        partials.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )

@@ -29,6 +29,8 @@ KAFKA = os.environ.get("ETL_LIVE_KAFKA_BROKERS")
 PG = os.environ.get("ETL_LIVE_PG_DSN")
 MONGO = os.environ.get("ETL_LIVE_MONGO_URI")
 
+pytestmark = pytest.mark.live
+
 
 def _require(env_value, env_name, package):
     if not env_value:

@@ -17,7 +17,10 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata missing")
+pytestmark = [
+    pytest.mark.sweep,
+    pytest.mark.skipif(not os.path.isdir(SF), reason="testdata missing"),
+]
 
 
 def _duck():
