@@ -113,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--files", type=int, default=10_000)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--partitions", type=int, default=8)
+    g.add_argument("--txn-frac", type=float, default=0.0,
+                   help="wrap runs of events in BEGIN..COMMIT transactions")
+    g.add_argument("--open-tail", action="store_true",
+                   help="drop the last txn's commit marker (producer crash)")
 
     ic = sub.add_parser("ingest-csv", help="CSV rows -> op=I change events (row index ≙ offset)")
     ic.add_argument("--csv", required=True)
@@ -126,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--curate", action="store_true")
     r.add_argument("--mode", choices=["upsert", "overwrite", "delta"], default="upsert")
+    r.add_argument("--atomic-txns", action="store_true",
+                   help="never apply a partial transaction: cut the window at the last fully-committed LSN")
 
     cp = sub.add_parser("compact", help="fold delta files into fresh bucket bases")
     cp.add_argument("--table", required=True)
@@ -193,7 +199,9 @@ def main(argv: list[str] | None = None) -> int:
         from .datagen import generate_events, generate_repos, write_event_log
 
         repos = generate_repos(n_files=args.files, seed=args.seed)
-        events = generate_events(repos, seed=args.seed)
+        events = generate_events(
+            repos, seed=args.seed, txn_frac=args.txn_frac, open_tail=args.open_tail
+        )
         write_event_log(events, args.out, num_partitions=args.partitions)
         print(json.dumps({"files": repos.num_rows, "events": events.num_rows, "log": args.out}))
         return 0
@@ -218,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.buckets,
             normalize=curate_batch if args.curate else None,
             mode=args.mode,
+            atomic_txns=args.atomic_txns,
         )
         print(
             json.dumps(

@@ -66,16 +66,102 @@ def generate_repos(n_files: int = 2000, n_orgs: int = 10, versions_per_file: int
     )
 
 
+def attach_txns(
+    events: pa.Table,
+    txn_frac: float = 0.3,
+    txn_len: tuple[int, int] = (2, 5),
+    open_tail: bool = False,
+    seed: int = 42,
+) -> pa.Table:
+    """Group runs of consecutive events into multi-event transactions
+    (the binlog BEGIN..COMMIT envelope): member events get a ``txn_id``
+    column, and one op='C' commit-marker row (null key/payload, LSN >
+    every member event's) is spliced in right after each transaction.
+    Non-member events stay ``txn_id`` null ≙ single-event autocommit.
+    ``open_tail=True`` drops the LAST transaction's commit marker — the
+    producer-crash case atomic replay must hold back. Fully vectorized:
+    LSNs are renumbered with one cumulative-shift gather.
+
+    Input must be the pre-duplicate-injection log with dense LSNs
+    0..n-1; apply redelivery duplication AFTER (a re-delivered commit
+    marker is idempotent by construction)."""
+    rng = np.random.default_rng(seed + 3)
+    n = events.num_rows
+    events = events.sort_by("lsn")
+    lo, hi = txn_len
+    approx = max(1, int(n * txn_frac / ((lo + hi) / 2)))
+    starts = np.sort(rng.choice(n, size=min(approx, n), replace=False))
+    lens = rng.integers(lo, hi + 1, size=len(starts))
+    # greedy overlap resolution, vectorized: keep a txn iff it starts at or
+    # after the previous SAMPLED txn's end (a dropped predecessor can only
+    # free space, so this under-approximates — fine for a generator)
+    ends = starts + lens
+    keep = np.ones(len(starts), dtype=bool)
+    if len(starts) > 1:
+        keep[1:] = starts[1:] >= ends[:-1]
+    starts, lens = starts[keep], np.minimum(lens[keep], n - starts[keep])
+    ends = starts + lens  # exclusive event positions
+    T = len(starts)
+    if T == 0:
+        return events.append_column("txn_id", pa.nulls(n, pa.string()))
+
+    # txn membership + ids for member events (vectorized interval lookup)
+    pos = np.arange(n)
+    cand = np.searchsorted(starts, pos, side="right") - 1
+    valid = (cand >= 0) & (pos < ends[np.clip(cand, 0, None)])
+    member_txn = np.where(valid, cand, -1)
+    txn_names = np.array([f"t{int(s)}" for s in starts])
+    txn_id = np.where(member_txn >= 0, txn_names[np.clip(member_txn, 0, None)], None)
+
+    # renumber: event at position p shifts by #commit markers before it
+    shift = np.searchsorted(ends, pos, side="right")
+    new_lsn = pos + shift
+    commit_lsn = ends - 1 + np.searchsorted(ends, ends - 1, side="right") + 1
+
+    out = pa.table(
+        {
+            "lsn": pa.array(new_lsn, pa.int64()),
+            "op": events.column("op"),
+            "repo": events.column("repo"),
+            "path": events.column("path"),
+            "commit": events.column("commit"),
+            "lang": events.column("lang"),
+            "content": events.column("content"),
+            "txn_id": pa.array(txn_id, pa.string()),
+        }
+    )
+    commit_keep = slice(0, T - 1) if open_tail else slice(0, T)
+    c_lsn = commit_lsn[commit_keep]
+    k = len(c_lsn)
+    commits = pa.table(
+        {
+            "lsn": pa.array(c_lsn, pa.int64()),
+            "op": pa.array(np.full(k, "C")).cast(pa.string()),
+            "repo": pa.nulls(k, pa.string()),
+            "path": pa.nulls(k, pa.string()),
+            "commit": pa.nulls(k, pa.string()),
+            "lang": pa.nulls(k, pa.string()),
+            "content": pa.nulls(k, pa.string()),
+            "txn_id": pa.array(txn_names[commit_keep].tolist(), pa.string()),
+        }
+    )
+    return pa.concat_tables([out, commits]).sort_by("lsn")
+
+
 def generate_events(
     repos: pa.Table,
     update_frac: float = 0.4,
     delete_frac: float = 0.1,
     dup_frac: float = 0.05,
     seed: int = 42,
+    txn_frac: float = 0.0,
+    open_tail: bool = False,
 ) -> pa.Table:
     """Derive the LSN-ordered change log: I for every row (shuffled order),
     then U/D against random keys (after their insert in LSN order), then
-    duplicate re-deliveries of random events (identical rows, same LSN)."""
+    duplicate re-deliveries of random events (identical rows, same LSN).
+    ``txn_frac > 0`` wraps runs of events in BEGIN..COMMIT transactions
+    (see attach_txns) before the duplicates are injected."""
     rng = np.random.default_rng(seed + 1)
     n = repos.num_rows
 
@@ -131,6 +217,8 @@ def generate_events(
         {name: inserts.column(name) for name in EVENT_SCHEMA.names}, schema=EVENT_SCHEMA
     )
     events = pa.concat_tables([inserts, updates, deletes])
+    if txn_frac > 0:
+        events = attach_txns(events, txn_frac=txn_frac, open_tail=open_tail, seed=seed)
 
     # duplicate re-deliveries: identical rows (same LSN) appended
     n_dups = int(events.num_rows * dup_frac)

@@ -32,7 +32,14 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.registry import TransformChain
-from ..sources.event_log import fast_hash_bucket, read_event_log, select_segments
+from ..sources.event_log import (
+    fast_hash_bucket,
+    log_has_txns,
+    read_event_log,
+    safe_txn_cut,
+    select_segments,
+    strip_txn_envelope,
+)
 from ..sources.lake import LakeTable
 from ..stages.merge_apply import DEFAULT_KEY, LwwStats, lww_reduce, merge_bucket_tables
 from ..state import fs
@@ -581,10 +588,21 @@ def replay(
     shuffle_partitions: int | None = None,
     shuffle: str = "disk",
     mode: str = "upsert",
+    atomic_txns: bool = False,
 ) -> ReplayResult:
     """Replay all events with ``lsn > table.hwm`` (bounded by ``target_lsn``)
     into the lake upsert table. Resumable + idempotent: re-running after a
-    crash (or calling twice) applies each event exactly once."""
+    crash (or calling twice) applies each event exactly once.
+
+    ``atomic_txns=True`` enforces transaction atomicity over a log that
+    carries the BEGIN..COMMIT envelope (a ``txn_id`` column + op='C'
+    commit markers): the replay window is trimmed to the last LSN below
+    which every transaction is committed (event_log.safe_txn_cut), so a
+    partial transaction at the log tail is held back in full and applies
+    on a later replay once its commit marker lands — without ever
+    breaking the exactly-once HWM accounting. Commit-marker rows and the
+    txn_id column are stripped before the merge in every mode (they are
+    transport envelope, not table data)."""
     t0 = time.perf_counter()
     lake = LakeTable(table_dir, num_buckets)
     # Overwrite mode (the Mongo-sink semantics, kafka_jdd_to_mongo.rs:68-95):
@@ -606,6 +624,14 @@ def replay(
             wall_seconds=time.perf_counter() - t0,
         )
 
+    txn_log = log_has_txns(log_dir)
+    txn_cut = None
+    if atomic_txns and txn_log:
+        txn_cut = safe_txn_cut(log_dir, hwm, target_lsn)
+        if txn_cut is None or txn_cut <= hwm:
+            return _noop()
+        target_lsn = txn_cut
+
     segs = select_segments(log_dir, hwm, target_lsn)
     if not segs:
         return _noop()
@@ -626,6 +652,10 @@ def replay(
         waves = max(1, -(-est_rows // (150_000 * cpus)))
         override_num_blocks = cpus * waves
     ds = read_event_log(log_dir, lsn_from=hwm, lsn_to=target_lsn, override_num_blocks=override_num_blocks)
+    if txn_log:
+        ds = ds.map_batches(
+            strip_txn_envelope, batch_format="pyarrow", zero_copy_batch=True
+        )
     if normalize is not None:
         # a TransformChain, a column->transform mapping, or any
         # batch -> batch callable (e.g. a curation stage)
@@ -754,6 +784,11 @@ def replay(
         for e in entries
     }
     new_hwm = max([hwm] + [w["hwm_lsn"] for w in written.values()])
+    if txn_cut is not None:
+        # stripped commit markers can sit between the last applied event
+        # and the cut; advance the HWM to the cut so the next replay's
+        # window starts past them (they apply nothing by definition)
+        new_hwm = max(new_hwm, txn_cut)
     merged_in = sum(w["stats"]["events_in"] for w in written.values())
     merge_dropped = sum(w["stats"]["superseded_dropped"] for w in written.values())
     if events_read is None:
@@ -777,6 +812,7 @@ def replay(
         "segments": [s.path for s in segs],
         "lsn_window": [hwm, new_hwm],
         "log_dir": log_dir,
+        **({"txn_cut": txn_cut} if txn_cut is not None else {}),
     }
     committed = lake.commit_epoch(epoch, written, new_hwm, metrics, lineage, mode=mode)
     rows_total = sum(

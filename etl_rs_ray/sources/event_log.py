@@ -237,8 +237,13 @@ def read_event_log(
     segs = select_segments(log_dir, lsn_from, lsn_to)
     if not segs:
         return ray.data.from_arrow(EVENT_SCHEMA.empty_table())
-    # partitioning=None: don't infer a hive 'part' column from the dir layout
-    kwargs = {"partitioning": None}
+    # partitioning=None: don't infer a hive 'part' column from the dir
+    # layout. EXCEPT when pruning columns: ray's parquet datasource hits an
+    # UnboundLocalError combining partitioning=None with columns= (the
+    # partition_columns branch never runs), so a pruned read keeps the
+    # default hive inference — the requested columns never include 'part',
+    # so the inferred partition column is projected away regardless.
+    kwargs = {} if columns is not None else {"partitioning": None}
     flt = replay_filter(lsn_from, lsn_to)
     if flt is not None:
         kwargs["filter"] = flt
@@ -247,6 +252,102 @@ def read_event_log(
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet([s.path for s in segs], **kwargs)
+
+
+TXN_COL = "txn_id"
+
+
+def log_has_txns(log_dir: str) -> bool:
+    """True iff the log's segments carry the transaction envelope column."""
+    segs = list_segments(log_dir)
+    if not segs:
+        return False
+    return TXN_COL in pq.ParquetFile(segs[0].path).schema_arrow.names
+
+
+def safe_txn_cut(
+    log_dir: str, lsn_from: int | None = None, lsn_to: int | None = None
+) -> int | None:
+    """Largest LSN ``cut ≤ lsn_to`` such that applying the prefix
+    ``lsn ∈ (lsn_from, cut]`` never splits a transaction: every event of
+    an uncommitted transaction (no op='C' commit marker at or below
+    ``lsn_to``) lies strictly above the cut. This is the binlog rule
+    "apply up to the last commit record" — a producer crash mid-
+    transaction (open tail) holds back exactly the suffix from the open
+    transaction's first event onward, and the held-back events apply on
+    a later replay once their commit marker lands.
+
+    Assumes commit markers carry an LSN greater than every member
+    event's (true of any WAL). Runs as a distributed column-pruned scan:
+    per-block partials fold (txn_id → min event LSN, committed?) before
+    anything moves; the fold output is O(transactions in window).
+
+    Returns ``lsn_to`` (or the window max) when the log has no
+    transaction column or no open transaction; ``None`` for an empty
+    window."""
+    segs = select_segments(log_dir, lsn_from, lsn_to)
+    if not segs:
+        return lsn_to
+    window_max = max(s.lsn_max for s in segs) if lsn_to is None else lsn_to
+    if TXN_COL not in pq.ParquetFile(segs[0].path).schema_arrow.names:
+        return window_max
+
+    ds = read_event_log(log_dir, lsn_from, lsn_to, columns=["lsn", "op", TXN_COL])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column(TXN_COL)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    TXN_COL: pa.array([], pa.string()),
+                    "min_lsn": pa.array([], pa.int64()),
+                    "committed": pa.array([], pa.int64()),
+                }
+            )
+        is_c = pc.equal(t.column("op"), "C")
+        ev_lsn = pc.if_else(is_c, pa.scalar(None, pa.int64()), t.column("lsn"))
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    TXN_COL: t.column(TXN_COL),
+                    "ev_lsn": ev_lsn,
+                    "c": pc.cast(is_c, pa.int64()),
+                }
+            ),
+            TXN_COL,
+        ).aggregate([("ev_lsn", "min"), ("c", "max")])
+        return g.rename_columns([TXN_COL, "min_lsn", "committed"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    rows = parts.take_all()  # O(txns-in-window x blocks): tiny partials
+    if not rows:
+        return window_max
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [(TXN_COL, pa.string()), ("min_lsn", pa.int64()), ("committed", pa.int64())]
+        ),
+    )
+    g = pa.TableGroupBy(t, TXN_COL).aggregate([("min_lsn", "min"), ("committed", "max")])
+    g = g.rename_columns([TXN_COL, "min_lsn", "committed"])
+    open_mask = pc.and_(
+        pc.equal(g.column("committed"), 0), pc.is_valid(g.column("min_lsn"))
+    )
+    opens = g.filter(open_mask)
+    if opens.num_rows == 0:
+        return window_max
+    return int(pc.min(opens.column("min_lsn")).as_py()) - 1
+
+
+def strip_txn_envelope(batch: pa.Table) -> pa.Table:
+    """Drop op='C' commit-marker rows and the txn_id transport column —
+    neither is table data; every replay path applies this when the log
+    carries the envelope."""
+    if TXN_COL in batch.column_names:
+        batch = batch.filter(pc.not_equal(batch.column("op"), "C")).drop_columns(
+            [TXN_COL]
+        )
+    return batch
 
 
 def read_event_log_table(log_dir: str, lsn_from=None, lsn_to=None) -> pa.Table:

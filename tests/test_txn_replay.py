@@ -1,0 +1,243 @@
+"""Transactional (BEGIN..COMMIT) replay atomicity.
+
+The binlog rule: events belong to transactions; replay may only apply a
+prefix of the log that never splits a transaction. An open transaction
+at the tail (producer crash — its commit marker never landed) is held
+back IN FULL and applies on a later replay once the marker arrives,
+with exactly-once accounting intact throughout.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from etl_rs_ray.datagen import attach_txns, generate_events, generate_repos, write_event_log
+from etl_rs_ray.pipelines.cdc import replay
+from etl_rs_ray.sources.event_log import (
+    EventLogWriter,
+    log_has_txns,
+    next_lsn,
+    read_event_log_table,
+    safe_txn_cut,
+    strip_txn_envelope,
+)
+from etl_rs_ray.sources.lake import LakeTable
+
+
+def _events(n_files=400, txn_frac=0.4, open_tail=False, seed=7):
+    repos = generate_repos(n_files=n_files, seed=seed)
+    return generate_events(
+        repos, seed=seed, txn_frac=txn_frac, open_tail=open_tail, dup_frac=0.05
+    )
+
+
+
+
+# --- attach_txns invariants ---------------------------------------------------
+
+
+def test_attach_txns_dense_lsns_and_commit_after_members():
+    repos = generate_repos(n_files=300, seed=3)
+    ev = generate_events(repos, seed=3, dup_frac=0.0)
+    t = attach_txns(ev, txn_frac=0.5, seed=3)
+    lsns = t.column("lsn").to_pylist()
+    assert lsns == list(range(len(lsns))), "LSNs must stay dense after splicing"
+    # every txn's commit marker sits above all of its member events
+    txn = {}
+    for lsn, op, tid in zip(lsns, t.column("op").to_pylist(), t.column("txn_id").to_pylist()):
+        if tid is None:
+            continue
+        lo, hi, c = txn.get(tid, (None, None, None))
+        if op == "C":
+            txn[tid] = (lo, hi, lsn)
+        else:
+            txn[tid] = (lsn if lo is None else lo, lsn, c)
+    assert txn, "expected transactions"
+    for tid, (lo, hi, c) in txn.items():
+        assert c is not None, f"txn {tid} missing commit marker"
+        assert c > hi >= lo >= 0
+    # payload identical to the untransacted log (same multiset of rows)
+    stripped = strip_txn_envelope(t)
+    assert stripped.num_rows == ev.num_rows
+    a = sorted(zip(ev.column("op").to_pylist(), ev.column("commit").to_pylist()))
+    b = sorted(zip(stripped.column("op").to_pylist(), stripped.column("commit").to_pylist()))
+    assert a == b
+
+
+def test_attach_txns_open_tail_drops_last_commit_only():
+    repos = generate_repos(n_files=300, seed=5)
+    ev = generate_events(repos, seed=5, dup_frac=0.0)
+    closed = attach_txns(ev, txn_frac=0.5, seed=5)
+    opened = attach_txns(ev, txn_frac=0.5, open_tail=True, seed=5)
+    n_c_closed = pc.sum(pc.equal(closed.column("op"), "C").cast(pa.int64())).as_py()
+    n_c_open = pc.sum(pc.equal(opened.column("op"), "C").cast(pa.int64())).as_py()
+    assert n_c_open == n_c_closed - 1
+
+
+# --- safe_txn_cut -------------------------------------------------------------
+
+
+def test_safe_cut_full_when_all_committed(tmp_path, ray_session):
+    log = str(tmp_path / "log")
+    ev = _events(open_tail=False)
+    write_event_log(ev, log, num_partitions=4)
+    assert log_has_txns(log)
+    cut = safe_txn_cut(log)
+    assert cut == max(ev.column("lsn").to_pylist())
+
+
+def test_safe_cut_holds_back_open_txn(tmp_path, ray_session):
+    log = str(tmp_path / "log")
+    ev = _events(open_tail=True)
+    write_event_log(ev, log, num_partitions=4)
+    cut = safe_txn_cut(log)
+    # the open txn: txn_ids with no C row
+    tid_all = set(
+        t for t, in zip(ev.column("txn_id").to_pylist()) if t is not None
+    )
+    committed = set(
+        t
+        for t, op in zip(ev.column("txn_id").to_pylist(), ev.column("op").to_pylist())
+        if t is not None and op == "C"
+    )
+    open_tids = tid_all - committed
+    assert len(open_tids) == 1
+    (open_tid,) = open_tids
+    open_lsns = [
+        l
+        for l, t, op in zip(
+            ev.column("lsn").to_pylist(),
+            ev.column("txn_id").to_pylist(),
+            ev.column("op").to_pylist(),
+        )
+        if t == open_tid and op != "C"
+    ]
+    assert cut == min(open_lsns) - 1, "cut must sit just below the open txn's first event"
+
+
+def test_safe_cut_no_txn_column_is_passthrough(tmp_path, ray_session):
+    log = str(tmp_path / "log")
+    repos = generate_repos(n_files=100, seed=11)
+    ev = generate_events(repos, seed=11)  # no txn column
+    write_event_log(ev, log, num_partitions=2)
+    assert not log_has_txns(log)
+    assert safe_txn_cut(log) == max(ev.column("lsn").to_pylist())
+    assert safe_txn_cut(log, lsn_to=50) == 50
+
+
+# --- atomic replay ------------------------------------------------------------
+
+
+def test_atomic_replay_holds_back_and_catches_up(tmp_path, ray_session):
+    log = str(tmp_path / "log")
+    ev = _events(open_tail=True)
+    write_event_log(ev, log, num_partitions=4)
+    cut = safe_txn_cut(log)
+
+    table = str(tmp_path / "t")
+    r1 = replay(log, table, num_buckets=8, atomic_txns=True)
+    assert r1.committed
+    assert r1.hwm_lsn == cut, "HWM must stop at the safe cut"
+
+    # reference state: apply the stripped payload with lsn <= cut
+    want1 = _lww(strip_txn_envelope(ev), cut)
+    got1 = LakeTable(table, 8).snapshot_table().select(want1.column_names)
+    _assert_same_rows(got1, want1)
+
+    # the commit marker lands -> held-back events now apply
+    open_tid = _open_txn_id(ev)
+    lsn = next_lsn(log)
+    commit_row = pa.table(
+        {
+            "lsn": pa.array([lsn], pa.int64()),
+            "op": pa.array(["C"], pa.string()),
+            "repo": pa.array([None], pa.string()),
+            "path": pa.array([None], pa.string()),
+            "commit": pa.array([None], pa.string()),
+            "lang": pa.array([None], pa.string()),
+            "content": pa.array([None], pa.string()),
+            "txn_id": pa.array([open_tid], pa.string()),
+        }
+    )
+    EventLogWriter(log, num_partitions=4).write(commit_row)
+
+    r2 = replay(log, table, num_buckets=8, atomic_txns=True)
+    assert r2.committed
+    assert r2.hwm_lsn == lsn
+    want2 = _lww(strip_txn_envelope(ev), None)
+    got2 = LakeTable(table, 8).snapshot_table().select(want2.column_names)
+    _assert_same_rows(got2, want2)
+
+    # idempotence: nothing new -> no-op commit
+    r3 = replay(log, table, num_buckets=8, atomic_txns=True)
+    assert not r3.committed
+
+
+def test_atomic_replay_equals_plain_replay_when_all_committed(tmp_path, ray_session):
+    log = str(tmp_path / "log")
+    ev = _events(open_tail=False)
+    write_event_log(ev, log, num_partitions=4)
+
+    t_atomic = str(tmp_path / "ta")
+    t_plain = str(tmp_path / "tp")
+    ra = replay(log, t_atomic, num_buckets=8, atomic_txns=True)
+    rp = replay(log, t_plain, num_buckets=8)
+    assert ra.committed and rp.committed
+    a = LakeTable(t_atomic, 8).snapshot_table()
+    p = LakeTable(t_plain, 8).snapshot_table()
+    _assert_same_rows(a.select(sorted(a.column_names)), p.select(sorted(a.column_names)))
+
+
+def test_commit_markers_never_reach_the_table(tmp_path, ray_session):
+    log = str(tmp_path / "log")
+    ev = _events(open_tail=False)
+    write_event_log(ev, log, num_partitions=4)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8)  # even WITHOUT atomic_txns
+    snap = LakeTable(table, 8).snapshot_table()
+    assert "txn_id" not in snap.column_names
+    assert snap.num_rows == pc.sum(
+        pc.cast(pc.is_valid(snap.column("repo")), pa.int64())
+    ).as_py(), "no null-key commit-marker rows in the table"
+
+
+# --- helpers ------------------------------------------------------------------
+
+
+def _open_txn_id(ev: pa.Table) -> str:
+    tids = ev.column("txn_id").to_pylist()
+    ops = ev.column("op").to_pylist()
+    all_t = {t for t in tids if t is not None}
+    done = {t for t, op in zip(tids, ops) if t is not None and op == "C"}
+    (tid,) = all_t - done
+    return tid
+
+
+def _lww(stripped: pa.Table, upto: int | None) -> pa.Table:
+    """Driver-side last-writer-wins oracle over the stripped payload."""
+    t = stripped
+    if upto is not None:
+        t = t.filter(pc.less_equal(t.column("lsn"), upto))
+    t = t.sort_by([("repo", "ascending"), ("path", "ascending"), ("commit", "ascending"), ("lsn", "descending")])
+    import numpy as np
+
+    keys = list(zip(t.column("repo").to_pylist(), t.column("path").to_pylist(), t.column("commit").to_pylist()))
+    seen, idx = set(), []
+    for i, k in enumerate(keys):
+        if k not in seen:
+            seen.add(k)
+            idx.append(i)
+    t = t.take(pa.array(idx))
+    t = t.filter(pc.not_equal(t.column("op"), "D"))
+    return t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+
+
+def _assert_same_rows(got: pa.Table, want: pa.Table):
+    assert got.num_rows == want.num_rows
+    cols = sorted(want.column_names)
+    g = sorted(zip(*[got.column(c).to_pylist() for c in cols]))
+    w = sorted(zip(*[want.column(c).to_pylist() for c in cols]))
+    assert g == w
