@@ -132,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--mode", choices=["upsert", "overwrite", "delta"], default="upsert")
     r.add_argument("--atomic-txns", action="store_true",
                    help="never apply a partial transaction: cut the window at the last fully-committed LSN")
+    r.add_argument("--quarantine", action="store_true",
+                   help="divert structurally-broken events to table/quarantine/epoch-N with a reason instead of failing")
 
     cp = sub.add_parser("compact", help="fold delta files into fresh bucket bases")
     cp.add_argument("--table", required=True)
@@ -227,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             normalize=curate_batch if args.curate else None,
             mode=args.mode,
             atomic_txns=args.atomic_txns,
+            quarantine=args.quarantine,
         )
         print(
             json.dumps(

@@ -68,6 +68,90 @@ def curate_batch(batch: pa.Table) -> pa.Table:
     return unify_tables([live, dead]) if live.num_rows else dead
 
 
+def default_event_validator(batch: pa.Table):
+    """Structural validity of change events: key columns present, op one
+    of I/U/D, LSN present. Returns (valid_mask, reason) — ``reason`` is a
+    string array, null for valid rows."""
+    ok_op = pc.is_in(batch.column("op"), value_set=pa.array(["I", "U", "D"]))
+    ok_key = pc.and_(
+        pc.is_valid(batch.column("repo")), pc.is_valid(batch.column("path"))
+    )
+    ok_lsn = pc.is_valid(batch.column("lsn"))
+    reason = pc.if_else(
+        pc.invert(pc.fill_null(ok_op, False)),
+        pa.scalar("bad_op", pa.string()),
+        pc.if_else(
+            pc.invert(ok_key),
+            pa.scalar("null_key", pa.string()),
+            pc.if_else(
+                pc.invert(ok_lsn),
+                pa.scalar("null_lsn", pa.string()),
+                pa.scalar(None, pa.string()),
+            ),
+        ),
+    )
+    valid = pc.is_null(reason)
+    return valid, reason
+
+
+def make_quarantine_splitter(qdir: str, validator=default_event_validator):
+    """Dead-letter stage: rows failing ``validator`` are diverted to one
+    Parquet file per offending batch under ``qdir`` (with a ``_reason``
+    column) and the valid rows flow on. The filename is a content hash of
+    the bad rows' identity (LSN span + count + reason multiset), so a
+    retried task rewrites the SAME file — the quarantine surface is
+    at-least-once diagnostic output (orphans from a crashed attempt are
+    possible), while the TABLE stays exactly-once via the manifest.
+    Quarantined events are terminal: the HWM advances past them;
+    reprocessing means re-ingesting fixed rows at fresh LSNs."""
+    import hashlib
+
+    def split(batch: pa.Table) -> pa.Table:
+        valid, reason = validator(batch)
+        if pc.all(pc.fill_null(valid, False)).as_py():
+            return batch
+        bad = batch.filter(pc.invert(pc.fill_null(valid, False)))
+        bad = bad.append_column(
+            "_reason", reason.filter(pc.invert(pc.fill_null(valid, False)))
+        )
+        lsns = bad.column("lsn")
+        lo = pc.min(lsns).as_py() if bad.num_rows else 0
+        hi = pc.max(lsns).as_py() if bad.num_rows else 0
+        ident = f"{lo}-{hi}-{bad.num_rows}-" + ",".join(
+            sorted(set(x for x in bad.column("_reason").to_pylist() if x))
+        )
+        tag = hashlib.sha1(ident.encode()).hexdigest()[:16]
+        os.makedirs(qdir, exist_ok=True)
+        path = os.path.join(qdir, f"bad-{tag}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(bad, tmp)
+        os.replace(tmp, path)
+        return batch.filter(pc.fill_null(valid, False))
+
+    return split
+
+
+def quarantine_stats(qdir: str) -> tuple[int, int | None]:
+    """(total quarantined rows, max quarantined LSN) from parquet footer
+    metadata only — no data pages are read. The max LSN folds into the
+    epoch's HWM so a quarantined tail is consumed, not re-read forever."""
+    if not os.path.isdir(qdir):
+        return 0, None
+    rows, max_lsn = 0, None
+    for f in os.listdir(qdir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(qdir, f)).metadata
+        rows += md.num_rows
+        lsn_idx = md.schema.to_arrow_schema().get_field_index("lsn")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(lsn_idx).statistics
+            if st is not None and st.has_min_max:
+                m = int(st.max)
+                max_lsn = m if max_lsn is None else max(max_lsn, m)
+    return rows, max_lsn
+
+
 ENTRY_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
@@ -589,6 +673,7 @@ def replay(
     shuffle: str = "disk",
     mode: str = "upsert",
     atomic_txns: bool = False,
+    quarantine=False,
 ) -> ReplayResult:
     """Replay all events with ``lsn > table.hwm`` (bounded by ``target_lsn``)
     into the lake upsert table. Resumable + idempotent: re-running after a
@@ -655,6 +740,18 @@ def replay(
     if txn_log:
         ds = ds.map_batches(
             strip_txn_envelope, batch_format="pyarrow", zero_copy_batch=True
+        )
+    qdir = None
+    if quarantine:
+        # dead-letter split BEFORE normalize: structurally-broken rows
+        # (null key / unknown op / null LSN) would poison the transform
+        # chain and the merge; divert them with a reason instead
+        qdir = os.path.join(table_dir, "quarantine", f"epoch-{epoch}")
+        validator = quarantine if callable(quarantine) else default_event_validator
+        ds = ds.map_batches(
+            make_quarantine_splitter(qdir, validator),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     if normalize is not None:
         # a TransformChain, a column->transform mapping, or any
@@ -784,6 +881,11 @@ def replay(
         for e in entries
     }
     new_hwm = max([hwm] + [w["hwm_lsn"] for w in written.values()])
+    q_rows, q_max = quarantine_stats(qdir) if qdir else (0, None)
+    if q_max is not None:
+        # quarantined events are consumed (terminal): advance the HWM past
+        # them so a bad tail isn't re-read on every subsequent replay
+        new_hwm = max(new_hwm, q_max)
     if txn_cut is not None:
         # stripped commit markers can sit between the last applied event
         # and the cut; advance the HWM to the cut so the next replay's
@@ -802,6 +904,7 @@ def replay(
         "applied_u": sum(w["stats"]["applied_u"] for w in written.values()),
         "applied_d": sum(w["stats"]["applied_d"] for w in written.values()),
         "buckets_touched": len(written),
+        **({"quarantined": q_rows} if qdir else {}),
         "wall_seconds": round(time.perf_counter() - t0, 3),
         "phase_seconds": phase_secs,
         # max rows any merge task held at once (disk-exchange path only;
