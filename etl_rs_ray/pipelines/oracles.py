@@ -1326,3 +1326,77 @@ ORACLE_SQL["events_pattern_matches"] = """
     FROM p
     WHERE length(regexp_extract_all(s, 'vcp')) > 0
 """
+
+ORACLE_SQL["orders_cube"] = """
+    SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+ORACLE_SQL["events_entropy"] = """
+    WITH cells AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n,
+           log2(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE) AS entropy_bits
+    FROM cells
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["events_percentile_cont"] = """
+    SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p025,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)  AS p05,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p075,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["lineitem_unpivot"] = """
+    SELECT l_orderkey, l_linenumber, 'quantity_cents' AS measure,
+           CAST(round(l_quantity * 100) AS BIGINT) AS value_cents
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice_cents',
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount_cents',
+           CAST(round(l_discount * 100) AS BIGINT)
+    FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+ORACLE_SQL["events_chi_square"] = """
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) < 1000 THEN 'low'
+                    WHEN CAST(round(value * 100) AS BIGINT) < 5000 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT SUM(pow(CAST(o AS DOUBLE)
+                   - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2)
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS chi_square,
+           (COUNT(DISTINCT cells.event_type) - 1)
+             * (COUNT(DISTINCT cells.bucket) - 1) AS dof,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n
+    FROM cells
+    JOIN rt USING (event_type)
+    JOIN ct USING (bucket)
+    CROSS JOIN tot
+"""

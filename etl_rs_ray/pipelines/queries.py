@@ -2411,6 +2411,192 @@ def events_pattern_matches(sf_dir: str):
     )
 
 
+def orders_cube(sf_dir: str):
+    """CUBE(status, priority) — every subset grouping in ONE keyed
+    shuffle via the same sentinel-keyed grouping_sets kernel as the
+    rollup (stages/grouping.py::cube_sets); integer-cents sums are exact
+    under any fold order."""
+    from ..stages.grouping import cube_sets, grouping_sets
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["o_totalprice"]).append_column(
+            "revenue_cents", _cents(b.column("o_totalprice"))
+        )
+
+    return grouping_sets(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        cube_sets(["o_orderstatus", "o_orderpriority"]),
+        ["revenue_cents"],
+    )
+
+
+def events_entropy(sf_dir: str):
+    """Shannon entropy of the value-cents distribution per event type —
+    the |rows| → |distinct (group, value) cells| reduction (per-batch
+    count partials, one fold), then H = log2(n) − Σ c·log2(c) / n, the
+    identical float64 expression the SQL mirror evaluates over the same
+    exact integer counts."""
+    from ..stages.stats import partial_fold
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": b.column("event_type"), "v": _cents(b.column("value"))}
+        )
+        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "v", "c"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([("c", "sum")])
+        g = g.rename_columns(["event_type", "v", "c"])
+        sums = pa.TableGroupBy(g, "event_type").aggregate([("c", "sum")])
+        sums = sums.rename_columns(["event_type", "n"])
+        n_by = dict(zip(sums.column("event_type").to_pylist(), sums.column("n").to_pylist()))
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        clogc = c * np.log2(c)
+        t2 = pa.table(
+            {"event_type": g.column("event_type"), "clogc": pa.array(clogc, pa.float64())}
+        )
+        agg = pa.TableGroupBy(t2, "event_type").aggregate([("clogc", "sum")])
+        agg = agg.rename_columns(["event_type", "sum_clogc"])
+        keys = agg.column("event_type").to_pylist()
+        n = np.array([n_by[k] for k in keys], dtype=np.float64)
+        s = agg.column("sum_clogc").to_numpy(zero_copy_only=False)
+        h = np.log2(n) - s / n
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "entropy_bits": pa.array(h, pa.float64()),
+            }
+        )
+
+    return partial_fold(ds, partial, fold)
+
+
+def events_percentile_cont(sf_dir: str):
+    """Continuous (interpolated) per-group quantiles — percentile_cont /
+    quantile_cont semantics over the exact integer-cents domain
+    (stages/grouping.py::grouped_quantiles_cont: distinct-cell partials,
+    one keyed shuffle, sorted-cumsum + the SQL interpolation expression
+    in float64)."""
+    from ..stages.grouping import grouped_quantiles_cont
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b.column("event_type"), "cents": _cents(b.column("value"))}
+        )
+
+    return drop_empty_blocks(
+        grouped_quantiles_cont(
+            ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+            "event_type",
+            "cents",
+            [0.25, 0.5, 0.75],
+        )
+    )
+
+
+def lineitem_unpivot(sf_dir: str):
+    """UNPIVOT (wide→long melt): each returned-flag lineitem row explodes
+    into one (measure, value) row per measure column — a stateless
+    per-batch transform (three zero-copy projections concatenated), no
+    shuffle at any scale."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def melt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        measures = {
+            "quantity_cents": _cents(b.column("l_quantity")),
+            "extendedprice_cents": _cents(b.column("l_extendedprice")),
+            "discount_cents": _cents(b.column("l_discount")),
+        }
+        pieces = [
+            pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "l_linenumber": b.column("l_linenumber"),
+                    "measure": pa.array([name] * b.num_rows, pa.string()),
+                    "value_cents": arr,
+                }
+            )
+            for name, arr in measures.items()
+        ]
+        return pa.concat_tables(pieces)
+
+    from ..util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def events_chi_square(sf_dir: str):
+    """Chi-square test of independence over the (event_type × value-sign
+    bucket) contingency table: per-batch cell-count partials, one fold,
+    then χ² = Σ (o − n·pr·pc)² / (n·pr·pc) with margins derived from the
+    same exact integer counts — the identical float64 expression the SQL
+    mirror evaluates. The cell domain is bounded (types × 3 buckets), so
+    the fold input is O(cells × blocks)."""
+    from ..stages.stats import partial_fold
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def bucketize(v):
+        c = _cents(v)
+        return pc.if_else(
+            pc.less(c, 1000),
+            pa.scalar("low", pa.string()),
+            pc.if_else(
+                pc.less(c, 5000),
+                pa.scalar("mid", pa.string()),
+                pa.scalar("high", pa.string()),
+            ),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": b.column("event_type"), "bucket": bucketize(b.column("value"))}
+        )
+        g = pa.TableGroupBy(t, ["event_type", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "bucket", "o"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type", "bucket"]).aggregate([("o", "sum")])
+        g = g.rename_columns(["event_type", "bucket", "o"])
+        et = g.column("event_type").to_pylist()
+        bk = g.column("bucket").to_pylist()
+        o = g.column("o").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = o.sum()
+        row_tot: dict = {}
+        col_tot: dict = {}
+        for e_, b_, c_ in zip(et, bk, o):
+            row_tot[e_] = row_tot.get(e_, 0.0) + c_
+            col_tot[b_] = col_tot.get(b_, 0.0) + c_
+        e_arr = np.array([row_tot[e_] * col_tot[b_] / n for e_, b_ in zip(et, bk)])
+        chi2 = float(np.sum((o - e_arr) ** 2 / e_arr))
+        dof = (len(row_tot) - 1) * (len(col_tot) - 1)
+        return pa.table(
+            {
+                "chi_square": pa.array([chi2], pa.float64()),
+                "dof": pa.array([dof], pa.int64()),
+                "n": pa.array([int(n)], pa.int64()),
+            }
+        )
+
+    return partial_fold(ds, partial, fold)
+
+
 # Dict order is the driver-gate priority: the correctness driver compares
 # the FIRST 50 entries against their oracles each round. Curated so every
 # operator family not yet covered by a CORRECTNESS_r* row (the 38 queries
@@ -2511,6 +2697,12 @@ QUERIES = {
     "events_watermark": events_watermark,
     "orders_bloom_semi_join": orders_bloom_semi_join,
     "events_cms_frequencies": events_cms_frequencies,
+    # -- round-4 additions (next gate rotation picks these up) -----------
+    "orders_cube": orders_cube,
+    "events_entropy": events_entropy,
+    "events_percentile_cont": events_percentile_cont,
+    "lineitem_unpivot": lineitem_unpivot,
+    "events_chi_square": events_chi_square,
 }
 
 # Oracle SQL lives in pipelines/oracles.py; re-exported here because the

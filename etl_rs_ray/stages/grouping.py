@@ -269,6 +269,83 @@ def grouped_quantiles_discrete(
     )
 
 
+def grouped_quantiles_cont(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    prefix: str = "p",
+    count_col: str = "n",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT per-group continuous quantiles (``percentile_cont`` /
+    DuckDB ``quantile_cont`` semantics: linear interpolation between the
+    order statistics at rank ``h = (n-1)*q``) over a DISCRETE integer
+    value domain. Same distributed shape as grouped_quantiles_discrete —
+    per-batch distinct-cell partials, one keyed shuffle, a sorted-cumsum
+    kernel — but the final read interpolates in float64 with the exact
+    expression SQL uses (``lo + (h - floor(h)) * (hi - lo)``), so both
+    sides agree bit-for-bit on integer inputs."""
+    qs = [float(q) for q in qs]
+    out_names = [f"{prefix}{str(q).replace('.', '')}" for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            b.select([group_col, value_col]), [group_col, value_col]
+        ).aggregate([(value_col, "count")])
+        return g.rename_columns([group_col, value_col, "_cnt"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"), (value_col, "ascending")]
+        ))
+        garr = t.column(group_col)
+        keys = garr.to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = t.column("_cnt").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            cols = {group_col: garr}
+            for name in out_names:
+                cols[name] = pa.array([], pa.float64())
+            cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        first = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(first)
+        seg_ends = np.concatenate((starts[1:], [len(keys)]))
+        out = {group_col: garr.take(pa.array(starts))}
+        qcols = {name: np.empty(len(starts), dtype=np.float64) for name in out_names}
+        ns = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts.tolist(), seg_ends.tolist())):
+            cum = np.cumsum(cnts[s:e])
+            n = int(cum[-1])
+            ns[i] = n
+            for q, name in zip(qs, out_names):
+                h = (n - 1) * q
+                lo_rank = int(np.floor(h))
+                hi_rank = min(lo_rank + 1, n - 1)
+                # value at 0-based rank r = first cell whose cumcount > r
+                lo_v = float(vals[s + int(np.searchsorted(cum, lo_rank, side="right"))])
+                hi_v = float(vals[s + int(np.searchsorted(cum, hi_rank, side="right"))])
+                qcols[name][i] = lo_v + (h - np.floor(h)) * (hi_v - lo_v)
+        for name in out_names:
+            out[name] = pa.array(qcols[name], pa.float64())
+        out[count_col] = pa.array(ns, pa.int64())
+        return pa.table(out)
+
+    def merge_cells(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, [group_col, value_col]).aggregate([("_cnt", "sum")])
+        return kernel(g.rename_columns([group_col, value_col, "_cnt"]))
+
+    nparts = num_partitions or _num_partitions()
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        _hash_shuffle(partials)
+        .repartition(num_blocks=nparts, keys=[group_col])
+        .map_batches(merge_cells, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 def mad_outliers(
     ds: ray.data.Dataset,
     group_col: str,
