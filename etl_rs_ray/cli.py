@@ -32,7 +32,7 @@ def _init_ray(num_cpus: int | None):
 
 
 def run_tail(log: str, table: str, partitions: int = 8, micro_batch_rows: int = 50_000,
-             max_delta_depth: int = 8) -> dict:
+             max_delta_depth: int = 8, atomic_txns: bool = False) -> dict:
     """One bounded streaming tail: pool-merge new events (lsn > table HWM)
     and persist. Bootstrap (empty table) flushes the pool's full state as
     an overwrite epoch; incremental tails append a DELTA epoch — the
@@ -44,7 +44,8 @@ def run_tail(log: str, table: str, partitions: int = 8, micro_batch_rows: int = 
     sm = StreamingMerge(num_partitions=partitions)
     try:
         hwm = LakeTable(table).hwm_lsn()
-        sm.tail(log, lsn_from=hwm if hwm >= 0 else None, micro_batch_rows=micro_batch_rows)
+        sm.tail(log, lsn_from=hwm if hwm >= 0 else None,
+                micro_batch_rows=micro_batch_rows, atomic_txns=atomic_txns)
         if hwm >= 0:
             sm.flush_delta_to_lake(table)
         else:
@@ -143,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--table", required=True)
     t.add_argument("--partitions", type=int, default=8)
     t.add_argument("--micro-batch-rows", type=int, default=50_000)
+    t.add_argument("--atomic-txns", action="store_true")
 
     s = sub.add_parser("snapshot", help="print table state sample + metrics")
     s.add_argument("--table", required=True)
@@ -251,7 +253,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "tail":
         _init_ray(args.num_cpus)
         try:
-            print(json.dumps(run_tail(args.log, args.table, args.partitions, args.micro_batch_rows)))
+            print(json.dumps(run_tail(args.log, args.table, args.partitions,
+                                      args.micro_batch_rows, atomic_txns=args.atomic_txns)))
         finally:
             import ray
 

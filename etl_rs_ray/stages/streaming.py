@@ -168,16 +168,32 @@ class StreamingMerge:
         return ray.get(futs)
 
     def tail(self, log_dir: str, lsn_from: int | None = None, lsn_to: int | None = None,
-             micro_batch_rows: int = 50_000) -> dict:
+             micro_batch_rows: int = 50_000, atomic_txns: bool = False) -> dict:
         """Bounded tail of the log, streamed micro-batch by micro-batch —
         the driver never holds more than one micro-batch, so a long
         catch-up window costs O(micro_batch) driver memory. No global
         LSN sort is needed: PartitionMerger is LWW by LSN per key and
-        drops stale/duplicate LSNs regardless of arrival order."""
-        from ..sources.event_log import read_event_log
+        drops stale/duplicate LSNs regardless of arrival order.
+        ``atomic_txns=True`` trims the window to the transactional safe
+        cut (event_log.safe_txn_cut) so an open BEGIN..COMMIT envelope at
+        the tail is held back in full; commit markers are stripped per
+        micro-batch in every mode."""
+        from ..sources.event_log import (
+            log_has_txns,
+            read_event_log,
+            safe_txn_cut,
+            strip_txn_envelope,
+        )
 
+        has_txns = log_has_txns(log_dir)
+        if atomic_txns and has_txns:
+            lsn_to = safe_txn_cut(log_dir, lsn_from, lsn_to)
+            if lsn_to is None:
+                return self.stats()
         ds = read_event_log(log_dir, lsn_from, lsn_to)
         for batch in ds.iter_batches(batch_size=micro_batch_rows, batch_format="pyarrow"):
+            if has_txns:
+                batch = strip_txn_envelope(batch)
             if batch.num_rows:
                 self.apply_batch(batch)
         return self.stats()

@@ -241,3 +241,46 @@ def _assert_same_rows(got: pa.Table, want: pa.Table):
     g = sorted(zip(*[got.column(c).to_pylist() for c in cols]))
     w = sorted(zip(*[want.column(c).to_pylist() for c in cols]))
     assert g == w
+
+
+def test_streaming_tail_atomic_txns(tmp_path, ray_session):
+    """The actor-pool tail honors the same safe cut: an open txn at the
+    log tail is held back, and applies after its commit marker lands."""
+    from etl_rs_ray.stages.streaming import StreamingMerge
+
+    log = str(tmp_path / "log")
+    ev = _events(open_tail=True)
+    write_event_log(ev, log, num_partitions=4)
+    cut = safe_txn_cut(log)
+
+    sm = StreamingMerge(num_partitions=4)
+    try:
+        st = sm.tail(log, atomic_txns=True)
+        assert st["hwm"] <= cut
+        want1 = _lww(strip_txn_envelope(ev), cut)
+        snap1 = sm.snapshot()
+        live1 = snap1.filter(pc.not_equal(snap1.column("op"), "D"))
+        assert live1.num_rows == want1.num_rows
+
+        open_tid = _open_txn_id(ev)
+        lsn = next_lsn(log)
+        commit_row = pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "op": pa.array(["C"], pa.string()),
+                "repo": pa.array([None], pa.string()),
+                "path": pa.array([None], pa.string()),
+                "commit": pa.array([None], pa.string()),
+                "lang": pa.array([None], pa.string()),
+                "content": pa.array([None], pa.string()),
+                "txn_id": pa.array([open_tid], pa.string()),
+            }
+        )
+        EventLogWriter(log, num_partitions=4).write(commit_row)
+        sm.tail(log, lsn_from=st["hwm"], atomic_txns=True)
+        want2 = _lww(strip_txn_envelope(ev), None)
+        snap2 = sm.snapshot()
+        live2 = snap2.filter(pc.not_equal(snap2.column("op"), "D"))
+        assert live2.num_rows == want2.num_rows
+    finally:
+        sm.shutdown()
