@@ -148,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("snapshot", help="print table state sample + metrics")
     s.add_argument("--table", required=True)
+
+    cl = sub.add_parser("clone", help="zero-copy shallow clone (branch) of a table")
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--epoch", type=int, default=None)
     s.add_argument("--limit", type=int, default=5)
     s.add_argument("--epoch", type=int, default=None)
 
@@ -396,6 +401,25 @@ def main(argv: list[str] | None = None) -> int:
         }))
         for row in t.head(args.limit).to_dict(orient="records"):
             print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}, default=str))
+        return 0
+
+    if args.cmd == "clone":
+        from .sources.lake import LakeTable
+
+        src = LakeTable(args.table)
+        dest = src.clone_to(args.dest, epoch=args.epoch)
+        m = dest.manifests.read()
+        print(
+            json.dumps(
+                {
+                    "cloned_from": m["lineage"]["cloned_from"],
+                    "source_epoch": m["lineage"]["source_epoch"],
+                    "dest": args.dest,
+                    "hwm_lsn": dest.hwm_lsn(),
+                    "buckets": len(m["buckets"]),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "snapshot":

@@ -64,12 +64,20 @@ class LakeTable:
         m = self.manifests.read()
         return int(m["hwm_lsn"]) if m else -1
 
+    def _resolve(self, ref: str) -> str:
+        """Manifest file references are table-dir-relative for files this
+        table wrote, and absolute (or URIs) for files referenced from a
+        shallow clone's source table."""
+        if fs.is_uri(ref) or os.path.isabs(ref):
+            return ref
+        return fs.join(self.table_dir, ref)
+
     def bucket_files(self, epoch: int | None = None) -> dict[int, str]:
         m = self.manifests.read(epoch)
         if not m:
             return {}
         return {
-            int(b): fs.join(self.table_dir, e["file"])
+            int(b): self._resolve(e["file"])
             for b, e in m["buckets"].items()
             if e.get("file")
         }
@@ -83,8 +91,8 @@ class LakeTable:
         for b, e in m["buckets"].items():
             files = []
             if e.get("file"):
-                files.append(fs.join(self.table_dir, e["file"]))
-            files.extend(fs.join(self.table_dir, f) for f in e.get("delta_files", []))
+                files.append(self._resolve(e["file"]))
+            files.extend(self._resolve(f) for f in e.get("delta_files", []))
             if files:
                 out[int(b)] = files
         return out
@@ -454,9 +462,9 @@ class LakeTable:
                 continue
             for entry in m["buckets"].values():
                 if entry.get("file"):
-                    referenced.add(fs.join(self.table_dir, entry["file"]))
+                    referenced.add(self._resolve(entry["file"]))
                 referenced.update(
-                    fs.join(self.table_dir, f) for f in entry.get("delta_files", [])
+                    self._resolve(f) for f in entry.get("delta_files", [])
                 )
             kept += 1
         removed = []
@@ -476,6 +484,51 @@ class LakeTable:
                 if e <= cur - keep_epochs:
                     fs.unlink(fs.join(self.manifests.manifest_dir, fn))
         return removed
+
+    def clone_to(self, dest_dir: str, epoch: int | None = None) -> "LakeTable":
+        """Zero-copy shallow clone (branching): the destination table
+        starts from this table's state at ``epoch`` WITHOUT copying any
+        data file — its first manifest references the source's files by
+        absolute path. Upserts on the clone copy-on-write only the
+        buckets they touch (new files land under the clone's own data/
+        dir); the source is never modified, and the two tables evolve
+        independently from the shared base.
+
+        Delta-style caveat: ``vacuum`` on the SOURCE can delete files a
+        clone still references (a clone's own vacuum never touches
+        foreign files — it only scans its own data/ dir). Keep the source
+        epoch retained, or compact the clone to materialize it."""
+        m = self.manifests.read(epoch)
+        if m is None:
+            raise ValueError(f"nothing to clone: {self.table_dir} has no committed epoch")
+        src_base = (
+            self.table_dir if fs.is_uri(self.table_dir) else os.path.abspath(self.table_dir)
+        )
+
+        def _abs(ref: str) -> str:
+            if fs.is_uri(ref) or os.path.isabs(ref):
+                return ref  # already foreign (this table is itself a clone)
+            return fs.join(src_base, ref)
+
+        buckets = {}
+        for b, e in m["buckets"].items():
+            e2 = dict(e)
+            if e2.get("file"):
+                e2["file"] = _abs(e2["file"])
+            if e2.get("delta_files"):
+                e2["delta_files"] = [_abs(f) for f in e2["delta_files"]]
+            buckets[b] = e2
+        dest = LakeTable(dest_dir, self.num_buckets)
+        if dest.current_epoch() >= 0:
+            raise ValueError(f"clone destination {dest_dir} is not empty")
+        manifest = dict(
+            m,
+            buckets=buckets,
+            lineage={"cloned_from": src_base, "source_epoch": int(m["epoch"])},
+            parent_epoch=-1,
+        )
+        dest.manifests.commit(int(m["epoch"]), manifest)
+        return dest
 
     def metrics(self) -> dict:
         m = self.manifests.read()
