@@ -133,6 +133,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--mode", choices=["upsert", "overwrite", "delta"], default="upsert")
     r.add_argument("--atomic-txns", action="store_true",
                    help="never apply a partial transaction: cut the window at the last fully-committed LSN")
+    r.add_argument("--dry-run", action="store_true",
+                   help="print the replay plan (segments, window, txn cut) without applying")
     r.add_argument("--quarantine", action="store_true",
                    help="divert structurally-broken events to table/quarantine/epoch-N with a reason instead of failing")
 
@@ -148,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("snapshot", help="print table state sample + metrics")
     s.add_argument("--table", required=True)
+
+    fk = sub.add_parser("fsck", help="manifest/storage consistency check")
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--epoch", type=int, default=None)
 
     cl = sub.add_parser("clone", help="zero-copy shallow clone (branch) of a table")
     cl.add_argument("--table", required=True)
@@ -226,7 +232,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "replay":
         _init_ray(args.num_cpus)
-        from .pipelines.cdc import curate_batch, replay
+        from .pipelines.cdc import curate_batch, replay, replay_plan
+
+        if args.dry_run:
+            plan = replay_plan(
+                args.log, args.table, target_lsn=args.target_lsn,
+                num_buckets=args.buckets, atomic_txns=args.atomic_txns,
+            )
+            print(json.dumps(plan))
+            import ray
+
+            ray.shutdown()
+            return 0
 
         res = replay(
             args.log,
@@ -401,6 +418,12 @@ def main(argv: list[str] | None = None) -> int:
         }))
         for row in t.head(args.limit).to_dict(orient="records"):
             print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}, default=str))
+        return 0
+
+    if args.cmd == "fsck":
+        from .sources.lake import LakeTable
+
+        print(json.dumps(LakeTable(args.table).fsck(epoch=args.epoch)))
         return 0
 
     if args.cmd == "clone":

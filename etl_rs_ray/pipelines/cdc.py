@@ -660,6 +660,45 @@ class ReplayResult:
     wall_seconds: float = 0.0
 
 
+def replay_plan(
+    log_dir: str,
+    table_dir: str,
+    *,
+    target_lsn: int | None = None,
+    num_buckets: int = 64,
+    atomic_txns: bool = False,
+) -> dict:
+    """Dry run: what WOULD a replay do — current HWM, transactional safe
+    cut, selected segments, estimated event count (dense-LSN span bound)
+    — without touching the table or the log. Footer/filename metadata
+    only, except the safe-cut scan (column-pruned, distributed)."""
+    lake = LakeTable(table_dir, num_buckets)
+    hwm = lake.hwm_lsn()
+    plan: dict = {"hwm_lsn": hwm, "target_lsn": target_lsn, "atomic_txns": atomic_txns}
+    effective_target = target_lsn
+    if atomic_txns and log_has_txns(log_dir):
+        cut = safe_txn_cut(log_dir, hwm, target_lsn)
+        plan["txn_cut"] = cut
+        effective_target = cut
+    segs = select_segments(log_dir, hwm, effective_target)
+    plan["segments"] = len(segs)
+    plan["segment_bytes"] = sum(
+        os.path.getsize(s.path) for s in segs if os.path.exists(s.path)
+    )
+    if segs:
+        lo = min(s.lsn_min for s in segs)
+        hi = max(s.lsn_max for s in segs)
+        if effective_target is not None:
+            hi = min(hi, effective_target)
+        plan["lsn_window"] = [max(hwm, lo - 1), hi]
+        plan["est_events"] = max(0, hi - max(hwm, lo - 1))
+    else:
+        plan["lsn_window"] = [hwm, hwm]
+        plan["est_events"] = 0
+    plan["would_apply"] = plan["est_events"] > 0
+    return plan
+
+
 def replay(
     log_dir: str,
     table_dir: str,

@@ -485,6 +485,49 @@ class LakeTable:
                     fs.unlink(fs.join(self.manifests.manifest_dir, fn))
         return removed
 
+    def fsck(self, epoch: int | None = None) -> dict:
+        """Manifest↔storage consistency check (footer metadata only, no
+        data pages): every referenced file exists and is a readable
+        parquet; base-file footer row counts match the manifest; per-
+        bucket HWMs never exceed the table HWM; no stale staging dirs.
+        Returns {"ok": bool, "files_checked": n, "issues": [...]}."""
+        import pyarrow.parquet as pq
+
+        issues: list[str] = []
+        m = self.manifests.read(epoch)
+        if m is None:
+            return {"ok": True, "files_checked": 0, "issues": []}
+        table_hwm = int(m["hwm_lsn"])
+        checked = 0
+        for b, e in m["buckets"].items():
+            refs = []
+            if e.get("file"):
+                refs.append((self._resolve(e["file"]), int(e.get("rows", -1))))
+            for f in e.get("delta_files", []):
+                refs.append((self._resolve(f), None))
+            for path, want_rows in refs:
+                checked += 1
+                if not fs.exists(path):
+                    issues.append(f"bucket {b}: missing file {path}")
+                    continue
+                try:
+                    got = pq.ParquetFile(path).metadata.num_rows
+                except Exception as exc:  # corrupt footer
+                    issues.append(f"bucket {b}: unreadable parquet {path}: {exc}")
+                    continue
+                if want_rows is not None and got != want_rows:
+                    issues.append(
+                        f"bucket {b}: row count mismatch {path}: manifest={want_rows} footer={got}"
+                    )
+            if int(e.get("hwm_lsn", -1)) > table_hwm:
+                issues.append(
+                    f"bucket {b}: bucket hwm {e.get('hwm_lsn')} exceeds table hwm {table_hwm}"
+                )
+        staging_root = fs.join(self.table_dir, "_staging")
+        if fs.exists(staging_root) and fs.listdir(staging_root):
+            issues.append(f"stale staging dirs under {staging_root} (crashed attempt; next replay wipes them)")
+        return {"ok": not issues, "files_checked": checked, "issues": issues}
+
     def clone_to(self, dest_dir: str, epoch: int | None = None) -> "LakeTable":
         """Zero-copy shallow clone (branching): the destination table
         starts from this table's state at ``epoch`` WITHOUT copying any

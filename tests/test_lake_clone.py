@@ -150,3 +150,43 @@ def test_clone_time_travel_epoch(tmp_path, ray_session):
     dest = str(tmp_path / "branch0")
     LakeTable(src).clone_to(dest, epoch=0)
     assert _rows(dest) == e0_rows
+
+
+def test_fsck_clean_and_detects_damage(tmp_path, ray_session):
+    _, src = _seeded_table(tmp_path, seed=23)
+    lake = LakeTable(src)
+    rep = lake.fsck()
+    assert rep["ok"] and rep["files_checked"] > 0 and rep["issues"] == []
+
+    # remove one referenced file -> missing; truncate another -> unreadable
+    files = sorted(lake.bucket_files().values())
+    os.remove(files[0])
+    with open(files[1], "r+b") as f:
+        f.truncate(10)
+    rep2 = lake.fsck()
+    assert not rep2["ok"]
+    kinds = "\n".join(rep2["issues"])
+    assert "missing file" in kinds and "unreadable parquet" in kinds
+
+
+def test_replay_plan_dry_run(tmp_path, ray_session):
+    from etl_rs_ray.datagen import generate_events, generate_repos
+    from etl_rs_ray.pipelines.cdc import replay_plan
+
+    repos = generate_repos(n_files=200, seed=31)
+    ev = generate_events(repos, seed=31, txn_frac=0.4, open_tail=True, dup_frac=0.0)
+    log = str(tmp_path / "log")
+    write_event_log(ev, log, num_partitions=4)
+    table = str(tmp_path / "t")
+
+    plan = replay_plan(log, table, num_buckets=8, atomic_txns=True)
+    assert plan["hwm_lsn"] == -1 and plan["would_apply"]
+    assert plan["txn_cut"] < max(ev.column("lsn").to_pylist())
+    assert plan["segments"] > 0 and plan["segment_bytes"] > 0
+    # the plan touched nothing
+    assert LakeTable(table, 8).current_epoch() == -1
+
+    # after a real replay, the plan reports nothing left to do
+    replay(log, table, num_buckets=8, atomic_txns=True)
+    plan2 = replay_plan(log, table, num_buckets=8, atomic_txns=True)
+    assert not plan2["would_apply"] and plan2["est_events"] == 0
