@@ -114,13 +114,19 @@ def make_quarantine_splitter(qdir: str, validator=default_event_validator):
         bad = bad.append_column(
             "_reason", reason.filter(pc.invert(pc.fill_null(valid, False)))
         )
-        lsns = bad.column("lsn")
-        lo = pc.min(lsns).as_py() if bad.num_rows else 0
-        hi = pc.max(lsns).as_py() if bad.num_rows else 0
-        ident = f"{lo}-{hi}-{bad.num_rows}-" + ",".join(
-            sorted(set(x for x in bad.column("_reason").to_pylist() if x))
+        # identity = content hash of the bad rows themselves ((lsn, op,
+        # reason) triples, order-insensitive): deterministic under task
+        # retry, and two batches from different log partitions with
+        # overlapping LSN ranges can never collide unless their bad rows
+        # are identical (in which case one file IS the right outcome)
+        triples = sorted(
+            zip(
+                bad.column("lsn").to_pylist(),
+                bad.column("op").to_pylist(),
+                bad.column("_reason").to_pylist(),
+            )
         )
-        tag = hashlib.sha1(ident.encode()).hexdigest()[:16]
+        tag = hashlib.sha1(repr(triples).encode()).hexdigest()[:16]
         os.makedirs(qdir, exist_ok=True)
         path = os.path.join(qdir, f"bad-{tag}.parquet")
         tmp = path + f".tmp-{os.getpid()}"

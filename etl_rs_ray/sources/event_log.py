@@ -258,11 +258,18 @@ TXN_COL = "txn_id"
 
 
 def log_has_txns(log_dir: str) -> bool:
-    """True iff the log's segments carry the transaction envelope column."""
+    """True iff the log carries the transaction envelope column. Checks
+    the lowest- AND highest-LSN segments (two footer reads, not O(segs)):
+    a log that adopts the envelope mid-stream has it on the newest
+    segment; one that dropped it still has it on the oldest."""
     segs = list_segments(log_dir)
     if not segs:
         return False
-    return TXN_COL in pq.ParquetFile(segs[0].path).schema_arrow.names
+    lo = min(segs, key=lambda s: s.lsn_min)
+    hi = max(segs, key=lambda s: s.lsn_max)
+    return any(
+        TXN_COL in pq.ParquetFile(s.path).schema_arrow.names for s in {lo.path: lo, hi.path: hi}.values()
+    )
 
 
 def safe_txn_cut(
@@ -289,10 +296,22 @@ def safe_txn_cut(
     if not segs:
         return lsn_to
     window_max = max(s.lsn_max for s in segs) if lsn_to is None else lsn_to
-    if TXN_COL not in pq.ParquetFile(segs[0].path).schema_arrow.names:
+    # a log can adopt the envelope mid-stream: scan only the window
+    # segments that carry the column (rows in envelope-less segments are
+    # single-event autocommits by definition and can never hold the cut)
+    txn_segs = [
+        s for s in segs if TXN_COL in pq.ParquetFile(s.path).schema_arrow.names
+    ]
+    if not txn_segs:
         return window_max
 
-    ds = read_event_log(log_dir, lsn_from, lsn_to, columns=["lsn", "op", TXN_COL])
+    import ray.data
+
+    kwargs = {"columns": ["lsn", "op", TXN_COL]}
+    flt = replay_filter(lsn_from, lsn_to)
+    if flt is not None:
+        kwargs["filter"] = flt
+    ds = ray.data.read_parquet([s.path for s in txn_segs], **kwargs)
 
     def partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.is_valid(b.column(TXN_COL)))

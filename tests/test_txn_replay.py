@@ -284,3 +284,52 @@ def test_streaming_tail_atomic_txns(tmp_path, ray_session):
         assert live2.num_rows == want2.num_rows
     finally:
         sm.shutdown()
+
+
+def test_mid_stream_txn_adoption(tmp_path, ray_session):
+    """A log whose OLD segments predate the envelope (no txn_id column)
+    and whose new segments carry it: the safe cut still holds back the
+    open txn, and replay handles the mixed segment schemas."""
+    log = str(tmp_path / "log")
+    repos = generate_repos(n_files=300, seed=41)
+    plain = generate_events(repos, seed=41, dup_frac=0.0)  # 7-column schema
+    write_event_log(plain, log, num_partitions=4)
+    assert not log_has_txns(log)
+
+    # new era: transactional events appended after the plain tail
+    repos2 = generate_repos(n_files=80, seed=43)
+    ev2 = generate_events(repos2, seed=43, dup_frac=0.0)
+    ev2 = attach_txns(ev2, txn_frac=0.5, open_tail=True, seed=43)
+    base = next_lsn(log)
+    ev2 = ev2.set_column(
+        0, "lsn", pc.add(ev2.column("lsn"), base)
+    )
+    EventLogWriter(log, num_partitions=4).write(ev2)
+    assert log_has_txns(log)
+
+    cut = safe_txn_cut(log)
+    open_tid = _open_txn_id(ev2)
+    open_min = min(
+        l
+        for l, t, op in zip(
+            ev2.column("lsn").to_pylist(),
+            ev2.column("txn_id").to_pylist(),
+            ev2.column("op").to_pylist(),
+        )
+        if t == open_tid and op != "C"
+    )
+    assert cut == open_min - 1
+
+    table = str(tmp_path / "t")
+    res = replay(log, table, num_buckets=8, atomic_txns=True)
+    assert res.committed and res.hwm_lsn == cut
+    # full payload below the cut applied (old era entirely, new era prefix)
+    both = pa.concat_tables(
+        [
+            plain.append_column("txn_id", pa.nulls(plain.num_rows, pa.string())),
+            ev2,
+        ]
+    )
+    want = _lww(strip_txn_envelope(both), cut)
+    got = LakeTable(table, 8).snapshot_table().select(want.column_names)
+    _assert_same_rows(got, want)
