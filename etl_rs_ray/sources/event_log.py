@@ -243,15 +243,41 @@ def read_event_log(
     # partition_columns branch never runs), so a pruned read keeps the
     # default hive inference — the requested columns never include 'part',
     # so the inferred partition column is projected away regardless.
-    kwargs = {} if columns is not None else {"partitioning": None}
-    flt = replay_filter(lsn_from, lsn_to)
-    if flt is not None:
-        kwargs["filter"] = flt
+    base_kwargs = {} if columns is not None else {"partitioning": None}
     if columns is not None:
-        kwargs["columns"] = columns
-    if override_num_blocks is not None:
-        kwargs["override_num_blocks"] = override_num_blocks
-    return ray.data.read_parquet([s.path for s in segs], **kwargs)
+        base_kwargs["columns"] = columns
+
+    # Row filtering is only needed on segments that STRADDLE the window
+    # boundary — by filename every selected segment overlaps the window,
+    # and most sit entirely inside it. Applying the lsn filter to every
+    # row of every segment measurably dominated bounded replay (a 3.3M-
+    # event replay-to-cut ran ~2s filtered vs ~1.4s unfiltered), so the
+    # fully-inside segments read filter-free and only the boundary
+    # segments pay per-row evaluation.
+    def _inside(s: SegmentInfo) -> bool:
+        lo_ok = lsn_from is None or s.lsn_min > lsn_from
+        hi_ok = lsn_to is None or s.lsn_max <= lsn_to
+        return lo_ok and hi_ok
+
+    full = [s for s in segs if _inside(s)]
+    edge = [s for s in segs if not _inside(s)]
+    reads = []
+    if full:
+        kw = dict(base_kwargs)
+        if override_num_blocks is not None:
+            kw["override_num_blocks"] = max(1, override_num_blocks - min(len(edge), 2))
+        reads.append(ray.data.read_parquet([s.path for s in full], **kw))
+    if edge:
+        kw = dict(base_kwargs)
+        flt = replay_filter(lsn_from, lsn_to)
+        if flt is not None:
+            kw["filter"] = flt
+        if override_num_blocks is not None:
+            kw["override_num_blocks"] = min(len(edge) * 2, max(1, override_num_blocks))
+        reads.append(ray.data.read_parquet([s.path for s in edge], **kw))
+    if len(reads) == 1:
+        return reads[0]
+    return reads[0].union(reads[1])
 
 
 TXN_COL = "txn_id"
@@ -337,25 +363,30 @@ def safe_txn_cut(
         ).aggregate([("ev_lsn", "min"), ("c", "max")])
         return g.rename_columns([TXN_COL, "min_lsn", "committed"])
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    rows = parts.take_all()  # O(txns-in-window x blocks): tiny partials
-    if not rows:
-        return window_max
-    t = pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [(TXN_COL, pa.string()), ("min_lsn", pa.int64()), ("committed", pa.int64())]
-        ),
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, TXN_COL).aggregate(
+            [("min_lsn", "min"), ("committed", "max")]
+        )
+        g = g.rename_columns([TXN_COL, "min_lsn", "committed"])
+        opens = g.filter(
+            pc.and_(pc.equal(g.column("committed"), 0), pc.is_valid(g.column("min_lsn")))
+        )
+        open_min = pc.min(opens.column("min_lsn")).as_py() if opens.num_rows else None
+        return pa.table({"open_min": pa.array([open_min], pa.int64())})
+
+    # partials fold to ONE row before anything reaches the driver — a
+    # driver-side take_all of per-block partials was measured 10x slower
+    # (hundreds of thousands of python dicts) than this single-row fold
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .take_all()
     )
-    g = pa.TableGroupBy(t, TXN_COL).aggregate([("min_lsn", "min"), ("committed", "max")])
-    g = g.rename_columns([TXN_COL, "min_lsn", "committed"])
-    open_mask = pc.and_(
-        pc.equal(g.column("committed"), 0), pc.is_valid(g.column("min_lsn"))
-    )
-    opens = g.filter(open_mask)
-    if opens.num_rows == 0:
+    open_min = rows[0]["open_min"] if rows else None
+    if open_min is None:
         return window_max
-    return int(pc.min(opens.column("min_lsn")).as_py()) - 1
+    return int(open_min) - 1
 
 
 def strip_txn_envelope(batch: pa.Table) -> pa.Table:
