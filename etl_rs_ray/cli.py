@@ -151,6 +151,9 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("snapshot", help="print table state sample + metrics")
     s.add_argument("--table", required=True)
 
+    ln = sub.add_parser("lineage", help="per-epoch lineage chain of a table")
+    ln.add_argument("--table", required=True)
+
     fk = sub.add_parser("fsck", help="manifest/storage consistency check")
     fk.add_argument("--table", required=True)
     fk.add_argument("--epoch", type=int, default=None)
@@ -418,6 +421,36 @@ def main(argv: list[str] | None = None) -> int:
         }))
         for row in t.head(args.limit).to_dict(orient="records"):
             print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}, default=str))
+        return 0
+
+    if args.cmd == "lineage":
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        chain = []
+        e = lake.current_epoch()
+        while e >= 0:
+            m = lake.manifests.read(e)
+            if m is None:
+                break
+            lin = dict(m.get("lineage", {}))
+            lin.pop("segments", None)  # keep the line short; segment list is in the manifest
+            chain.append(
+                {
+                    "epoch": e,
+                    "mode": m.get("mode"),
+                    "hwm_lsn": m.get("hwm_lsn"),
+                    "buckets": len(m.get("buckets", {})),
+                    "metrics": {
+                        k: m.get("metrics", {}).get(k)
+                        for k in ("events_applied", "quarantined", "wall_seconds")
+                        if k in m.get("metrics", {})
+                    },
+                    "lineage": lin,
+                }
+            )
+            e = int(m.get("parent_epoch", -1))
+        print(json.dumps({"table": args.table, "epochs": chain}))
         return 0
 
     if args.cmd == "fsck":
