@@ -1400,3 +1400,22 @@ ORACLE_SQL["events_chi_square"] = """
     JOIN ct USING (bucket)
     CROSS JOIN tot
 """
+
+ORACLE_SQL["events_time_histogram"] = """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["events_user_set_ops"] = """
+    WITH n AS (SELECT COUNT(*) AS n FROM events),
+    a AS (SELECT DISTINCT user_id FROM events, n WHERE event_id < (6 * n.n) // 10),
+    b AS (SELECT DISTINCT user_id FROM events, n WHERE event_id >= (6 * n.n) // 10)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS users_both,
+      (SELECT COUNT(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS users_first_only,
+      (SELECT COUNT(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS users_second_only
+"""

@@ -333,3 +333,70 @@ def test_mid_stream_txn_adoption(tmp_path, ray_session):
     want = _lww(strip_txn_envelope(both), cut)
     got = LakeTable(table, 8).snapshot_table().select(want.column_names)
     _assert_same_rows(got, want)
+
+
+def test_attach_txns_property_sweep():
+    """Hypothesis sweep over sizes/fractions/seeds: the envelope always
+    preserves the payload multiset, keeps LSNs dense, and puts every
+    commit marker strictly above its members."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n_files=st.integers(5, 120),
+        txn_frac=st.floats(0.05, 0.9),
+        lo=st.integers(2, 3),
+        span=st.integers(0, 4),
+        open_tail=st.booleans(),
+        seed=st.integers(0, 10_000),
+    )
+    def check(n_files, txn_frac, lo, span, open_tail, seed):
+        repos = generate_repos(n_files=n_files, seed=seed)
+        ev = generate_events(repos, seed=seed, dup_frac=0.0)
+        t = attach_txns(
+            ev, txn_frac=txn_frac, txn_len=(lo, lo + span), open_tail=open_tail, seed=seed
+        )
+        lsns = t.column("lsn").to_pylist()
+        if open_tail:
+            # the dropped commit marker leaves exactly one LSN gap (an
+            # aborted WAL reservation) — otherwise dense and increasing
+            assert sorted(lsns) == lsns
+            assert len(set(lsns)) == len(lsns)
+            full = set(range(max(lsns) + 1)) if lsns else set()
+            assert len(full - set(lsns)) <= 1
+        else:
+            assert lsns == list(range(len(lsns)))
+        stripped = strip_txn_envelope(t)
+        assert stripped.num_rows == ev.num_rows
+        a = sorted(
+            zip(ev.column("op").to_pylist(), ev.column("commit").to_pylist(),
+                ev.column("content").to_pylist())
+        )
+        b = sorted(
+            zip(stripped.column("op").to_pylist(), stripped.column("commit").to_pylist(),
+                stripped.column("content").to_pylist())
+        )
+        assert a == b
+        # commit marker strictly above members; at most one open txn
+        spans = {}
+        for lsn, op, tid in zip(
+            lsns, t.column("op").to_pylist(), t.column("txn_id").to_pylist()
+        ):
+            if tid is None:
+                continue
+            lo_, hi_, c_ = spans.get(tid, (None, None, None))
+            if op == "C":
+                spans[tid] = (lo_, hi_, lsn)
+            else:
+                spans[tid] = (lsn if lo_ is None else lo_, lsn, c_)
+        opens = 0
+        for tid, (lo_, hi_, c_) in spans.items():
+            assert lo_ is not None, f"txn {tid} has a marker but no members"
+            if c_ is None:
+                opens += 1
+            else:
+                assert c_ > hi_
+        assert opens == (1 if (open_tail and spans) else 0)
+
+    check()
