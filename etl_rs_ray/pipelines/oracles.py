@@ -1419,3 +1419,17 @@ ORACLE_SQL["events_user_set_ops"] = """
       (SELECT COUNT(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS users_first_only,
       (SELECT COUNT(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS users_second_only
 """
+
+ORACLE_SQL["events_column_lww"] = """
+    SELECT user_id,
+           arg_max(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END, event_id)
+               FILTER (WHERE event_type = 'purchase') AS last_purchase_cents,
+           arg_max(CASE WHEN event_type = 'click'
+                        THEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) END,
+                   event_id)
+               FILTER (WHERE event_type = 'click') AS last_click_k,
+           CAST(MAX(event_id) AS BIGINT) AS event_id_last
+    FROM events
+    GROUP BY user_id
+"""

@@ -2677,6 +2677,42 @@ def events_user_set_ops(sf_dir: str):
     return partial_fold(ds, partial, fold)
 
 
+def events_column_lww(sf_dir: str):
+    """Partial-update (column-level LWW) state per user — the Mongo-
+    oplog/Debezium patch-merge shape: each field resolves to its value
+    on the LATEST event where that field was present (null = untouched,
+    not cleared). Here value is only "present" on purchase events and
+    props.k only on click events, so the two fields resolve
+    independently (stages/ordered.py::column_lww_per_key, one keyed
+    shuffle, one sorted vectorized pass)."""
+    from ..stages.ordered import column_lww_per_key
+    from ..util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "value", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents, k = _cents_vs_props_k(b)
+        is_p = pc.equal(b.column("event_type"), "purchase")
+        is_c = pc.equal(b.column("event_type"), "click")
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "last_purchase_cents": pc.if_else(is_p, cents, pa.scalar(None, pa.int64())),
+                "last_click_k": pc.if_else(is_c, k, pa.scalar(None, pa.int64())),
+            }
+        )
+
+    return drop_empty_blocks(
+        column_lww_per_key(
+            ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            "event_id",
+            ["last_purchase_cents", "last_click_k"],
+        )
+    )
+
+
 # Dict order is the driver-gate priority: the correctness driver compares
 # the FIRST 50 entries against their oracles each round. Curated so every
 # operator family not yet covered by a CORRECTNESS_r* row (the 38 queries
@@ -2785,6 +2821,7 @@ QUERIES = {
     "events_chi_square": events_chi_square,
     "events_time_histogram": events_time_histogram,
     "events_user_set_ops": events_user_set_ops,
+    "events_column_lww": events_column_lww,
 }
 
 # Oracle SQL lives in pipelines/oracles.py; re-exported here because the

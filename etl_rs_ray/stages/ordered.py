@@ -681,6 +681,57 @@ def rank_stats_per_key(
     )
 
 
+def column_lww_per_key(
+    ds: ray.data.Dataset,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Column-level last-writer-wins (the PARTIAL-UPDATE merge of Mongo
+    oplog / Debezium patch semantics): per key, each value column
+    resolves independently to its value on the latest row WHERE THAT
+    COLUMN IS NON-NULL — a null means "field not touched by this
+    change", not "set to null". Row-level LWW (merge_apply.lww_reduce)
+    would lose earlier fields; this kernel keeps each field's latest
+    write. Output: one row per key with ``{order_col}_last`` = the
+    key's overall latest order value.
+
+    ONE keyed shuffle; per partition a single sorted pass: for each
+    column, the last valid row per segment falls out of one ascending
+    fancy-index assignment (later writes overwrite earlier — numpy
+    assigns duplicates in order), no per-key python."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    value_cols = list(value_cols)
+
+    def kernel(t: pa.Table, first: np.ndarray, gidx: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        n_groups = len(starts)
+        out = {k: t.column(k).take(pa.array(starts)) for k in keys}
+        for c in value_cols:
+            col = t.column(c)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            rows = np.flatnonzero(valid)
+            pick = np.full(n_groups, -1, dtype=np.int64)
+            if len(rows):
+                pick[gidx[rows]] = rows  # ascending: last valid row wins
+            mask = pick < 0
+            idx = pa.array(np.where(mask, 0, pick), pa.int64())
+            vals = col.take(idx)
+            if mask.any():
+                vals = pc.if_else(pa.array(~mask), vals, pa.scalar(None, col.type))
+            out[c] = vals
+        out[f"{order_col}_last"] = t.column(order_col).take(pa.array(ends - 1))
+        return pa.table(out)
+
+    return per_key_ordered(
+        ds, keys, order_col, kernel, num_partitions=num_partitions
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key_cols: str | Sequence[str],

@@ -528,3 +528,68 @@ def test_state_diff_random_streams_vs_bruteforce(seed, ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_column_lww_partial_updates(ray_session):
+    """Column-level LWW: each field keeps its own latest non-null write;
+    row-level LWW would lose field A's value when a later event touched
+    only field B."""
+    import numpy as np
+    import ray.data
+
+    from etl_rs_ray.stages.ordered import column_lww_per_key
+
+    t = pa.table(
+        {
+            "k": ["x", "x", "x", "y", "y", "z"],
+            "seq": [1, 2, 3, 1, 2, 1],
+            "a": pa.array([10, None, None, 7, None, None], pa.int64()),
+            "b": pa.array([None, 20, None, None, 8, None], pa.int64()),
+        }
+    )
+    out = pa.Table.from_pylist(
+        column_lww_per_key(
+            ray.data.from_arrow(t).repartition(3), "k", "seq", ["a", "b"]
+        ).take_all()
+    ).sort_by("k")
+    assert out.column("k").to_pylist() == ["x", "y", "z"]
+    # x: a written at seq 1 survives the b-only write at seq 2
+    assert out.column("a").to_pylist() == [10, 7, None]
+    assert out.column("b").to_pylist() == [20, 8, None]
+    assert out.column("seq_last").to_pylist() == [3, 2, 1]
+
+    # randomized cross-check vs a python oracle
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = rng.integers(0, 40, n)
+    seq = rng.permutation(n)
+    a = np.where(rng.random(n) < 0.3, rng.integers(0, 100, n), -1)
+    b = np.where(rng.random(n) < 0.3, rng.integers(0, 100, n), -1)
+    big = pa.table(
+        {
+            "k": pa.array([f"k{v}" for v in keys], pa.string()),
+            "seq": pa.array(seq, pa.int64()),
+            "a": pa.array(np.where(a < 0, None, a), pa.int64()),
+            "b": pa.array(np.where(b < 0, None, b), pa.int64()),
+        }
+    )
+    got = pa.Table.from_pylist(
+        column_lww_per_key(
+            ray.data.from_arrow(big).repartition(8), "k", "seq", ["a", "b"], num_partitions=4
+        ).take_all()
+    ).sort_by("k")
+    want = {}
+    order = np.argsort(seq)
+    for i in order:
+        key = f"k{keys[i]}"
+        cur = want.setdefault(key, {"a": None, "b": None, "seq": None})
+        if a[i] >= 0:
+            cur["a"] = int(a[i])
+        if b[i] >= 0:
+            cur["b"] = int(b[i])
+        cur["seq"] = int(seq[i])
+    for krow, arow, brow, srow in zip(
+        got.column("k").to_pylist(), got.column("a").to_pylist(),
+        got.column("b").to_pylist(), got.column("seq_last").to_pylist(),
+    ):
+        assert want[krow] == {"a": arow, "b": brow, "seq": srow}
