@@ -699,9 +699,9 @@ def column_lww_per_key(
     key's overall latest order value.
 
     ONE keyed shuffle; per partition a single sorted pass: for each
-    column, the last valid row per segment falls out of one ascending
-    fancy-index assignment (later writes overwrite earlier — numpy
-    assigns duplicates in order), no per-key python."""
+    column, the last valid row per segment is an unbuffered
+    ``np.maximum.at`` scatter (order-independent by construction), no
+    per-key python."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     value_cols = list(value_cols)
 
@@ -717,7 +717,7 @@ def column_lww_per_key(
             rows = np.flatnonzero(valid)
             pick = np.full(n_groups, -1, dtype=np.int64)
             if len(rows):
-                pick[gidx[rows]] = rows  # ascending: last valid row wins
+                np.maximum.at(pick, gidx[rows], rows)  # max row index = latest
             mask = pick < 0
             idx = pa.array(np.where(mask, 0, pick), pa.int64())
             vals = col.take(idx)
