@@ -550,11 +550,18 @@ ORACLE_SQL["docs_top_tokens"] = """
     ) GROUP BY key
     ORDER BY n DESC, key LIMIT 25
 """
+# fixed-point mirror of stages/ann.py::group_centroids(quantize=1e6):
+# inputs round-half-away at 2^31, EXACT integer sums (fold-order-free on
+# both sides), one identical float64 quantization expression
 ORACLE_SQL["embeddings_group_centroids"] = """
     SELECT CAST(vec_id % 10 AS BIGINT) AS g, CAST(i AS BIGINT) AS i,
-           CAST(round(avg(x) * 1000000) AS BIGINT) AS avg_q,
+           CAST(round((CAST(SUM(xq) AS DOUBLE) * 1000000.0)
+                      / (CAST(count(*) AS DOUBLE) * 2147483648.0)) AS BIGINT)
+               AS avg_q,
            CAST(count(*) AS BIGINT) AS n_vectors
-    FROM (SELECT vec_id, unnest(embedding) AS x,
+    FROM (SELECT vec_id,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 2147483648.0)
+                      AS BIGINT) AS xq,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings)
     GROUP BY g, i

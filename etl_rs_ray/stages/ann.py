@@ -35,6 +35,20 @@ def _as_matrix(col) -> np.ndarray:
     return np.array(col.to_pylist(), dtype=np.float32)
 
 
+def _list_matrix(col, dtype) -> np.ndarray:
+    """(n, dim) matrix from a fixed-width list column, PRESERVING the
+    requested dtype — _as_matrix's float32 cast silently destroys int64
+    partial sums above 2^24 (found as a ±256-unit centroid drift)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(len(col), int(widths[0]))
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
@@ -303,11 +317,18 @@ def group_centroids(
     group move through the shuffle, never the vectors — then a small
     groupby folds partials and divides.
 
-    ``quantize``: emit centroids as list<int64> of round(x * quantize)
-    (micro-units) instead of float64 — parallel fold order can flip the
-    last ulp of a float sum, so hash-checked consumers (SQL oracles)
-    need the integer form.
+    ``quantize``: emit centroids as list<int64> micro-units via EXACT
+    fixed-point arithmetic: inputs round-half-away to int64 at scale
+    2^31, partials and the fold sum INTEGERS (associative — no fold
+    order can move any bit), and one final float64 expression
+    ``round(sum * quantize / (n * 2^31))`` quantizes. A float-sum
+    variant was flipped on a rounding boundary when a read-block-size
+    change regrouped the partials; integer sums make the result
+    independent of batching by construction. The SQL mirror applies the
+    identical input rounding and final expression.
     Returns (group_col, centroid, n_vectors)."""
+    FIX = 2147483648.0  # 2^31: exact for float32 inputs, no i64 overflow
+                        # before ~2^32 rows per group
     from .dedup import _group_partitions, _hash_shuffle
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -320,6 +341,10 @@ def group_centroids(
                 }
             )
         X = _as_matrix(batch.column(emb_col)).astype(np.float64)
+        if quantize is not None:
+            # round-half-away (SQL round()), not np.round's half-even
+            V = X * FIX
+            X = (np.sign(V) * np.floor(np.abs(V) + 0.5)).astype(np.int64)
         g = batch.column(group_col).combine_chunks()
         order = pc.sort_indices(g)
         onp = order.to_numpy(zero_copy_only=False)
@@ -331,10 +356,11 @@ def group_centroids(
         starts = np.flatnonzero(first)
         sums = np.add.reduceat(X[onp], starts, axis=0)
         ends = np.append(starts[1:], len(gs))
+        sum_type = pa.int64() if quantize is not None else pa.float64()
         return pa.table(
             {
                 group_col: gs.take(pa.array(starts)),
-                "_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                "_sum": pa.array(list(sums), pa.list_(sum_type)),
                 "_n": pa.array((ends - starts).astype(np.int64)),
             }
         )
@@ -357,16 +383,21 @@ def group_centroids(
 
         first = _first_per_key_mask(t, (group_col,)).to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(first)
-        sums = np.add.reduceat(_as_matrix(t.column("_sum")).astype(np.float64), starts, axis=0)
+        acc_t = np.int64 if quantize is not None else np.float64
+        sums = np.add.reduceat(_list_matrix(t.column("_sum"), acc_t), starts, axis=0)
         n = np.add.reduceat(
             t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64), starts
         )
-        cents = sums / n[:, None]
         if quantize is not None:
-            cent_arr = pa.array(
-                list(np.round(cents * quantize).astype(np.int64)), pa.list_(pa.int64())
+            # the one float expression, on exact integer inputs — mirrors
+            # the oracle's round((SUM*q)/(n*2^31)) term for term
+            q = (sums.astype(np.float64) * float(quantize)) / (
+                n[:, None].astype(np.float64) * FIX
             )
+            cents_q = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+            cent_arr = pa.array(list(cents_q), pa.list_(pa.int64()))
         else:
+            cents = sums / n[:, None]
             cent_arr = pa.array(list(cents), pa.list_(pa.float64()))
         return pa.table(
             {

@@ -274,6 +274,19 @@ def test_group_centroids_matches_numpy_oracle():
         ray.data.from_arrow(t).repartition(11), "g", quantize=1e6).take_all()}
     assert a == b
 
+    # ...and EXACT against the fixed-point formula itself (a float32
+    # squash of the int64 partial sums once drifted a centroid by one
+    # micro-unit only at one specific batching — pin the exact value, not
+    # just cross-layout agreement)
+    FIX = 2147483648.0
+    V = X.astype(np.float64) * FIX
+    Xq = (np.sign(V) * np.floor(np.abs(V) + 0.5)).astype(np.int64)
+    for gi, cent in a.items():
+        sel = Xq[g == gi]
+        q = (sel.sum(axis=0).astype(np.float64) * 1e6) / (len(sel) * FIX)
+        want_q = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+        assert list(want_q) == list(cent)
+
 
 def test_append_ivf_index_incremental():
     """Build on 60% of the corpus, append the remaining 40% with the
