@@ -175,6 +175,19 @@ def winnow_fingerprints_batch(
     windows = np.lib.stride_tricks.sliding_window_view(data, k)
     hashes = (windows * _pows(k)).sum(axis=1, dtype=np.uint64)
     n = len(hashes)
+    # a document's winnow selection must depend on ITS bytes alone: mask
+    # every k-gram position outside a document's own range (the sentinel-
+    # spanning positions) to MAX so a trailing window reaching across the
+    # boundary can never import the previous document's minima — without
+    # this, a doc's fingerprint varied with batch composition (found as
+    # an incremental-vs-one-shot replay divergence in the curate chain)
+    in_doc = np.zeros(n, dtype=bool)
+    dpos = 0
+    for e in live:
+        if len(e) >= k:
+            in_doc[dpos : dpos + len(e) - k + 1] = True
+        dpos += len(e) + k
+    hashes = np.where(in_doc, hashes, np.uint64(0xFFFFFFFFFFFFFFFF))
     w = min(window, n)
     hw = np.lib.stride_tricks.sliding_window_view(hashes, w)
     trailing_min = hw.min(axis=1)  # min of hashes[p-w+1 .. p] at index p-w+1

@@ -470,3 +470,31 @@ def test_text_index_build_search_pruning(ray_session, tmp_path):
 
     empty, _ = search_text_index(idx, ["zzz"], k=5)
     assert empty.num_rows == 0
+
+
+def test_winnow_batch_independent_of_neighbors():
+    """A document's fingerprint depends on its bytes alone — never on
+    which documents share the batch (found as an incremental-vs-one-shot
+    replay divergence: the global winnow mask let a trailing window
+    reach across the sentinel into the previous document)."""
+    from etl_rs_ray.stages.text_stats import winnow_fingerprints_batch
+
+    docs = [
+        "def alpha(): return 1  # aaaaaaaa",
+        "zzzz yyyy xxxx wwww vvvv uuuu tttt",
+        "short",
+        "the quick brown fox jumps over the lazy dog " * 3,
+    ]
+    solo = [winnow_fingerprints_batch([d])[0] for d in docs]
+    together = winnow_fingerprints_batch(docs)
+    assert together == solo
+    # any permutation / partition of the batch gives the same per-doc result
+    rev = winnow_fingerprints_batch(list(reversed(docs)))
+    assert list(reversed(rev)) == solo
+    halves = (
+        winnow_fingerprints_batch(docs[:2]) + winnow_fingerprints_batch(docs[2:])
+    )
+    assert halves == solo
+    # None rows pass through without perturbing neighbors
+    with_none = winnow_fingerprints_batch([docs[0], None, docs[1]])
+    assert with_none == [solo[0], None, solo[1]]
