@@ -172,6 +172,40 @@ def write_json_atomic(path: str, obj: dict) -> None:
     write_text_atomic(path, json.dumps(obj, indent=1, sort_keys=True))
 
 
+def publish_text_exclusive(path: str, data: str) -> bool:
+    """First-writer-wins publish (compare-and-swap on existence): write a
+    private tmp, then ``os.link`` it to the final name — link fails with
+    EEXIST if ANY writer got there first, so exactly one content wins
+    even under concurrent racers (a plain rename would let the slower
+    writer tear the faster one's already-published bytes). Returns True
+    iff THIS call's content is the published one. URI paths fall back to
+    last-wins PUT (object stores lack cross-writer CAS here) and return
+    whether the object was absent before."""
+    if is_uri(path):
+        fsys = _fs(path)
+        existed = fsys.exists(path)
+        if not existed:
+            with fsys.open(path, "w") as f:
+                f.write(data)
+        return not existed
+    tmp = f"{path}.tmp.{os.getpid()}.{id(data)}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def publish_json_exclusive(path: str, obj: dict) -> bool:
+    return publish_text_exclusive(path, json.dumps(obj, indent=1, sort_keys=True))
+
+
 def read_json(path: str) -> dict:
     return json.loads(read_text(path))
 

@@ -54,11 +54,25 @@ class ManifestStore:
 
     def commit(self, epoch: int, manifest: dict) -> bool:
         """Write manifest-<epoch> and swing CURRENT. Returns False (no-op)
-        if this epoch — or a later one — is already committed."""
+        if this epoch — or a later one — is already committed.
+
+        Racing writers of the SAME epoch are serialized by a first-
+        writer-wins exclusive publish of the manifest file (hard-link
+        CAS): exactly one racer's content becomes manifest-<epoch>; the
+        loser returns False without touching it. Both may swing CURRENT,
+        but they write the identical epoch number, so the pointer is
+        race-free by value."""
         if self.current_epoch() >= epoch:
             return False
         manifest = dict(manifest, epoch=epoch)
-        fs.write_json_atomic(self.manifest_path(epoch), manifest)
-        # the single atomic commit point
+        won = fs.publish_json_exclusive(self.manifest_path(epoch), manifest)
+        if not won and self.current_epoch() >= epoch:
+            # another writer fully committed this (or a later) epoch
+            return False
+        # either this call's content won, or an earlier attempt published
+        # the manifest and crashed before swinging CURRENT — adopt the
+        # published content (deterministic staging makes it equivalent)
+        # and finish the commit. The pointer write is race-free by value:
+        # every racer of this epoch writes the same number.
         fs.write_text_atomic(self.current_path, str(epoch))
         return True
