@@ -40,8 +40,24 @@ def _commit_hex_vec(n: int, salt: int) -> list[str]:
     return [f"{int(x):016x}{int(y):016x}{int(z) & 0xFFFFFFFF:08x}" for x, y, z in zip(a, b, c)]
 
 
+_GEN_CHUNK = 4_000_000  # rows per Arrow chunk: keeps every string chunk
+                        # under the 2 GiB array capacity at any n_files
+
+
+def _chunked_str(values: list[str]) -> pa.ChunkedArray:
+    return pa.chunked_array(
+        [
+            pa.array(values[s : s + _GEN_CHUNK], pa.string())
+            for s in range(0, max(len(values), 1), _GEN_CHUNK)
+        ]
+    )
+
+
 def generate_repos(n_files: int = 2000, n_orgs: int = 10, versions_per_file: int = 1, seed: int = 42) -> pa.Table:
-    """One row per (repo, path, commit) file version. Vectorized."""
+    """One row per (repo, path, commit) file version. Vectorized; all
+    string columns are built in ≤4M-row chunks so no Arrow array ever
+    crosses the 2 GiB capacity limit (needed for the 40M+-event bench
+    tiers)."""
     rng = np.random.default_rng(seed)
     n = n_files * versions_per_file
     file_idx = np.repeat(np.arange(n_files), versions_per_file)
@@ -50,18 +66,26 @@ def generate_repos(n_files: int = 2000, n_orgs: int = 10, versions_per_file: int
     repos = [f"org{i % n_orgs}/project{i % (n_orgs * 7)}" for i in file_idx]
     paths = [f"src/module_{i}.{lang}" for i, lang in zip(file_idx, langs)]
     commits = _commit_hex_vec(n, seed * 7919 + 13)
-    # content: header + token soup, built via one Arrow join kernel
+    # content: header + token soup, joined via the Arrow kernel per chunk
     tok_mat = _VOCAB[rng.integers(0, len(_VOCAB), (n, 12))]
     soup = [" ".join(row) for row in tok_mat.tolist()]
     headers = [f"// {r}/{p}@{c[:8]}\n" for r, p, c in zip(repos, paths, commits)]
-    content = pc.binary_join_element_wise(pa.array(headers), pa.array(soup), "")
+    content_chunks = []
+    for s in range(0, max(n, 1), _GEN_CHUNK):
+        content_chunks.append(
+            pc.binary_join_element_wise(
+                pa.array(headers[s : s + _GEN_CHUNK]),
+                pa.array(soup[s : s + _GEN_CHUNK]),
+                "",
+            ).cast(pa.string())
+        )
     return pa.table(
         {
-            "repo": pa.array(repos, pa.string()),
-            "path": pa.array(paths, pa.string()),
-            "commit": pa.array(commits, pa.string()),
-            "lang": pa.array(langs.tolist(), pa.string()),
-            "content": content.cast(pa.string()),
+            "repo": _chunked_str(repos),
+            "path": _chunked_str(paths),
+            "commit": _chunked_str(commits),
+            "lang": _chunked_str(langs.tolist()),
+            "content": pa.chunked_array(content_chunks),
         }
     )
 
