@@ -185,16 +185,38 @@ def generate_events(
     then U/D against random keys (after their insert in LSN order), then
     duplicate re-deliveries of random events (identical rows, same LSN).
     ``txn_frac > 0`` wraps runs of events in BEGIN..COMMIT transactions
-    (see attach_txns) before the duplicates are injected."""
+    (see attach_txns) before the duplicates are injected.
+
+    Above ~12M input rows every string column switches to large_string
+    for the duration of generation: Arrow's 32-bit-offset take/concat
+    overflows past 2 GiB per column otherwise. write_event_log casts
+    each ≤200k-row segment slice back to the plain-string EVENT_SCHEMA
+    types, so the on-disk log is identical either way."""
     rng = np.random.default_rng(seed + 1)
     n = repos.num_rows
+    large = n > 12_000_000
+    if large:
+        repos = pa.table(
+            {
+                c: (
+                    repos.column(c).cast(pa.large_string())
+                    if pa.types.is_string(repos.column(c).type)
+                    else repos.column(c)
+                )
+                for c in repos.column_names
+            }
+        )
+    str_t = pa.large_string() if large else pa.string()
+    ev_schema = pa.schema(
+        [(f.name, str_t if pa.types.is_string(f.type) else f.type) for f in EVENT_SCHEMA]
+    )
 
     # inserts in shuffled order, lsn 0..n-1
     order = rng.permutation(n)
     ins_lsn = np.empty(n, dtype=np.int64)
     ins_lsn[order] = np.arange(n, dtype=np.int64)
     inserts = repos.add_column(0, "lsn", pa.array(ins_lsn)).add_column(
-        1, "op", pa.array(np.full(n, "I")).cast(pa.string())
+        1, "op", pa.array(np.full(n, "I")).cast(str_t)
     )
 
     next_lsn = n
@@ -203,21 +225,21 @@ def generate_events(
     upd = repos.take(pa.array(upd_rows))
     upd_lsns = np.arange(next_lsn, next_lsn + n_updates, dtype=np.int64)
     upd_content = pc.binary_join_element_wise(
-        upd.column("content").cast(pa.string()),
-        pa.array([f"\n// updated lsn={lsn}" for lsn in upd_lsns], pa.string()),
+        upd.column("content").cast(str_t),
+        pa.array([f"\n// updated lsn={lsn}" for lsn in upd_lsns], str_t),
         "",
-    ).cast(pa.string())
+    ).cast(str_t)
     updates = pa.table(
         {
             "lsn": pa.array(upd_lsns),
-            "op": pa.array(np.full(n_updates, "U")).cast(pa.string()),
+            "op": pa.array(np.full(n_updates, "U")).cast(str_t),
             "repo": upd.column("repo"),
             "path": upd.column("path"),
             "commit": upd.column("commit"),
             "lang": upd.column("lang"),
             "content": upd_content,
         },
-        schema=EVENT_SCHEMA,
+        schema=ev_schema,
     )
     next_lsn += n_updates
 
@@ -227,18 +249,18 @@ def generate_events(
     deletes = pa.table(
         {
             "lsn": pa.array(np.arange(next_lsn, next_lsn + n_deletes, dtype=np.int64)),
-            "op": pa.array(np.full(n_deletes, "D")).cast(pa.string()),
+            "op": pa.array(np.full(n_deletes, "D")).cast(str_t),
             "repo": dl.column("repo"),
             "path": dl.column("path"),
             "commit": dl.column("commit"),
-            "lang": pa.nulls(n_deletes, pa.string()),
-            "content": pa.nulls(n_deletes, pa.string()),
+            "lang": pa.nulls(n_deletes, str_t),
+            "content": pa.nulls(n_deletes, str_t),
         },
-        schema=EVENT_SCHEMA,
+        schema=ev_schema,
     )
 
     inserts = pa.table(
-        {name: inserts.column(name) for name in EVENT_SCHEMA.names}, schema=EVENT_SCHEMA
+        {name: inserts.column(name) for name in ev_schema.names}, schema=ev_schema
     )
     events = pa.concat_tables([inserts, updates, deletes])
     if txn_frac > 0:
@@ -257,11 +279,25 @@ def write_event_log(
     num_partitions: int = 8,
     events_per_segment: int = 200_000,
 ) -> None:
-    """Write the log as LSN-windowed segment batches so replay can prune."""
+    """Write the log as LSN-windowed segment batches so replay can prune.
+    large_string columns (big-tier generation) cast back to plain string
+    per ≤200k-row slice — the on-disk schema is always EVENT_SCHEMA's."""
     events = events.sort_by("lsn")
     writer = EventLogWriter(log_dir, num_partitions)
     for start in range(0, events.num_rows, events_per_segment):
-        writer.write(events.slice(start, events_per_segment))
+        sl = events.slice(start, events_per_segment)
+        if any(pa.types.is_large_string(t) for t in sl.schema.types):
+            sl = pa.table(
+                {
+                    c: (
+                        sl.column(c).cast(pa.string())
+                        if pa.types.is_large_string(sl.column(c).type)
+                        else sl.column(c)
+                    )
+                    for c in sl.column_names
+                }
+            )
+        writer.write(sl)
 
 
 _FIRST = ["amélie", "LOUCA", "H-an", "élie", "anne-marie", "Jean", "Hélène&Adelin", "marc", "Sophie", "émile"]
