@@ -116,15 +116,18 @@ def attach_txns(
     approx = max(1, int(n * txn_frac / ((lo + hi) / 2)))
     starts = np.sort(rng.choice(n, size=min(approx, n), replace=False))
     lens = rng.integers(lo, hi + 1, size=len(starts))
-    # greedy overlap resolution, vectorized: keep a txn iff it starts at or
-    # after the previous SAMPLED txn's end (a dropped predecessor can only
-    # free space, so this under-approximates — fine for a generator)
-    ends = starts + lens
-    keep = np.ones(len(starts), dtype=bool)
-    if len(starts) > 1:
-        keep[1:] = starts[1:] >= ends[:-1]
-    starts, lens = starts[keep], np.minimum(lens[keep], n - starts[keep])
-    ends = starts + lens  # exclusive event positions
+    # greedy overlap resolution against the last KEPT txn (comparing only
+    # the sampled predecessor let a candidate overlap a kept txn through a
+    # dropped neighbor — two txns then shared events and commit LSNs
+    # collided; found by the hypothesis sweep)
+    kept = []
+    frontier = -1
+    for i in range(len(starts)):
+        if starts[i] >= frontier:
+            kept.append(i)
+            frontier = int(starts[i] + lens[i])
+    starts, lens = starts[kept], np.minimum(lens[kept], n - starts[kept])
+    ends = starts + lens  # exclusive event positions; strictly increasing
     T = len(starts)
     if T == 0:
         return events.append_column("txn_id", pa.nulls(n, pa.string()))
