@@ -230,7 +230,7 @@ def generate_events(
     upd_content = pc.binary_join_element_wise(
         upd.column("content").cast(str_t),
         pa.array([f"\n// updated lsn={lsn}" for lsn in upd_lsns], str_t),
-        "",
+        pa.scalar("", str_t),
     ).cast(str_t)
     updates = pa.table(
         {
