@@ -290,10 +290,13 @@ def write_event_log(
     for start in range(0, events.num_rows, events_per_segment):
         sl = events.slice(start, events_per_segment)
         if any(pa.types.is_large_string(t) for t in sl.schema.types):
+            # combine_chunks compacts the slice view first: a slice into a
+            # >2 GiB contiguous large_string array fails the cast outright
+            # (the kernel sizes the source chunk, not the logical slice)
             sl = pa.table(
                 {
                     c: (
-                        sl.column(c).cast(pa.string())
+                        sl.column(c).combine_chunks().cast(pa.string())
                         if pa.types.is_large_string(sl.column(c).type)
                         else sl.column(c)
                     )
