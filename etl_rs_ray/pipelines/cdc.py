@@ -936,6 +936,18 @@ def replay(
         # and the cut; advance the HWM to the cut so the next replay's
         # window starts past them (they apply nothing by definition)
         new_hwm = max(new_hwm, txn_cut)
+    elif txn_log:
+        # atomic_txns off: markers were stripped with no cut to advance
+        # to. A marker whose LSN sits above the last applied event would
+        # otherwise stay above the HWM forever — every later replay
+        # re-selects its segment, applies nothing, and commits an empty
+        # epoch. Everything in the read window was consumed (applied,
+        # superseded, quarantined, or a stripped marker), so the window
+        # max is a safe HWM.
+        window_max = max(s.lsn_max for s in segs)
+        if target_lsn is not None:
+            window_max = min(window_max, target_lsn)
+        new_hwm = max(new_hwm, window_max)
     merged_in = sum(w["stats"]["events_in"] for w in written.values())
     merge_dropped = sum(w["stats"]["superseded_dropped"] for w in written.values())
     if events_read is None:

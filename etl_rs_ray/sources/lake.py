@@ -502,7 +502,11 @@ class LakeTable:
         for b, e in m["buckets"].items():
             refs = []
             if e.get("file"):
-                refs.append((self._resolve(e["file"]), int(e.get("rows", -1))))
+                # rows may be absent in hand-written / legacy manifests:
+                # keep None so the mismatch check is skipped (a -1
+                # sentinel would report a spurious mismatch)
+                rows = e.get("rows")
+                refs.append((self._resolve(e["file"]), int(rows) if rows is not None else None))
             for f in e.get("delta_files", []):
                 refs.append((self._resolve(f), None))
             for path, want_rows in refs:

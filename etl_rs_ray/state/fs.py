@@ -155,12 +155,20 @@ def read_text(path: str) -> str:
 
 def write_text_atomic(path: str, data: str) -> None:
     """Local: tmp + fsync + rename (atomic). URI: direct PUT (atomic per
-    object-store semantics — readers see old or new, never partial)."""
+    object-store semantics — readers see old or new, never partial).
+
+    The tmp name is unique per writer (pid + thread id): a shared tmp
+    name let two concurrent writers race between ``open`` and
+    ``os.replace`` — the loser's rename raised FileNotFoundError after
+    the winner moved the shared tmp away (tripped by the manifest race
+    test in round 4's review run)."""
     if is_uri(path):
         with _fs(path).open(path, "w") as f:
             f.write(data)
         return
-    tmp = path + ".tmp"
+    import threading
+
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as f:
         f.write(data)
         f.flush()
@@ -170,6 +178,46 @@ def write_text_atomic(path: str, data: str) -> None:
 
 def write_json_atomic(path: str, obj: dict) -> None:
     write_text_atomic(path, json.dumps(obj, indent=1, sort_keys=True))
+
+
+def advance_int_pointer(path: str, value: int) -> int:
+    """Monotonic advance of an integer pointer file: after the call the
+    file holds ``max(existing, value)``; returns that current value.
+
+    Local paths serialize racers with an flock'd sidecar (read-check-
+    write is atomic under the lock), so a slower committer of an OLDER
+    epoch can never regress a pointer a newer epoch already swung — the
+    tear window the round-4 review flagged in ManifestStore.commit. URI
+    paths do a best-effort read-check-PUT: object stores lack a portable
+    CAS, and the manifest protocol's epoch idempotence (same-epoch racers
+    write identical bytes; commit() pre-checks ``current >= epoch``)
+    keeps last-wins safe there."""
+    if is_uri(path):
+        try:
+            cur = int(read_text(path).strip())
+        except (FileNotFoundError, ValueError):
+            cur = None
+        if cur is not None and cur >= value:
+            return cur
+        with _fs(path).open(path, "w") as f:
+            f.write(str(value))
+        return value
+    import fcntl
+
+    with open(path + ".lock", "a") as lk:
+        fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+        try:
+            try:
+                with open(path) as f:
+                    cur = int(f.read().strip())
+            except (FileNotFoundError, ValueError):
+                cur = None
+            if cur is not None and cur >= value:
+                return cur
+            write_text_atomic(path, str(value))
+            return value
+        finally:
+            fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
 
 
 def publish_text_exclusive(path: str, data: str) -> bool:

@@ -59,9 +59,11 @@ class ManifestStore:
         Racing writers of the SAME epoch are serialized by a first-
         writer-wins exclusive publish of the manifest file (hard-link
         CAS): exactly one racer's content becomes manifest-<epoch>; the
-        loser returns False without touching it. Both may swing CURRENT,
-        but they write the identical epoch number, so the pointer is
-        race-free by value."""
+        loser returns False without touching it. The CURRENT swing is a
+        monotonic advance (fs.advance_int_pointer: flock-serialized
+        locally), so concurrent committers — same epoch or different —
+        can neither crash each other (the round-4 shared-tmp
+        FileNotFoundError) nor regress the pointer past a newer epoch."""
         if self.current_epoch() >= epoch:
             return False
         manifest = dict(manifest, epoch=epoch)
@@ -72,7 +74,6 @@ class ManifestStore:
         # either this call's content won, or an earlier attempt published
         # the manifest and crashed before swinging CURRENT — adopt the
         # published content (deterministic staging makes it equivalent)
-        # and finish the commit. The pointer write is race-free by value:
-        # every racer of this epoch writes the same number.
-        fs.write_text_atomic(self.current_path, str(epoch))
+        # and finish the commit.
+        fs.advance_int_pointer(self.current_path, epoch)
         return True

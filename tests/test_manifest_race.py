@@ -10,9 +10,38 @@ adoption."""
 import json
 import os
 import threading
+from contextlib import contextmanager
+
+import pytest
 
 from etl_rs_ray.state import fs
 from etl_rs_ray.state.manifest import ManifestStore
+
+# any exception escaping on a racer thread is a test failure, not a warning
+pytestmark = pytest.mark.filterwarnings(
+    "error::pytest.PytestUnhandledThreadExceptionWarning"
+)
+
+
+@contextmanager
+def _trap_thread_exceptions():
+    """Collect exceptions raised on worker threads; assert none on exit."""
+    errors: list[BaseException] = []
+    prev = threading.excepthook
+    threading.excepthook = lambda args: errors.append(args.exc_value)
+    try:
+        yield errors
+    finally:
+        threading.excepthook = prev
+    assert errors == [], f"racer thread(s) raised: {errors!r}"
+
+
+def _run_racers(targets) -> None:
+    threads = [threading.Thread(target=t, args=a) for t, a in targets]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
 
 
 def _manifest(tag: str) -> dict:
@@ -60,6 +89,40 @@ def test_commit_race_single_content(tmp_path):
     # a later committer is refused outright
     assert store.commit(0, _manifest("late")) is False
     assert store.read(0)["tag"] == published
+
+
+def test_commit_race_no_thread_exceptions(tmp_path):
+    """Round-4 regression: a shared CURRENT.tmp name let a racing
+    committer crash with FileNotFoundError on a commit that actually
+    succeeded. 8 racers x 20 iterations; every thread exception fails."""
+    with _trap_thread_exceptions():
+        for it in range(20):
+            store = ManifestStore(str(tmp_path / f"t{it}"))
+            _run_racers(
+                [(store.commit, (0, _manifest(f"w{i}"))) for i in range(8)]
+            )
+            assert store.current_epoch() == 0
+            assert store.read(0)["tag"].startswith("w")
+
+
+def test_different_epoch_racers_never_regress_pointer(tmp_path):
+    """A slow committer of an older epoch must not swing CURRENT back
+    after a newer epoch committed (advance-only pointer)."""
+    with _trap_thread_exceptions():
+        for it in range(20):
+            store = ManifestStore(str(tmp_path / f"t{it}"))
+            _run_racers(
+                [(store.commit, (e, _manifest(f"e{e}"))) for e in range(6)]
+            )
+            # the pointer must land on the max epoch, no matter the
+            # interleaving (an older racer may be refused outright and
+            # never publish its manifest — that's fine; regression isn't)
+            assert store.current_epoch() == 5
+            assert store.read(5)["tag"] == "e5"
+    # a late old-epoch straggler is refused and leaves the pointer alone
+    store = ManifestStore(str(tmp_path / "t0"))
+    assert store.commit(2, _manifest("late")) is False
+    assert store.current_epoch() == 5
 
 
 def test_crash_between_publish_and_pointer_is_resumed(tmp_path):
