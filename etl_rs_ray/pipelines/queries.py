@@ -95,6 +95,22 @@ def _table_rows(sf_dir: str, table: str) -> int:
     return n
 
 
+def _semantic_table_rows(sf_dir: str, table: str) -> int:
+    # row count used as a SEMANTIC constant (a window cut the oracle SQL
+    # also derives from the data), not a size gate: reads the footer
+    # directly so the big-path tests' _table_rows monkeypatch — which
+    # pretends tables are huge to flip shuffle gates — cannot change
+    # query semantics out from under the oracle
+    import pyarrow.parquet as pq
+
+    key = (sf_dir, table)
+    n = _TABLE_ROWS_CACHE.get(key)
+    if n is None:
+        n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+        _TABLE_ROWS_CACHE[key] = n
+    return n
+
+
 def _docs_small(sf_dir: str, threshold: int = 200_000) -> bool:
     # below ~200k docs the LSH bands table fits one block: gather it into
     # a single task instead of spinning up hash-shuffle aggregators
@@ -2297,20 +2313,48 @@ def events_profile(sf_dir: str):
 
 def orders_integrity_audit(sf_dir: str):
     """Referential-integrity / uniqueness audit: orphan orders (custkey
-    not in customer — broadcast anti membership over the distinct key
-    set), duplicate primary keys on orders, and childless customers —
-    one small report row per check. Each check is a shuffle-free
-    partial+fold; the key sets move as distinct aggregates, never as
-    rows."""
-    from ..stages.joins import broadcast_semi_join
+    not in customer — anti membership), duplicate primary keys on
+    orders, and childless customers — one small report row per check.
+    Below the size gates the key sets move as broadcast distinct
+    aggregates and the dup-PK check is a shuffle-free partial+fold.
+    Above them neither shape survives — the distinct key sets and the
+    per-PK count partials BOTH grow with the table (for a primary key,
+    distinct ≈ rows, so the per-block partial reduces nothing) — so the
+    memberships become keyed-shuffle anti joins and the dup check
+    hash-shuffles its (pk, count) partials so each fold task counts only
+    its key range; the final sum folds O(partitions) rows."""
+    from ..stages.joins import broadcast_semi_join, keyed_lookup_join
+    from ..stages.stats import keyed_partial_fold
+
+    n_orders = _table_rows(sf_dir, "orders")
+    n_cust = _table_rows(sf_dir, "customer")
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust_keys = _read(sf_dir, "customer", columns=["c_custkey"])
-    orphans = broadcast_semi_join(orders, cust_keys, on="o_custkey", anti=True).count()
+    if n_cust < 2_000_000:
+        orphan_ds = broadcast_semi_join(orders, cust_keys, on="o_custkey", anti=True)
+    else:
+        orphan_ds = keyed_lookup_join(
+            orders.select_columns(["o_custkey"]), cust_keys,
+            on="o_custkey", dim_key="c_custkey", take_cols={}, how="anti",
+            num_partitions=_partitions(rows=n_orders),
+        )
+    orphans = orphan_ds.count()
 
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     buyer_keys = _read(sf_dir, "orders", columns=["o_custkey"])
-    childless = broadcast_semi_join(cust, buyer_keys, on="c_custkey", anti=True).count()
+    if n_orders < 2_000_000:
+        childless_ds = broadcast_semi_join(cust, buyer_keys, on="c_custkey", anti=True)
+    else:
+        # anti membership tolerates duplicate dim keys (index_in is a
+        # presence test when take_cols is empty), so the buyer keys
+        # need no distinct pass before the shuffle
+        childless_ds = keyed_lookup_join(
+            cust, buyer_keys, on="c_custkey", dim_key="o_custkey",
+            take_cols={}, how="anti",
+            num_partitions=_partitions(rows=n_cust),
+        )
+    childless = childless_ds.count()
 
     def dup_partial(b: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(b.select(["o_orderkey"]), "o_orderkey").aggregate(
@@ -2329,12 +2373,22 @@ def orders_integrity_audit(sf_dir: str):
         ).as_py()
         return pa.table({"dup_rows": pa.array([int(dups or 0)], pa.int64())})
 
-    dup_rows = (
-        orders.map_batches(dup_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(dup_fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .take_all()[0]["dup_rows"]
-    )
+    if n_orders < 2_000_000:
+        dup_ds = (
+            orders.map_batches(dup_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(
+                dup_fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+        )
+    else:
+        # dup_fold is key-local: run it per keyed partition (each sees
+        # every copy of its pk counts); the 1-row outputs sum at the end
+        dup_ds = keyed_partial_fold(
+            orders, dup_partial, dup_fold, ["o_orderkey"],
+            _partitions(rows=n_orders),
+        )
+    dup_rows = sum(r["dup_rows"] for r in dup_ds.take_all())
     return pa.table(
         {
             "check": pa.array(
@@ -2351,9 +2405,13 @@ def events_mode_value(sf_dir: str):
     (ties broken by the smaller value, SQL-mirrorable). Per-batch
     (group, value) count partials — the |rows| -> |distinct pairs|
     reduction — one fold, then a vectorized per-group argmax by sort +
-    first-per-key mask."""
+    first-per-key mask. Above the size gate the distinct-cell domain may
+    no longer fit one fold task, so the partials hash-shuffle on the
+    group key instead (grouped_mode's keyed tier — fold is group-local,
+    per-partition outputs are final)."""
     from ..stages.stats import grouped_mode
 
+    n = _table_rows(sf_dir, "events")
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -2364,6 +2422,7 @@ def events_mode_value(sf_dir: str):
     return grouped_mode(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         "event_type", "v", out_value="mode_cents", out_count="mode_count",
+        num_partitions=_partitions(rows=n) if n >= 2_000_000 else None,
     )
 
 
@@ -2437,9 +2496,15 @@ def events_entropy(sf_dir: str):
     the |rows| → |distinct (group, value) cells| reduction (per-batch
     count partials, one fold), then H = log2(n) − Σ c·log2(c) / n, the
     identical float64 expression the SQL mirror evaluates over the same
-    exact integer counts."""
-    from ..stages.stats import partial_fold
+    exact integer counts. Above the size gate the distinct-cell domain
+    may outgrow one fold task: cells hash-shuffle on (group, value) so
+    each partition merges only ITS cells to exact totals and emits
+    per-group (n, Σ c·log2 c) partials — both additive — and one tiny
+    final fold over O(groups × partitions) rows finishes H."""
+    from ..stages.stats import keyed_partial_fold, partial_fold
+    from ..util import drop_empty_blocks
 
+    n_rows = _table_rows(sf_dir, "events")
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -2474,7 +2539,51 @@ def events_entropy(sf_dir: str):
             }
         )
 
-    return partial_fold(ds, partial, fold)
+    if n_rows < 2_000_000:
+        return partial_fold(ds, partial, fold)
+
+    def cell_fold(t: pa.Table) -> pa.Table:
+        # this partition holds EVERY copy of its (event_type, v) cells,
+        # so the merged count is the exact total and c·log2(c) is final
+        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([("c", "sum")])
+        g = g.rename_columns(["event_type", "v", "c"])
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        t2 = pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": g.column("c"),
+                "clogc": pa.array(c * np.log2(c), pa.float64()),
+            }
+        )
+        agg = pa.TableGroupBy(t2, "event_type").aggregate(
+            [("n", "sum"), ("clogc", "sum")]
+        )
+        return agg.rename_columns(["event_type", "n", "sum_clogc"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, "event_type").aggregate(
+            [("n", "sum"), ("sum_clogc", "sum")]
+        )
+        agg = agg.rename_columns(["event_type", "n", "sum_clogc"])
+        n = agg.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = agg.column("sum_clogc").to_numpy(zero_copy_only=False)
+        h = np.log2(n) - s / n
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "entropy_bits": pa.array(h, pa.float64()),
+            }
+        )
+
+    parts = keyed_partial_fold(
+        ds, partial, cell_fold, ["event_type", "v"], _partitions(rows=n_rows)
+    )
+    return drop_empty_blocks(
+        parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
 
 
 def events_percentile_cont(sf_dir: str):
@@ -2636,11 +2745,15 @@ def events_user_set_ops(sf_dir: str):
     sets. Per-batch partials reduce rows to distinct (user, half) pairs
     (the |rows| → |users| reduction), one fold derives all three counts
     from each user's membership bitmask — INTERSECT / EXCEPT without
-    materializing either side."""
-    from ..stages.stats import partial_fold
+    materializing either side. Above the size gate the distinct-user
+    domain grows with the data, so the pairs hash-shuffle on user_id:
+    each partition holds EVERY pair of its users and folds them to one
+    3-count row; a final fold sums O(partitions) rows."""
+    from ..stages.stats import keyed_partial_fold, partial_fold
+    from ..util import drop_empty_blocks
 
-    n = _table_rows(sf_dir, "events")
-    cut = (6 * n) // 10
+    cut = (6 * _semantic_table_rows(sf_dir, "events")) // 10
+    big = _table_rows(sf_dir, "events") >= 2_000_000
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
 
@@ -2674,7 +2787,29 @@ def events_user_set_ops(sf_dir: str):
             }
         )
 
-    return partial_fold(ds, partial, fold)
+    if not big:
+        return partial_fold(ds, partial, fold)
+
+    def sum_counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array([int(pc.sum(t.column(c)).as_py() or 0)], pa.int64())
+                for c in ("users_both", "users_first_only", "users_second_only")
+            }
+        )
+
+    # fold is user-local (each count derives from one user's mask sum),
+    # so it runs unchanged per keyed partition; its 1-row outputs are
+    # additive partials — the final fold sums O(partitions) rows
+    parts = keyed_partial_fold(
+        ds, partial, fold, ["user_id"],
+        _partitions(rows=_table_rows(sf_dir, "events")),
+    )
+    return drop_empty_blocks(
+        parts.repartition(1).map_batches(
+            sum_counts, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
 
 
 def events_column_lww(sf_dir: str):

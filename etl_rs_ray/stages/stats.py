@@ -27,11 +27,40 @@ from ..util import drop_empty_blocks
 def partial_fold(ds, partial: Callable, fold: Callable):
     """The shared two-stage reduction: vectorized per-block ``partial``
     → all partials onto one partition → one ``fold``. Both callables are
-    pyarrow.Table → pyarrow.Table and run zero-copy."""
+    pyarrow.Table → pyarrow.Table and run zero-copy.
+
+    The single fold's input is O(blocks × key domain), so this shape is
+    only safe when the partials' key domain is BOUNDED (event types,
+    value cents, column names). For a domain that grows with the data
+    (primary keys, user ids, high-cardinality values) use
+    ``keyed_partial_fold`` — otherwise the one fold task receives the
+    whole domain and becomes a single-node funnel at scale."""
     return drop_empty_blocks(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(1)
         .map_batches(
+            fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+
+
+def keyed_partial_fold(
+    ds, partial: Callable, fold: Callable, keys: Sequence[str], num_partitions: int
+):
+    """Shuffle tier of ``partial_fold`` for key domains that grow with
+    the data: the per-block partials hash-shuffle on ``keys`` so every
+    fold task sees only its key range — no task ever receives the whole
+    domain. ``fold`` must be key-local: every output row derives from
+    the cells of ONE key tuple (true of mode argmax, set-op membership
+    masks, duplicate-count checks). Per-key-range fold outputs that are
+    themselves partials (a count per partition, say) still need a tiny
+    final reduce — that input is O(partitions), which is bounded."""
+    from ray.data.context import ShuffleStrategy
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return drop_empty_blocks(
+        parts.repartition(num_blocks=num_partitions, keys=list(keys)).map_batches(
             fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
     )
@@ -253,11 +282,23 @@ def profile_columns(ds, cols: Sequence[str], numeric: Sequence[str]):
 # --- per-group mode -----------------------------------------------------------
 
 
-def grouped_mode(ds, key: str, value: str, out_value: str, out_count: str):
+def grouped_mode(
+    ds,
+    key: str,
+    value: str,
+    out_value: str,
+    out_count: str,
+    num_partitions: int | None = None,
+):
     """MODE per group: the most frequent ``value`` per ``key`` (ties →
     smaller value, SQL-mirrorable). Per-batch (group, value) count
     partials, one fold, then a vectorized per-group argmax by sort +
-    first-per-key mask."""
+    first-per-key mask.
+
+    ``num_partitions`` selects the keyed-shuffle tier for unbounded
+    (group, value) domains: partials hash-shuffle on ``key`` so each
+    fold task argmaxes only its co-located groups — the fold is
+    group-local, so per-partition outputs are already final rows."""
     from .merge_apply import _first_per_key_mask
 
     def partial(b: pa.Table) -> pa.Table:
@@ -283,4 +324,6 @@ def grouped_mode(ds, key: str, value: str, out_value: str, out_count: str):
             }
         )
 
+    if num_partitions is not None:
+        return keyed_partial_fold(ds, partial, fold, [key], num_partitions)
     return partial_fold(ds, partial, fold)

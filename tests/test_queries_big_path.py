@@ -34,6 +34,11 @@ GATED = [
     "parts_fuzzy_pairs",
     "events_window_distinct_users",
     "events_cumulative_users",
+    # r5: keyed-shuffle fold tiers for the unbounded-domain partial_folds
+    "orders_integrity_audit",
+    "events_mode_value",
+    "events_entropy",
+    "events_user_set_ops",
 ]
 
 
