@@ -1440,3 +1440,23 @@ ORACLE_SQL["events_column_lww"] = """
     FROM events
     GROUP BY user_id
 """
+
+ORACLE_SQL["events_schema_evolution"] = """
+    WITH n AS (SELECT COUNT(*) AS n FROM events),
+    src AS (
+      SELECT * FROM events, n
+      WHERE event_id < n.n // 2
+         OR (event_id >= n.n // 2 AND event_type = 'purchase' AND value >= 95)
+    ),
+    latest AS (
+      SELECT user_id, event_id, event_type, value, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM src
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           CASE WHEN event_id >= n // 2
+                THEN CAST(round(value * 100) AS BIGINT) END AS value_cents
+    FROM latest WHERE rn = 1
+"""

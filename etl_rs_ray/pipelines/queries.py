@@ -12,6 +12,7 @@ brute-force cosine top-k.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -2848,16 +2849,97 @@ def events_column_lww(sf_dir: str):
     )
 
 
+def events_schema_evolution(sf_dir: str):
+    """Schema evolution through the REAL lake replay path: the events
+    table becomes a two-epoch CDC log keyed per user — the first window
+    (event_id < rows // 2) is written in the original schema; the second
+    window's segments carry an ADDED value_cents column the first never
+    had, and hold only high-value purchase events (the upstream started
+    emitting the column when it started tracking purchases >= 95), so
+    roughly a third of the users' LWW rows stay in the OLD window. Both epochs replay into one lake table
+    (merge-time unification, state/schema_evolution.unify_tables — the
+    reference declares its schema twice and fixed, schemas/jdd.rs +
+    schemas/hdd.rs; the north rule requires evolution at merge time
+    instead). The snapshot's per-user LWW row is the latest log event's,
+    and value_cents reads NULL for users whose latest event predates the
+    column — old-schema rows surviving both through epoch-2 bucket
+    merges and from epoch-1 buckets epoch 2 never touched.
+
+    The log build is driver-side fixture construction (the INPUT to the
+    engine, like datagen); the engine path under test is the distributed
+    replay → merge → snapshot chain."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.event_log import EventLogWriter
+    from ..sources.lake import LakeTable
+    from .cdc import replay
+
+    cut = _semantic_table_rows(sf_dir, "events") // 2
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def to_log(t: pa.Table, with_cents: bool) -> pa.Table:
+        cols = {
+            "repo": pc.cast(t.column("user_id"), pa.string()),
+            "path": pa.nulls(t.num_rows, pa.string()).fill_null(""),
+            "commit": pa.nulls(t.num_rows, pa.string()).fill_null(""),
+            "lsn": t.column("event_id"),
+            "op": pa.nulls(t.num_rows, pa.string()).fill_null("I"),
+            "event_type": t.column("event_type"),
+        }
+        if with_cents:
+            cols["value_cents"] = _cents(t.column("value"))
+        return pa.table(cols)
+
+    tmp = tempfile.mkdtemp(prefix="etl_rs_ray_schema_evo_")
+    try:
+        log1 = os.path.join(tmp, "log1")
+        log2 = os.path.join(tmp, "log2")
+        table_dir = os.path.join(tmp, "table")
+        old_mask = pc.less(ev.column("event_id"), cut)
+        new_mask = pc.and_(
+            pc.and_(
+                pc.invert(old_mask), pc.equal(ev.column("event_type"), "purchase")
+            ),
+            pc.greater_equal(ev.column("value"), 95.0),
+        )
+        EventLogWriter(log1, num_partitions=2).write(
+            to_log(ev.filter(old_mask), with_cents=False)
+        )
+        EventLogWriter(log2, num_partitions=2).write(
+            to_log(ev.filter(new_mask), with_cents=True)
+        )
+        assert replay(log1, table_dir, num_buckets=8).committed
+        assert replay(log2, table_dir, num_buckets=8).committed
+        snap = LakeTable(table_dir).snapshot_table()
+        return pa.table(
+            {
+                "user_id": pc.cast(snap.column("repo"), pa.int64()),
+                "last_event_id": snap.column("lsn"),
+                "last_event_type": snap.column("event_type"),
+                "value_cents": snap.column("value_cents"),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Dict order is the driver-gate priority: the correctness driver compares
-# the FIRST 50 entries against their oracles each round. Curated so every
-# operator family not yet covered by a CORRECTNESS_r* row (the 38 queries
-# added after the r3 gate snapshot) sits inside the gate, alongside 12
-# already-green anchors — the flagship families plus the three queries
-# whose oracles were re-cast to BIGINT this round. Previously-green
-# queries pushed past position 50 retain their CORRECTNESS_r03 evidence
-# and stay covered by tests/test_queries_oracle.py's full sweep.
+# the FIRST 50 entries against their oracles each round. r5 rotation: the
+# 8 round-4 queries that had never seen a driver row (orders_cube ...
+# events_column_lww) plus the new events_schema_evolution move inside the
+# gate; the four r5 keyed-shuffle-tier rewrites (orders_integrity_audit,
+# events_mode_value, events_entropy, events_user_set_ops) stay/move in so
+# the changed code is re-verified. Nine CORRECTNESS_r04-green entries
+# rotate out past position 50 — they retain that evidence and stay
+# covered by tests/test_queries_oracle.py's full sweep.
 QUERIES = {
-    # -- already-green anchors (flagships + the 3 re-cast oracles) -------
+    # -- flagship anchors (kept in the gate every round) ------------------
     "events_lww_state": events_lww_state,
     "q1_pricing_summary": q1_pricing_summary,
     "customer_order_revenue": customer_order_revenue,
@@ -2866,11 +2948,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "embeddings_ann_ivf": embeddings_ann_ivf,
     "media_features": media_features,
-    "events_heavy_hitters": events_heavy_hitters,
-    "events_running_total": events_running_total,
-    "orders_rollup": orders_rollup,
-    "events_pivot_by_type": events_pivot_by_type,
-    # -- families without a driver-gate row yet (newest first-class ops) -
+    # -- r4 families re-gated + r5-changed queries ------------------------
     "q3_shipping_priority": q3_shipping_priority,
     "q5_regional_supplier_volume": q5_regional_supplier_volume,
     "events_cdc_diff": events_cdc_diff,
@@ -2889,27 +2967,41 @@ QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "events_user_paths": events_user_paths,
     "events_rank_stats": events_rank_stats,
-    "events_audience_overlap": events_audience_overlap,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "events_cooccurrence": events_cooccurrence,
-    "events_props_extract": events_props_extract,
     "docs_priority_sample": docs_priority_sample,
     "events_value_corr": events_value_corr,
     "events_window_distinct_users": events_window_distinct_users,
     "events_cumulative_users": events_cumulative_users,
     "embeddings_dim_stats": embeddings_dim_stats,
-    "events_gap_histogram": events_gap_histogram,
-    "docs_chunking": docs_chunking,
     "events_late_corrections": events_late_corrections,
     "embeddings_cov_block": embeddings_cov_block,
-    "events_table_digest": events_table_digest,
     "events_value_regression": events_value_regression,
     "events_winsorized_stats": events_winsorized_stats,
     "events_interval_coalesce": events_interval_coalesce,
     "events_profile": events_profile,
     "events_mode_value": events_mode_value,
     "events_pattern_matches": events_pattern_matches,
-    # -- position >50: green in CORRECTNESS_r03, swept every session -----
+    # -- r4 additions getting their first driver row + r5 new -------------
+    "orders_cube": orders_cube,
+    "events_entropy": events_entropy,
+    "events_percentile_cont": events_percentile_cont,
+    "lineitem_unpivot": lineitem_unpivot,
+    "events_chi_square": events_chi_square,
+    "events_time_histogram": events_time_histogram,
+    "events_user_set_ops": events_user_set_ops,
+    "events_column_lww": events_column_lww,
+    "events_schema_evolution": events_schema_evolution,
+    # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
+    "events_heavy_hitters": events_heavy_hitters,
+    "events_running_total": events_running_total,
+    "orders_rollup": orders_rollup,
+    "events_pivot_by_type": events_pivot_by_type,
+    "events_audience_overlap": events_audience_overlap,
+    "events_props_extract": events_props_extract,
+    "events_gap_histogram": events_gap_histogram,
+    "docs_chunking": docs_chunking,
+    "events_table_digest": events_table_digest,
     "docs_minhash_cc_dedup": docs_minhash_cc_dedup,
     "docs_simhash_cc_dedup": docs_simhash_cc_dedup,
     "lineitem_revenue_filter": lineitem_revenue_filter,
@@ -2948,15 +3040,6 @@ QUERIES = {
     "events_watermark": events_watermark,
     "orders_bloom_semi_join": orders_bloom_semi_join,
     "events_cms_frequencies": events_cms_frequencies,
-    # -- round-4 additions (next gate rotation picks these up) -----------
-    "orders_cube": orders_cube,
-    "events_entropy": events_entropy,
-    "events_percentile_cont": events_percentile_cont,
-    "lineitem_unpivot": lineitem_unpivot,
-    "events_chi_square": events_chi_square,
-    "events_time_histogram": events_time_histogram,
-    "events_user_set_ops": events_user_set_ops,
-    "events_column_lww": events_column_lww,
 }
 
 # Oracle SQL lives in pipelines/oracles.py; re-exported here because the
