@@ -98,6 +98,90 @@ def test_memory_uri_empty_bucket_drop_and_staging_cleanup():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_file_uri_full_cdc_chain(tmp_path):
+    """The FULL CDC lifecycle against a URI table the workers reach only
+    through the fs adapter: upsert replay → delta replay → changes feed
+    → compaction → zero-copy clone → divergent replay into the clone.
+    Every stage must read/write via fs.*, and the source table must be
+    untouched by the clone's writes — the multi-node shape (shared
+    object store, node-local spill) end to end."""
+    from etl_rs_ray.datagen import generate_events, generate_repos, oracle_replay, write_event_log
+    from etl_rs_ray.pipelines.cdc import replay
+
+    log_dir = str(tmp_path / "log")
+    repos = generate_repos(n_files=250, seed=23)
+    events = generate_events(
+        repos, update_frac=0.5, delete_frac=0.2, dup_frac=0.05, seed=23
+    )
+    write_event_log(events, log_dir, num_partitions=3)
+    import pyarrow.compute as pc
+
+    max_lsn = pc.max(events.column("lsn")).as_py()
+    cut = max_lsn // 2
+
+    uri = "file://" + str(tmp_path / "t_uri")
+    # epoch 0: base upsert of the first half
+    assert replay(log_dir, uri, target_lsn=cut, num_buckets=4).committed
+    lake = LakeTable(uri)
+    assert lake.current_epoch() == 0
+
+    # epoch 1: the rest as an APPENDED delta through the URI
+    assert replay(log_dir, uri, num_buckets=4, mode="delta").committed
+    lake = LakeTable(uri)
+    assert lake.has_deltas()
+
+    def _state(t):
+        return {
+            (r["repo"], r["path"], r["commit"]): (r["lsn"], r["content"])
+            for r in t.to_pylist()
+        }
+
+    want = {
+        k: (lsn, content)
+        for k, (lsn, lang, content) in oracle_replay(events).items()
+    }
+    assert _state(lake.snapshot_table()) == want
+
+    # change feed between the two epochs over the URI
+    feed = pa.Table.from_pylist(lake.changes(0, 1).take_all())
+    assert feed.num_rows > 0
+    ops = set(pc.unique(feed.column("op")).to_pylist())
+    assert "D" in ops or "U" in ops
+
+    # compaction folds the deltas in place (URI rewrite path)
+    assert lake.compact()
+    lake = LakeTable(uri)
+    assert not lake.has_deltas()
+    assert _state(lake.snapshot_table()) == want
+
+    # zero-copy clone to a second URI table; replay a divergent tail
+    # into the CLONE only — the source snapshot must not move
+    clone_uri = "file://" + str(tmp_path / "t_clone")
+    lake.clone_to(clone_uri)
+    clone = LakeTable(clone_uri)
+    assert _state(clone.snapshot_table()) == want
+
+    extra = events.slice(0, 10)
+    extra = extra.set_column(
+        extra.schema.get_field_index("lsn"), "lsn",
+        pa.array([max_lsn + 1 + i for i in range(10)], pa.int64()),
+    ).set_column(
+        extra.schema.get_field_index("op"), "op",
+        pa.array(["U"] * 10, pa.string()),
+    )
+    log2 = str(tmp_path / "log2")
+    write_event_log(extra, log2, num_partitions=2)
+    assert replay(log2, clone_uri, num_buckets=4).committed
+
+    src_after = _state(LakeTable(uri).snapshot_table())
+    assert src_after == want  # source untouched
+    clone_after = _state(LakeTable(clone_uri).snapshot_table())
+    assert clone_after != want
+    # the tail upserts resurrect base-deleted keys; never lose any
+    assert len(clone_after) >= len(want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_file_uri_full_replay_matches_local(tmp_path):
     """The distributed path: replay the same log into a file:// URI table
     and a plain local table; final states must match exactly (workers
