@@ -282,6 +282,95 @@ def read_event_log(
 
 TXN_COL = "txn_id"
 
+# Per-segment transaction digest, stamped into the parquet footer by the
+# writer so safe_txn_cut can fold FOOTERS instead of scanning every
+# segment's (lsn, op, txn_id) columns (Iceberg-style file statistics):
+#   range: [lo, hi] — the lsn span of the WHOLE writer slice this file
+#          belongs to. One write() slice fans out into one file per
+#          partition with interleaved lsns; the digest cancels commits
+#          across the whole slice, so it is only valid when the whole
+#          slice is inside the replay window. A window edge inside the
+#          slice disqualifies every file of the slice (they fall back to
+#          the exact scan together).
+#   opens: {txn_id: min event lsn} for txns with events in THIS FILE
+#          whose commit marker is NOT in this slice (any partition).
+#          Only slice-straddling and genuinely-open txns appear — a few
+#          per slice — never the committed bulk (a txn's events scatter
+#          across partition files while its marker lands in one; without
+#          the slice-wide cancellation, opens would list ~every txn).
+#   cmh:   base64 of the sorted uint64 stable_hash64 of the txn_ids that
+#          COMMIT (op='C') in this file. Hashes are a pruning index,
+#          never trusted for correctness: a hash hit only nominates the
+#          file for an exact confirm scan, so a collision costs one
+#          extra file read, not a wrong cut.
+TXN_DIGEST_KEY = b"etl_rs_ray.txn_digest.v1"
+
+
+def slice_txn_markers(events: pa.Table) -> set | None:
+    """Committed txn ids across a whole writer slice (None if no envelope)."""
+    if TXN_COL not in events.column_names:
+        return None
+    t = events.filter(
+        pc.and_(
+            pc.is_valid(events.column(TXN_COL)), pc.equal(events.column("op"), "C")
+        )
+    )
+    return set(pc.unique(t.column(TXN_COL)).to_pylist()) if t.num_rows else set()
+
+
+def txn_digest(
+    part: pa.Table,
+    slice_markers: set | None = None,
+    slice_range: tuple[int, int] | None = None,
+) -> dict | None:
+    """Digest one partition file's transaction envelope (None if no
+    envelope). ``slice_markers`` / ``slice_range`` describe the whole
+    writer slice the file belongs to; they default to the file itself
+    (single-partition writers)."""
+    if TXN_COL not in part.column_names:
+        return None
+    if slice_range is None:
+        lsns = part.column("lsn")
+        slice_range = (pc.min(lsns).as_py(), pc.max(lsns).as_py())
+    rng = [int(slice_range[0]), int(slice_range[1])]
+    t = part.filter(pc.is_valid(part.column(TXN_COL)))
+    if t.num_rows == 0:
+        return {"range": rng, "opens": {}, "cmh": ""}
+    is_c = pc.equal(t.column("op"), "C")
+    markers = t.filter(is_c)
+    file_marker_ids = set(pc.unique(markers.column(TXN_COL)).to_pylist())
+    if slice_markers is None:
+        slice_markers = file_marker_ids
+    events = t.filter(pc.invert(is_c))
+    g = pa.TableGroupBy(
+        pa.table({TXN_COL: events.column(TXN_COL), "lsn": events.column("lsn")}),
+        TXN_COL,
+    ).aggregate([("lsn", "min")])
+    opens = {
+        txn: int(lo)
+        for txn, lo in zip(
+            g.column(TXN_COL).to_pylist(), g.column("lsn_min").to_pylist()
+        )
+        if txn not in slice_markers
+    }
+    cmh = ""
+    if file_marker_ids:
+        import base64
+
+        h = np.sort(stable_hash64(pa.array(sorted(file_marker_ids), pa.string())))
+        cmh = base64.b64encode(h.tobytes()).decode()
+    return {"range": rng, "opens": opens, "cmh": cmh}
+
+
+def read_txn_digest(pf: "pq.ParquetFile") -> dict | None:
+    """Digest from an open ParquetFile's footer, or None (foreign log /
+    pre-digest writer)."""
+    import json
+
+    meta = pf.schema_arrow.metadata or {}
+    raw = meta.get(TXN_DIGEST_KEY)
+    return json.loads(raw) if raw else None
+
 
 def log_has_txns(log_dir: str) -> bool:
     """True iff the log carries the transaction envelope column. Checks
@@ -317,7 +406,15 @@ def safe_txn_cut(
 
     Returns ``lsn_to`` (or the window max) when the log has no
     transaction column or no open transaction; ``None`` for an empty
-    window."""
+    window.
+
+    Segments stamped with the writer's footer txn digest (TXN_DIGEST_KEY)
+    are folded from their FOOTERS: only window-straddling / undigested
+    segments get the exact column scan, plus the digested segments whose
+    commit-hash index may hold a candidate open txn's marker (exact
+    confirm scan, filtered to the candidate ids). On a fully-digested
+    log the scan cost is O(straddlers + boundary txns), not O(events) —
+    without digests it falls back to the original distributed full scan."""
     segs = select_segments(log_dir, lsn_from, lsn_to)
     if not segs:
         return lsn_to
@@ -325,19 +422,36 @@ def safe_txn_cut(
     # a log can adopt the envelope mid-stream: scan only the window
     # segments that carry the column (rows in envelope-less segments are
     # single-event autocommits by definition and can never hold the cut)
-    txn_segs = [
-        s for s in segs if TXN_COL in pq.ParquetFile(s.path).schema_arrow.names
-    ]
+    txn_segs, digests = [], {}
+    for s in segs:
+        pf = pq.ParquetFile(s.path)
+        if TXN_COL not in pf.schema_arrow.names:
+            continue
+        txn_segs.append(s)
+        # a digest cancels commits across its whole writer SLICE, so it
+        # only substitutes for the scan when the entire slice (every
+        # partition file of it) is inside the replay window — a window
+        # edge inside the slice sends all of its files to the exact scan
+        d = read_txn_digest(pf)
+        if d is not None and "range" in d:
+            lo, hi = d["range"]
+            if (lsn_from is None or lo > lsn_from) and (
+                lsn_to is None or hi <= lsn_to
+            ):
+                digests[s.path] = d
     if not txn_segs:
         return window_max
 
     import ray.data
 
-    kwargs = {"columns": ["lsn", "op", TXN_COL]}
-    flt = replay_filter(lsn_from, lsn_to)
-    if flt is not None:
-        kwargs["filter"] = flt
-    ds = ray.data.read_parquet([s.path for s in txn_segs], **kwargs)
+    def _read(seg_list, extra_filter=None):
+        kwargs = {"columns": ["lsn", "op", TXN_COL]}
+        flt = replay_filter(lsn_from, lsn_to)
+        if extra_filter is not None:
+            flt = extra_filter if flt is None else flt & extra_filter
+        if flt is not None:
+            kwargs["filter"] = flt
+        return ray.data.read_parquet([s.path for s in seg_list], **kwargs)
 
     def partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.is_valid(b.column(TXN_COL)))
@@ -374,16 +488,99 @@ def safe_txn_cut(
         open_min = pc.min(opens.column("min_lsn")).as_py() if opens.num_rows else None
         return pa.table({"open_min": pa.array([open_min], pa.int64())})
 
-    # partials fold to ONE row before anything reaches the driver — a
-    # driver-side take_all of per-block partials was measured 10x slower
-    # (hundreds of thousands of python dicts) than this single-row fold
-    rows = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .take_all()
+    if not digests:
+        # foreign / pre-digest log: the original distributed full scan.
+        # Partials fold to ONE row before anything reaches the driver — a
+        # driver-side take_all of per-block partials was measured 10x
+        # slower (hundreds of thousands of python dicts) than this fold.
+        rows = (
+            _read(txn_segs)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .take_all()
+        )
+        open_min = rows[0]["open_min"] if rows else None
+        if open_min is None:
+            return window_max
+        return int(open_min) - 1
+
+    empty_partial = pa.table(
+        {
+            TXN_COL: pa.array([], pa.string()),
+            "min_lsn": pa.array([], pa.int64()),
+            "committed": pa.array([], pa.int64()),
+        }
     )
-    open_min = rows[0]["open_min"] if rows else None
+
+    def _scan_partials(seg_list, extra_filter=None) -> pa.Table:
+        t = pa.Table.from_pylist(
+            _read(seg_list, extra_filter)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        return t.cast(empty_partial.schema) if t.num_rows else empty_partial
+
+    # Phase A: exact scan of the straddler / undigested segments (usually
+    # 0-2 files) — discovers txns the digests can't see
+    scan_segs = [s for s in txn_segs if s.path not in digests]
+    a_tbl = _scan_partials(scan_segs) if scan_segs else empty_partial
+
+    # candidate open txns = digest opens + phase-A opens. Digest opens
+    # are tiny by construction (only segment-boundary-straddling and
+    # genuinely-open txns appear); A is bounded by the straddlers' rows.
+    cands: dict[str, int] = {}
+    for d in digests.values():
+        for txn, lo in d["opens"].items():
+            lo = int(lo)
+            if txn not in cands or lo < cands[txn]:
+                cands[txn] = lo
+    if a_tbl.num_rows:
+        ga = pa.TableGroupBy(a_tbl, TXN_COL).aggregate(
+            [("min_lsn", "min"), ("committed", "max")]
+        )
+        for txn, lo, c in zip(
+            ga.column(TXN_COL).to_pylist(),
+            ga.column("min_lsn_min").to_pylist(),
+            ga.column("committed_max").to_pylist(),
+        ):
+            if c == 0 and lo is not None and (txn not in cands or lo < cands[txn]):
+                cands[txn] = int(lo)
+
+    # Phase B: a candidate is committed iff some segment holds its op='C'
+    # marker at lsn in (candidate min, lsn_to]. The digests' commit-hash
+    # index nominates which digested segments COULD hold one; nominated
+    # segments get an exact scan filtered to the candidate ids (a hash
+    # collision costs one extra segment read, never a wrong cut).
+    b_tbl = empty_partial
+    if cands:
+        import base64
+
+        cand_ids = sorted(cands)
+        cand_hashes = set(stable_hash64(pa.array(cand_ids, pa.string())).tolist())
+        min_cand = min(cands.values())
+        confirm = []
+        for s in txn_segs:
+            d = digests.get(s.path)
+            if d is None or not d["cmh"] or s.lsn_max <= min_cand:
+                continue
+            seg_h = np.frombuffer(base64.b64decode(d["cmh"]), dtype=np.uint64)
+            if cand_hashes.intersection(seg_h.tolist()):
+                confirm.append(s)
+        if confirm:
+            b_tbl = _scan_partials(
+                confirm, extra_filter=pads.field(TXN_COL).isin(cand_ids)
+            )
+
+    cand_tbl = pa.table(
+        {
+            TXN_COL: pa.array(list(cands), pa.string()),
+            "min_lsn": pa.array(list(cands.values()), pa.int64()),
+            "committed": pa.array([0] * len(cands), pa.int64()),
+        }
+    )
+    merged = fold(pa.concat_tables([cand_tbl, a_tbl, b_tbl]))
+    open_min = merged.column("open_min")[0].as_py()
     if open_min is None:
         return window_max
     return int(open_min) - 1
@@ -464,6 +661,13 @@ class EventLogWriter:
         if events.num_rows == 0:
             return []
         bucket = fast_hash_bucket(events.column("repo"), events.column("path"), self.num_partitions)
+        # the txn digest cancels commits across the WHOLE slice (a txn's
+        # events scatter over partition files; its marker lands in one)
+        slice_markers = slice_txn_markers(events)
+        slice_range = (
+            pc.min(events.column("lsn")).as_py(),
+            pc.max(events.column("lsn")).as_py(),
+        )
         events = events.append_column("_part", bucket)
         infos = []
         for k in range(self.num_partitions):
@@ -471,6 +675,13 @@ class EventLogWriter:
             if part.num_rows == 0:
                 continue
             part = part.sort_by("lsn")
+            digest = txn_digest(part, slice_markers, slice_range)
+            if digest is not None:
+                import json
+
+                meta = dict(part.schema.metadata or {})
+                meta[TXN_DIGEST_KEY] = json.dumps(digest, sort_keys=True)
+                part = part.replace_schema_metadata(meta)
             lsn_min = part.column("lsn")[0].as_py()
             lsn_max = part.column("lsn")[-1].as_py()
             pdir = os.path.join(self.log_dir, f"part={k}")

@@ -400,3 +400,92 @@ def test_attach_txns_property_sweep():
         assert opens == (1 if (open_tail and spans) else 0)
 
     check()
+
+
+# --- footer txn digest (r5) ---------------------------------------------------
+
+
+def _strip_digests(log_dir: str) -> None:
+    """Rewrite every segment without the footer digest — simulates a
+    foreign / pre-digest log so the full-scan fallback runs."""
+    from etl_rs_ray.sources.event_log import TXN_DIGEST_KEY
+
+    for root, _, files in os.walk(log_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                t = pq.read_table(p)
+                meta = dict(t.schema.metadata or {})
+                if TXN_DIGEST_KEY in meta:
+                    del meta[TXN_DIGEST_KEY]
+                pq.write_table(t.replace_schema_metadata(meta), p)
+
+
+def test_segments_carry_txn_digest(tmp_path, ray_session):
+    from etl_rs_ray.sources.event_log import list_segments, read_txn_digest
+
+    log = str(tmp_path / "log")
+    write_event_log(_events(open_tail=True), log, num_partitions=3)
+    segs = list_segments(log)
+    assert segs
+    digs = [read_txn_digest(pq.ParquetFile(s.path)) for s in segs]
+    assert all(d is not None for d in digs)
+    # the open tail txn must appear in some segment's opens
+    assert any(d["opens"] for d in digs)
+    # committed markers are hashed into the commit index
+    assert any(d["cmh"] for d in digs)
+
+
+@pytest.mark.parametrize("seed,open_tail", [(3, True), (4, False), (5, True)])
+def test_safe_cut_digest_path_matches_full_scan(tmp_path, ray_session, seed, open_tail):
+    """The footer-digest fast path must return the IDENTICAL cut the
+    original full scan returns — over full-history calls, windowed calls
+    whose bounds straddle segments mid-file (digest disabled for the
+    straddlers), and the foreign-log fallback."""
+    ev = _events(n_files=300, open_tail=open_tail, seed=seed)
+    log = str(tmp_path / f"log{seed}")
+    # small segments so windows straddle several files
+    write_event_log(ev, log, num_partitions=3, events_per_segment=120)
+    plain = str(tmp_path / f"plain{seed}")
+    write_event_log(ev, plain, num_partitions=3, events_per_segment=120)
+    _strip_digests(plain)
+
+    max_lsn = max(ev.column("lsn").to_pylist())
+    windows = [
+        (None, None),
+        (None, max_lsn // 2),
+        (max_lsn // 3, None),
+        (max_lsn // 3, 2 * max_lsn // 3),
+        (-1, max_lsn),
+    ]
+    for lsn_from, lsn_to in windows:
+        got = safe_txn_cut(log, lsn_from, lsn_to)
+        want = safe_txn_cut(plain, lsn_from, lsn_to)
+        assert got == want, f"window ({lsn_from}, {lsn_to}]: digest {got} != scan {want}"
+
+
+def test_safe_cut_marker_in_digested_segment_events_in_straddler(tmp_path, ray_session):
+    """Regression for the nomination logic: a txn whose EVENTS sit in a
+    window-straddling segment (scanned) but whose COMMIT MARKER sits in
+    a fully-digested segment must still be seen as committed — the
+    confirm scan has to be nominated from phase-A candidates, not only
+    from digest opens (otherwise the cut regresses below the committed
+    txn and replay stops making progress)."""
+    rows = []
+    # txn tx1: events at lsn 0,1 — marker at lsn 5 (different file)
+    for lsn, op, txn in [
+        (0, "I", "tx1"), (1, "U", "tx1"), (2, "I", None), (3, "I", None),
+        (4, "I", None), (5, "C", "tx1"), (6, "I", None), (7, "I", None),
+    ]:
+        rows.append({
+            "lsn": lsn, "op": op, "repo": "r", "path": f"p{lsn}",
+            "commit": "c", "lang": "py", "content": "x", "txn_id": txn,
+        })
+    ev = pa.Table.from_pylist(rows)
+    log = str(tmp_path / "log")
+    # one partition, 4-row segments: [0..3] and [4..7]
+    write_event_log(ev, log, num_partitions=1, events_per_segment=4)
+    # window starts INSIDE the first segment -> it is a straddler (no
+    # digest), while the marker's segment [4..7] stays fully digested
+    assert safe_txn_cut(log, lsn_from=-1, lsn_to=7) == 7
+    assert safe_txn_cut(log, lsn_from=0, lsn_to=7) == 7
