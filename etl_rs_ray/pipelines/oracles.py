@@ -1460,3 +1460,41 @@ ORACLE_SQL["events_schema_evolution"] = """
                 THEN CAST(round(value * 100) AS BIGINT) END AS value_cents
     FROM latest WHERE rn = 1
 """
+
+
+def _incremental_dedup_sql() -> str:
+    """Incremental dedup mirror: shared band CTEs from _minhash_sql, then
+    the two-stage removal — increment docs colliding with any corpus
+    (doc_id < cut) band drop first, the rest apply the ordinary bucket
+    rule among THEMSELVES (min-keep, bucket size 2..1000)."""
+    base = _minhash_sql()
+    head, _sep, _tail = base.partition("), buckets AS (")
+    return (
+        head
+        + """), cut AS (SELECT COUNT(*) // 2 AS c FROM documents),
+    corp AS (
+      SELECT DISTINCT band, sig FROM bands, cut WHERE doc_id < cut.c
+    ), inc AS (
+      SELECT doc_id, band, sig FROM bands, cut WHERE doc_id >= cut.c
+    ), corpus_removed AS (
+      SELECT DISTINCT inc.doc_id
+      FROM inc JOIN corp ON inc.band = corp.band AND inc.sig = corp.sig
+    ), fresh AS (
+      SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM corpus_removed)
+    ), buckets AS (
+      SELECT band, sig, min(doc_id) AS keep, count(*) AS n
+      FROM fresh GROUP BY band, sig
+    ), removed AS (
+      SELECT DISTINCT f.doc_id
+      FROM fresh f JOIN buckets k ON f.band = k.band AND f.sig = k.sig
+      WHERE k.n BETWEEN 2 AND 1000 AND f.doc_id > k.keep
+    )
+    SELECT doc_id FROM documents, cut
+    WHERE doc_id >= cut.c
+      AND doc_id NOT IN (SELECT doc_id FROM corpus_removed)
+      AND doc_id NOT IN (SELECT doc_id FROM removed)
+    """
+    )
+
+
+ORACLE_SQL["docs_incremental_dedup"] = _incremental_dedup_sql()

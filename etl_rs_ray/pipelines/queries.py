@@ -2849,6 +2849,56 @@ def events_column_lww(sf_dir: str):
     )
 
 
+def docs_incremental_dedup(sf_dir: str):
+    """Incremental near-dup dedup against a PERSISTED corpus index — the
+    daily-increment workflow (stages/incremental_dedup.py): the first
+    half of the documents (doc_id < rows // 2) is the indexed corpus;
+    the second half arrives as the increment. Increment docs that share
+    a (band, sig) LSH bucket with the corpus drop (near-dup of something
+    already kept); the remainder dedup against EACH OTHER with the
+    ordinary bucket rule (size 2..1000, keep the min doc_id). Only the
+    touched sig_bucket partitions of the index are read — increment cost
+    scales with the increment, not the corpus. Returns the increment's
+    surviving doc_ids.
+
+    The within-increment pass runs the gather tier unconditionally
+    (incremental_minhash_dedup hard-codes small_input=True): increments
+    are increment-sized by definition; the corpus-scale path is the
+    index itself."""
+    import shutil
+    import tempfile
+
+    from ..stages.incremental_dedup import MinhashIndex, incremental_minhash_dedup
+
+    cut = _semantic_table_rows(sf_dir, "documents") // 2
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _half(old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.less(b.column("doc_id"), cut)
+            return b.filter(m if old else pc.invert(m))
+
+        return f
+
+    corpus = ds.map_batches(_half(True), batch_format="pyarrow", zero_copy_batch=True)
+    increment = ds.map_batches(_half(False), batch_format="pyarrow", zero_copy_batch=True)
+
+    tmp = tempfile.mkdtemp(prefix="etl_rs_ray_inc_dedup_")
+    try:
+        index = MinhashIndex.build(
+            corpus, os.path.join(tmp, "index"), text_col="text", id_col="doc_id",
+            num_perm=64, bands=8,
+        )
+        survivors, _stats = incremental_minhash_dedup(increment, index)
+        # increment-sized result: materialize the id column before the
+        # index directory is removed (nothing in the survivors' lineage
+        # reads it lazily, but belt-and-braces)
+        rows = survivors.select_columns(["doc_id"]).take_all()
+        return pa.table({"doc_id": pa.array([r["doc_id"] for r in rows], pa.int64())})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_schema_evolution(sf_dir: str):
     """Schema evolution through the REAL lake replay path: the events
     table becomes a two-epoch CDC log keyed per user — the first window
@@ -2981,7 +3031,6 @@ QUERIES = {
     "events_interval_coalesce": events_interval_coalesce,
     "events_profile": events_profile,
     "events_mode_value": events_mode_value,
-    "events_pattern_matches": events_pattern_matches,
     # -- r4 additions getting their first driver row + r5 new -------------
     "orders_cube": orders_cube,
     "events_entropy": events_entropy,
@@ -2992,7 +3041,9 @@ QUERIES = {
     "events_user_set_ops": events_user_set_ops,
     "events_column_lww": events_column_lww,
     "events_schema_evolution": events_schema_evolution,
+    "docs_incremental_dedup": docs_incremental_dedup,
     # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
+    "events_pattern_matches": events_pattern_matches,
     "events_heavy_hitters": events_heavy_hitters,
     "events_running_total": events_running_total,
     "orders_rollup": orders_rollup,
