@@ -1498,3 +1498,32 @@ def _incremental_dedup_sql() -> str:
 
 
 ORACLE_SQL["docs_incremental_dedup"] = _incremental_dedup_sql()
+
+# Deterministic greedy packing mirror: ROW_NUMBER orders docs within each
+# 256-doc partition, then a recursive CTE walks the greedy budget rule
+# (reset when acc + n > 2048; an oversized doc therefore sits alone).
+ORACLE_SQL["docs_token_packing"] = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             doc_id // 256 AS pgroup,
+             CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ), ord AS (
+      SELECT doc_id, pgroup, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY pgroup ORDER BY doc_id) AS rn
+      FROM toks
+    ), walk AS (
+      SELECT pgroup, rn, doc_id, n_tokens,
+             n_tokens AS acc, CAST(0 AS BIGINT) AS pack_seq
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.pgroup, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN w.acc + o.n_tokens > 2048 THEN o.n_tokens
+                  ELSE w.acc + o.n_tokens END,
+             CASE WHEN w.acc + o.n_tokens > 2048 THEN w.pack_seq + 1
+                  ELSE w.pack_seq END
+      FROM walk w JOIN ord o ON o.pgroup = w.pgroup AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, pgroup, pack_seq, n_tokens FROM walk
+"""

@@ -2899,6 +2899,82 @@ def docs_incremental_dedup(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def docs_token_packing(sf_dir: str):
+    """DETERMINISTIC token-budget packing: documents pack greedily in
+    doc_id order into 2048-token bins WITHIN fixed 256-doc partitions
+    (pgroup = doc_id // 256) — unlike stages/packing.py's block-local
+    FFD (whose output depends on Ray block boundaries and can't be
+    value-pinned), this layout is a pure function of the data, so it
+    holds bit-identical across cluster sizes AND mirrors into SQL (a
+    recursive-CTE greedy walk). One keyed shuffle on pgroup; the
+    per-group walk advances a pack boundary per searchsorted on the
+    token cumsum — O(packs log docs) per group, not O(docs) Python. An
+    oversized doc (n_tokens > budget) gets a bin of its own, same rule
+    as the FFD packer. Output: one row per doc with its pack assignment."""
+    from ..stages.text_stats import token_count
+    from ..util import drop_empty_blocks
+
+    BUDGET, CHUNK = 2048, 256
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        n = pc.cast(token_count(b.column("text")), pa.int64())
+        t = pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pgroup": pc.divide(b.column("doc_id"), pa.scalar(CHUNK, pa.int64())),
+                "n_tokens": n,
+            }
+        )
+        return t.filter(pc.and_(pc.is_valid(n), pc.greater(n, 0)))
+
+    def walk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pgroup": pa.array([], pa.int64()),
+                    "pack_seq": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by([("pgroup", "ascending"), ("doc_id", "ascending")])
+        pg = t.column("pgroup").to_numpy(zero_copy_only=False)
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        pack = np.empty(len(pg), dtype=np.int64)
+        first = np.concatenate(([True], pg[1:] != pg[:-1]))
+        starts = np.flatnonzero(first)
+        ends = np.concatenate((starts[1:], [len(pg)]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            c = np.cumsum(nt[s:e])
+            pos, off, seq = 0, 0, 0
+            while pos < e - s:
+                j = int(np.searchsorted(c, off + BUDGET, side="right"))
+                if j <= pos:
+                    j = pos + 1  # oversized doc: a bin of its own
+                pack[s + pos : s + j] = seq
+                off = int(c[j - 1])
+                pos, seq = j, seq + 1
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pgroup": t.column("pgroup"),
+                "pack_seq": pa.array(pack, pa.int64()),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+
+    parts = _hash_shuffle(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return drop_empty_blocks(
+        parts.repartition(
+            num_blocks=_partitions(rows=_table_rows(sf_dir, "documents")),
+            keys=["pgroup"],
+        ).map_batches(walk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 def events_schema_evolution(sf_dir: str):
     """Schema evolution through the REAL lake replay path: the events
     table becomes a two-epoch CDC log keyed per user — the first window
@@ -3029,7 +3105,6 @@ QUERIES = {
     "events_value_regression": events_value_regression,
     "events_winsorized_stats": events_winsorized_stats,
     "events_interval_coalesce": events_interval_coalesce,
-    "events_profile": events_profile,
     "events_mode_value": events_mode_value,
     # -- r4 additions getting their first driver row + r5 new -------------
     "orders_cube": orders_cube,
@@ -3042,7 +3117,9 @@ QUERIES = {
     "events_column_lww": events_column_lww,
     "events_schema_evolution": events_schema_evolution,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_token_packing": docs_token_packing,
     # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
+    "events_profile": events_profile,
     "events_pattern_matches": events_pattern_matches,
     "events_heavy_hitters": events_heavy_hitters,
     "events_running_total": events_running_total,
