@@ -2289,9 +2289,10 @@ def events_profile(sf_dir: str):
     row per profiled column with row count, null count, EXACT distinct
     count, and min/max rendered canonically. Per-batch partials carry
     per-column unique-value sets (the |rows| -> |domain| reduction);
-    one fold unions them — for a column whose domain won't fit a block,
-    swap the exact distinct for the HLL sketch (stages/sketches.py),
-    same plumbing."""
+    one fold unions them. Above the size gate the exact profile stays
+    exact through profile_columns' (column, value)-keyed shuffle tier
+    (no task ever holds a whole column's domain); the HLL sketch
+    (stages/sketches.py) remains the cheaper approximate option."""
     from ..stages.stats import profile_columns
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
@@ -2305,10 +2306,14 @@ def events_profile(sf_dir: str):
             }
         )
 
+    n = _table_rows(sf_dir, "events")
     return profile_columns(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         cols=["event_type", "user_id", "value_cents"],
         numeric=["user_id", "value_cents"],
+        # user_id's domain grows with the data: above the gate the exact
+        # profile runs the (column, value)-keyed shuffle tier
+        num_partitions=_partitions(rows=n) if n >= 2_000_000 else None,
     )
 
 

@@ -214,13 +214,23 @@ def winsorized_group_stats(ds, key: str, value: str, plo: float, phi: float):
 # --- column profiling ---------------------------------------------------------
 
 
-def profile_columns(ds, cols: Sequence[str], numeric: Sequence[str]):
+def profile_columns(
+    ds, cols: Sequence[str], numeric: Sequence[str], num_partitions: int | None = None
+):
     """Data-quality column profile (the Deequ/expectations shape): one
     row per column with row count, null count, EXACT distinct count and
     canonical min/max strings. Per-batch partials carry per-column
     unique-value sets (the |rows| → |domain| reduction); one fold unions
-    them. For a column whose domain won't fit a block, swap the exact
-    distinct for the HLL sketch (stages/sketches.py) — same plumbing."""
+    them.
+
+    ``num_partitions`` selects the keyed-shuffle tier for columns whose
+    domain grows with the data (ids, high-cardinality values): distinct
+    (column, value) cells hash-shuffle so each partition counts its own
+    cells exactly and emits per-column additive partials (n, nulls,
+    distinct, min/max); a tiny final fold over O(columns × partitions)
+    rows finishes. Exact at any scale — no single task ever holds a
+    whole column's domain. (The HLL sketch remains the cheaper
+    approximate option when exactness isn't required.)"""
     cols = list(cols)
     numeric = set(numeric)
 
@@ -276,7 +286,89 @@ def profile_columns(ds, cols: Sequence[str], numeric: Sequence[str]):
             )
         return pa.Table.from_pylist(out)
 
-    return partial_fold(ds, partial, fold)
+    if num_partitions is None:
+        return partial_fold(ds, partial, fold)
+
+    CELL_SCHEMA = pa.schema(
+        [("column", pa.string()), ("value", pa.string()), ("cnt", pa.int64())]
+    )
+    PART_SCHEMA = pa.schema(
+        [
+            ("column", pa.string()),
+            ("n", pa.int64()),
+            ("nulls", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("vmin", pa.string()),
+            ("vmax", pa.string()),
+        ]
+    )
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = b.column(c)
+            vc = pc.value_counts(pc.drop_null(col))
+            for v, cnt in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
+                rows.append({"column": c, "value": str(v), "cnt": int(cnt)})
+            if col.null_count:
+                rows.append({"column": c, "value": None, "cnt": col.null_count})
+        return pa.Table.from_pylist(rows, schema=CELL_SCHEMA)
+
+    def part_fold(t: pa.Table) -> pa.Table:
+        # this partition holds EVERY copy of its (column, value) cells:
+        # merged counts are exact totals, distinct/min/max are final for
+        # the partition's value range and additive across partitions
+        g = pa.TableGroupBy(t, ["column", "value"]).aggregate([("cnt", "sum")])
+        g = g.rename_columns(["column", "value", "cnt"])
+        out = []
+        for c in set(pc.unique(g.column("column")).to_pylist()):
+            rows = g.filter(pc.equal(g.column("column"), c))
+            isnull = pc.is_null(rows.column("value"))
+            nulls = int(pc.sum(rows.filter(isnull).column("cnt")).as_py() or 0)
+            vals = rows.filter(pc.invert(isnull))
+            k = (lambda v: int(v)) if c in numeric else (lambda v: v)
+            vl = vals.column("value").to_pylist()
+            out.append(
+                {
+                    "column": c,
+                    "n": int(pc.sum(rows.column("cnt")).as_py() or 0),
+                    "nulls": nulls,
+                    "n_distinct": len(vl),
+                    "vmin": min(vl, key=k) if vl else None,
+                    "vmax": max(vl, key=k) if vl else None,
+                }
+            )
+        return pa.Table.from_pylist(out, schema=PART_SCHEMA)
+
+    def final_fold(t: pa.Table) -> pa.Table:
+        out = []
+        for c in cols:
+            rows = t.filter(pc.equal(t.column("column"), c))
+            mins = [x for x in rows.column("vmin").to_pylist() if x is not None]
+            maxs = [x for x in rows.column("vmax").to_pylist() if x is not None]
+            k = (lambda v: int(v)) if c in numeric else (lambda v: v)
+            out.append(
+                {
+                    "column": c,
+                    "n": int(pc.sum(rows.column("n")).as_py() or 0),
+                    "nulls": int(pc.sum(rows.column("nulls")).as_py() or 0),
+                    "n_distinct": int(pc.sum(rows.column("n_distinct")).as_py() or 0),
+                    "vmin": min(mins, key=k) if mins else None,
+                    "vmax": max(maxs, key=k) if maxs else None,
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    parts = keyed_partial_fold(
+        ds, cell_partial, part_fold, ["column", "value"], num_partitions
+    )
+    return drop_empty_blocks(
+        parts.repartition(1).map_batches(
+            final_fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
 
 
 # --- per-group mode -----------------------------------------------------------

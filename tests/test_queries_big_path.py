@@ -39,6 +39,7 @@ GATED = [
     "events_mode_value",
     "events_entropy",
     "events_user_set_ops",
+    "events_profile",
 ]
 
 
