@@ -500,6 +500,12 @@ def safe_txn_cut(
         open_min = pc.min(opens.column("min_lsn")).as_py() if opens.num_rows else None
         return pa.table({"open_min": pa.array([open_min], pa.int64())})
 
+    # a mostly-undigested window (foreign log, or a window edge slicing
+    # through most slices) gains nothing from digest bookkeeping — the
+    # phase-A driver-side partials would be O(txns in scanned segments);
+    # the original fold ships ONE row to the driver instead
+    if len(digests) < len(txn_segs) // 2:
+        digests = {}
     if not digests:
         # foreign / pre-digest log: the original distributed full scan.
         # Partials fold to ONE row before anything reaches the driver — a
