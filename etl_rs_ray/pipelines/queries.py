@@ -2582,11 +2582,17 @@ def events_entropy(sf_dir: str):
             }
         )
 
-    parts = keyed_partial_fold(
-        ds, partial, cell_fold, ["event_type", "v"], _partitions(rows=n_rows)
+    parts = _hash_shuffle(
+        keyed_partial_fold(
+            ds, partial, cell_fold, ["event_type", "v"], _partitions(rows=n_rows)
+        )
     )
+    # final fold keyed on the GROUP: O(groups × partitions) partial rows
+    # never concentrate on one task even for an unbounded group domain
     return drop_empty_blocks(
-        parts.repartition(1).map_batches(
+        parts.repartition(
+            num_blocks=_partitions(rows=n_rows), keys=["event_type"]
+        ).map_batches(
             finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
     )

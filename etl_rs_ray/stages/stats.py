@@ -388,9 +388,11 @@ def grouped_mode(
     first-per-key mask.
 
     ``num_partitions`` selects the keyed-shuffle tier for unbounded
-    (group, value) domains: partials hash-shuffle on ``key`` so each
-    fold task argmaxes only its co-located groups — the fold is
-    group-local, so per-partition outputs are already final rows."""
+    (group, value) domains, sharded in BOTH dimensions: cells
+    hash-shuffle on (key, value) — so a hot group's value domain never
+    lands in one task — each partition merges its cells exactly and
+    argmaxes a per-key candidate; a second shuffle on ``key`` reduces
+    the O(keys × partitions) candidates to the final per-key mode."""
     from .merge_apply import _first_per_key_mask
 
     def partial(b: pa.Table) -> pa.Table:
@@ -416,6 +418,24 @@ def grouped_mode(
             }
         )
 
-    if num_partitions is not None:
-        return keyed_partial_fold(ds, partial, fold, [key], num_partitions)
-    return partial_fold(ds, partial, fold)
+    if num_partitions is None:
+        return partial_fold(ds, partial, fold)
+
+    # stage 1: every copy of a (key, value) cell lands in one partition,
+    # so the merged count is exact and fold's argmax yields this value
+    # range's candidate per key — rename to the partial's column names
+    # so the final fold can rerun the same argmax over the candidates
+    def cell_fold(t: pa.Table) -> pa.Table:
+        return fold(t).rename_columns([key, value, "c"])
+
+    cands = keyed_partial_fold(ds, partial, cell_fold, [key, value], num_partitions)
+    # stage 2: O(keys × partitions) candidate rows, keyed on the group —
+    # never a single-task fold over an unbounded key domain either
+    from ray.data.context import ShuffleStrategy
+
+    cands.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return drop_empty_blocks(
+        cands.repartition(num_blocks=num_partitions, keys=[key]).map_batches(
+            fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
