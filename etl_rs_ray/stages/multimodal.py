@@ -4,12 +4,15 @@ with typed metadata, processed by actor-pool map_batches stages.
 Decode strategy, by format:
 
 - REAL decoders for the formats parseable with numpy + the stdlib alone:
-  uncompressed 24-bit BMP (header parse + pixel array), PCM WAV (stdlib
-  ``wave``), and YUV4MPEG2 (Y4M) raw video (plain-text header + raw
-  planar frames). These produce true width/height/mean-luma, true sample
+  uncompressed 24-bit BMP (header parse + pixel array), binary netpbm,
+  8-bit PNG (stdlib zlib DEFLATE + numpy scanline unfiltering — all five
+  filter types, color types 0/2/3/4/6), PCM WAV (stdlib ``wave``), and
+  YUV4MPEG2 (Y4M) raw video (plain-text header + raw planar frames).
+  These produce true width/height/mean-luma, true sample
   rate/duration/RMS, and true frame counts/offsets.
-- Compressed formats (JPEG/PNG/MP3/MP4…) need codec libraries this
-  container doesn't have: ``strict=True`` raises NotImplementedError at
+- Formats needing codec libraries this container doesn't have
+  (JPEG/MP3/MP4, 16-bit/interlaced PNG…): ``strict=True`` raises
+  NotImplementedError at
   the exact point Pillow/libsndfile/pyav would be called; the default
   falls back to a deterministic md5-derived fake (mirrorable in SQL, so
   the driver's oracle can still hash-verify the actor-pool plumbing).
@@ -57,7 +60,11 @@ def synthesize_media(n: int = 64, seed: int = 17, real: bool = False) -> pa.Tabl
         t = types[i % 3]
         if t == "image":
             w, h = int(rng.integers(4, 33)), int(rng.integers(4, 33))
-            payloads.append(encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            # alternate the two real image codecs so both decode paths run
+            payloads.append(
+                encode_bmp(px) if (i // 3) % 2 == 0 else encode_png(px, filter_type=int(rng.integers(0, 5)))
+            )
         elif t == "audio":
             rate = 8_000
             samples = (rng.standard_normal(int(rng.integers(100, 2000))) * 8000).astype(np.int16)
@@ -304,6 +311,219 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, float]:
     return w, h, float(luma.mean())
 
 
+# --- PNG (stdlib zlib + numpy; no Pillow) -------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel for the supported 8-bit color types
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, CRC-checked; raises ValueError
+    on any structural defect (truncation, bad CRC, missing magic)."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(data: bytes, w: int, h: int, bpp: int) -> "np.ndarray":
+    """Reverse the per-scanline filters (spec §6: None/Sub/Up/Average/
+    Paeth) into an (h, w*bpp) uint8 array. Sub and Up are vectorized;
+    Average/Paeth walk pixels (bpp bytes a step) since each byte depends
+    on the reconstruction to its left."""
+    stride = w * bpp
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        line = raw[r, 1:].copy()
+        prev = out[r - 1] if r else zero_row
+        f = filters[r]
+        if f == 0:
+            out[r] = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            cols = line.reshape(w, bpp)
+            out[r] = np.cumsum(cols.astype(np.int64), axis=0).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[r] = line + prev
+        elif f == 3:  # Average
+            left = zero_row[:bpp]
+            row = out[r]
+            for x in range(0, stride, bpp):
+                px = line[x : x + bpp] + (
+                    (left.astype(np.uint16) + prev[x : x + bpp]) >> 1
+                ).astype(np.uint8)
+                row[x : x + bpp] = px
+                left = px
+        elif f == 4:  # Paeth
+            left = zero_row[:bpp]
+            upleft = zero_row[:bpp]
+            row = out[r]
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                a = left.astype(np.int16)
+                b = up.astype(np.int16)
+                c = upleft.astype(np.int16)
+                p = a + b - c
+                pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c)
+                ).astype(np.uint8)
+                px = line[x : x + bpp] + pred
+                row[x : x + bpp] = px
+                left = px
+                upleft = up
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out
+
+
+def _png_pixels(payload: bytes) -> "np.ndarray":
+    """Decode a supported PNG into an (h, w, channels) uint8 array —
+    palette entries resolved through PLTE; no Pillow, just stdlib zlib
+    (DEFLATE) + numpy unfiltering."""
+    import zlib
+
+    ihdr = plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, flt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or flt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, interlace={interlace})"
+        )
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("PNG dimensions out of range")
+    bpp = _PNG_CHANNELS[color]
+    pixels = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, bpp).reshape(h, w, bpp)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/invalid PLTE")
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = pixels[..., 0]
+        if int(idx.max(initial=0)) >= len(lut):
+            raise ValueError("PNG palette index out of range")
+        pixels = lut[idx]
+    return pixels
+
+
+def is_png(payload: bytes) -> bool:
+    """True iff the payload is a structurally-valid PNG the real decoder
+    supports (8-bit depth, color type 0/2/3/4/6, no interlace, CRCs ok) —
+    same full-validation stance as is_bmp: unsupported or corrupt PNGs
+    route to strict-raise / stub, never to a decode crash."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        return False
+    try:
+        _png_pixels(payload)
+        return True
+    except (ValueError, zlib.error, struct.error):
+        return False
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Real decode of an 8-bit PNG: (width, height, mean luma) — BT.601
+    from the actual pixels for color images, plain mean for grayscale;
+    alpha channels are excluded from the luma."""
+    pixels = _png_pixels(payload)
+    h, w, ch = pixels.shape
+    arr = pixels.astype(np.float64)
+    if ch >= 3:
+        luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    else:
+        luma = arr[..., 0]
+    return w, h, float(luma.mean())
+
+
+def encode_png(
+    pixels: "np.ndarray", color_type: int | None = None, filter_type: int = 0
+) -> bytes:
+    """Minimal PNG writer (8-bit, filters 0–4 applied per scanline) —
+    exists so the decoder's unfilter paths can be exercised without
+    Pillow: the same image encoded under every filter type must decode
+    to identical pixels. (h, w)→gray, (h, w, 2)→gray+alpha, (h, w, 3)→
+    RGB, (h, w, 4)→RGBA."""
+    import zlib
+
+    pixels = np.ascontiguousarray(pixels.astype(np.uint8))
+    if pixels.ndim == 2:
+        pixels = pixels[..., None]
+    h, w, ch = pixels.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if _PNG_CHANNELS[color_type] != ch or not 0 <= filter_type <= 4:
+        raise ValueError("channel/color_type/filter mismatch")
+    flat = pixels.reshape(h, w * ch).astype(np.int16)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for r in range(h):
+        cur = flat[r]
+        left = np.zeros(w * ch, dtype=np.int16)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(w * ch, dtype=np.int16)
+        upleft[ch:] = prev[:-ch]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft))
+            enc = cur - pred
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, float]:
     """Stub decode outputs from the payload's md5 digest — deterministic
     AND mirrorable in SQL (md5 hex bytes), unlike a real codec."""
@@ -315,25 +535,42 @@ class DecodeImage:
     """Actor-pool stage: binary payload -> (width, height, mean_luma).
 
     __init__ resolves codecs once per actor; __call__ decodes a batch.
-    BMP payloads get a REAL decode (header + pixel array, BT.601 luma);
-    other formats raise under strict=True (where `PIL.Image.open` would
-    run) or fall back to the deterministic md5 stub.
+    BMP, binary netpbm, and 8-bit PNG payloads get a REAL decode (actual
+    pixels, BT.601 luma — PNG via stdlib zlib + numpy unfiltering, no
+    Pillow); other formats raise under strict=True (where
+    `PIL.Image.open` would run) or fall back to the deterministic md5
+    stub.
     """
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        self.codec = "bmp-numpy-v1"  # real impl would also: import PIL here, once
+        self.codec = "bmp+netpbm+png-numpy-v1"  # real impl would also: import PIL here, once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
         widths, heights, lumas = [], [], []
         for payload in batch.column("payload").to_pylist():
             if is_bmp(payload):
                 w, h, luma = decode_bmp(payload)
             elif is_netpbm(payload):
                 w, h, luma = decode_netpbm(payload)
+            elif payload[:8] == _PNG_MAGIC:
+                # the 8-byte magic can't occur in text/garbage, so route on
+                # it directly (a full is_png pre-check would decode twice);
+                # unsupported variants (16-bit, interlaced) or corrupt
+                # streams still fall to strict-raise / stub
+                try:
+                    w, h, luma = decode_png(payload)
+                except (ValueError, zlib.error, struct.error):
+                    if self.strict:
+                        raise NotImplementedError(
+                            "unsupported PNG variant requires Pillow; not available here"
+                        )
+                    w, h, luma = _fake_dims(payload)
             elif self.strict:
                 raise NotImplementedError(
-                    "non-BMP/netpbm image decode requires Pillow; not available in this environment"
+                    "non-BMP/netpbm/PNG image decode requires Pillow; not available in this environment"
                 )
             else:
                 w, h, luma = _fake_dims(payload)
