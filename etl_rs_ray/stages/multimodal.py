@@ -6,7 +6,9 @@ Decode strategy, by format:
 - REAL decoders for the formats parseable with numpy + the stdlib alone:
   uncompressed 24-bit BMP (header parse + pixel array), binary netpbm,
   8-bit PNG (stdlib zlib DEFLATE + numpy scanline unfiltering — all five
-  filter types, color types 0/2/3/4/6), PCM WAV (stdlib ``wave``), and
+  filter types, color types 0/2/3/4/6), GIF87a/89a first frame
+  (pure-Python variable-width LZW, interlace undone, palette resolved),
+  PCM WAV (stdlib ``wave``), and
   YUV4MPEG2 (Y4M) raw video (plain-text header + raw planar frames).
   These produce true width/height/mean-luma, true sample
   rate/duration/RMS, and true frame counts/offsets.
@@ -311,6 +313,230 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, float]:
     return w, h, float(luma.mean())
 
 
+# --- GIF (pure-Python LZW + numpy; no Pillow) ---------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> "np.ndarray":
+    """GIF-flavor LZW (variable-width codes, LSB-first bit packing,
+    clear/end codes, dict capped at 4096) -> uint8 index array of length
+    ``expected``. Raises ValueError on malformed streams."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(expected, dtype=np.uint8)
+    n_out = 0
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, clear + 2
+
+    table, width, next_code = reset()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width, next_code = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("GIF LZW code out of range")
+        if n_out + len(entry) > expected:
+            raise ValueError("GIF LZW output overruns image size")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out != expected:
+        raise ValueError("GIF LZW output short of image size")
+    return out
+
+
+def _gif_first_frame(payload: bytes) -> "np.ndarray":
+    """Decode the first frame of a GIF87a/89a into (h, w, 3) uint8 RGB
+    (palette resolved; interlaced row order undone)."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            size = payload[p]
+            p += 1 + size
+            if size == 0:
+                return p
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            lct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+            pos += n * 3
+        if lct is None:
+            raise ValueError("GIF frame has no color table")
+        if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+            raise ValueError("GIF dimensions out of range")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+        chunks = []
+        while True:
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            chunks.append(payload[pos : pos + size])
+            if len(chunks[-1]) != size:
+                raise ValueError("truncated GIF image data")
+            pos += size
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows stored in 4 passes
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= len(lct):
+            raise ValueError("GIF palette index out of range")
+        return lct[idx]
+    raise ValueError("GIF has no image descriptor")
+
+
+def is_gif(payload: bytes) -> bool:
+    """True iff the payload decodes as a GIF (full LZW decode — same
+    stance as is_png: corrupt/truncated streams never route to a crash)."""
+    if payload[:6] not in _GIF_MAGICS:
+        return False
+    try:
+        _gif_first_frame(payload)
+        return True
+    except (ValueError, struct.error, IndexError):
+        return False
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, float]:
+    """Real decode of a GIF's first frame: (width, height, BT.601 mean
+    luma from the palette-resolved pixels)."""
+    rgb = _gif_first_frame(payload).astype(np.float64)
+    h, w = rgb.shape[:2]
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return w, h, float(luma.mean())
+
+
+def encode_gif(indices: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """Minimal GIF89a writer (single frame, global color table, real LZW
+    with growing code widths) — exists so the decoder can be exercised
+    without Pillow."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = io.BytesIO()
+    out.write(b"GIF89a")
+    out.write(struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0))
+    out.write(pal.tobytes())
+    out.write(b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    min_code_size = bits
+    clear, end = 1 << bits, (1 << bits) + 1
+    out.write(bytes([min_code_size]))
+
+    codes: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes.append((clear, width))
+    cur = b""
+    for sym in indices.astype(np.uint8).tobytes():
+        nxt = cur + bytes([sym])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # the encoder's next_code runs ONE assignment ahead of the
+            # decoder's at each emitted code (decoder adds entry m-1 only
+            # after reading code m), so it must widen one counter-step
+            # later than the decoder's next_code == 2^width rule
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            cur = bytes([sym])
+        else:
+            # dict full: emit a clear, reset, and restart the run from
+            # the current symbol (nxt is not in the fresh table)
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            cur = bytes([sym])
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((end, width))
+
+    acc = nbits = 0
+    packed = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    for i in range(0, len(packed), 255):
+        block = packed[i : i + 255]
+        out.write(bytes([len(block)]) + bytes(block))
+    out.write(b"\x00\x3B")
+    return out.getvalue()
+
+
 # --- PNG (stdlib zlib + numpy; no Pillow) -------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -555,22 +781,26 @@ class DecodeImage:
                 w, h, luma = decode_bmp(payload)
             elif is_netpbm(payload):
                 w, h, luma = decode_netpbm(payload)
-            elif payload[:8] == _PNG_MAGIC:
-                # the 8-byte magic can't occur in text/garbage, so route on
-                # it directly (a full is_png pre-check would decode twice);
-                # unsupported variants (16-bit, interlaced) or corrupt
-                # streams still fall to strict-raise / stub
+            elif payload[:8] == _PNG_MAGIC or payload[:6] in _GIF_MAGICS:
+                # route on the magic directly (a full is_png/is_gif
+                # pre-check would decode twice); unsupported variants
+                # (16-bit/interlaced PNG) or corrupt streams — including
+                # text that merely starts with 'GIF87a' — still fall to
+                # strict-raise / stub, never to a decode crash
                 try:
-                    w, h, luma = decode_png(payload)
-                except (ValueError, zlib.error, struct.error):
+                    if payload[:8] == _PNG_MAGIC:
+                        w, h, luma = decode_png(payload)
+                    else:
+                        w, h, luma = decode_gif(payload)
+                except (ValueError, zlib.error, struct.error, IndexError):
                     if self.strict:
                         raise NotImplementedError(
-                            "unsupported PNG variant requires Pillow; not available here"
+                            "unsupported PNG/GIF variant requires Pillow; not available here"
                         )
                     w, h, luma = _fake_dims(payload)
             elif self.strict:
                 raise NotImplementedError(
-                    "non-BMP/netpbm/PNG image decode requires Pillow; not available in this environment"
+                    "non-BMP/netpbm/PNG/GIF image decode requires Pillow; not available in this environment"
                 )
             else:
                 w, h, luma = _fake_dims(payload)
