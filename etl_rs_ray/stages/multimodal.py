@@ -5,8 +5,9 @@ Decode strategy, by format:
 
 - REAL decoders for the formats parseable with numpy + the stdlib alone:
   uncompressed 24-bit BMP (header parse + pixel array), binary netpbm,
-  8-bit PNG (stdlib zlib DEFLATE + numpy scanline unfiltering — all five
-  filter types, color types 0/2/3/4/6), GIF87a/89a first frame
+  PNG (stdlib zlib DEFLATE + numpy scanline unfiltering — all five
+  filter types, every legal depth/color-type combination incl. sub-byte
+  and 16-bit, Adam7 interlace), GIF87a/89a first frame
   (pure-Python variable-width LZW, interlace undone, palette resolved),
   PCM WAV (stdlib ``wave``), and
   YUV4MPEG2 (Y4M) raw video (plain-text header + raw planar frames).
@@ -568,14 +569,17 @@ def _png_chunks(payload: bytes):
     raise ValueError("PNG stream ended without IEND")
 
 
-def _png_unfilter(data: bytes, w: int, h: int, bpp: int) -> "np.ndarray":
+def _png_unfilter(data: bytes, stride: int, h: int, bpp: int) -> "np.ndarray":
     """Reverse the per-scanline filters (spec §6: None/Sub/Up/Average/
-    Paeth) into an (h, w*bpp) uint8 array. Sub and Up are vectorized;
-    Average/Paeth walk pixels (bpp bytes a step) since each byte depends
-    on the reconstruction to its left."""
-    stride = w * bpp
+    Paeth) into an (h, stride) uint8 array. ``bpp`` is the filter step in
+    whole bytes (1 for sub-byte depths, per spec). Sub and Up are
+    vectorized; Average/Paeth walk pixels (bpp bytes a step) since each
+    byte depends on the reconstruction to its left."""
     if len(data) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
+    if stride % bpp:
+        raise ValueError("PNG stride not a multiple of the filter step")
+    w = stride // bpp
     raw = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
     filters = raw[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -623,10 +627,47 @@ def _png_unfilter(data: bytes, w: int, h: int, bpp: int) -> "np.ndarray":
     return out
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_samples(
+    data: bytes, offset: int, w: int, h: int, channels: int, depth: int
+) -> tuple["np.ndarray", int]:
+    """Unfilter + unpack one (sub)image's scanlines starting at
+    ``offset`` in the decompressed stream. Returns ((h, w, channels)
+    uint8 RAW sample values — 16-bit keeps the high byte, sub-byte
+    depths stay unscaled — and the byte count consumed)."""
+    bits_per_row = w * channels * depth
+    stride = (bits_per_row + 7) // 8
+    step = max(1, channels * depth // 8)
+    n = h * (stride + 1)
+    arr = _png_unfilter(data[offset : offset + n], stride, h, step)
+    if depth == 8:
+        out = arr[:, : w * channels].reshape(h, w, channels)
+    elif depth == 16:
+        out = arr.reshape(h, w * channels, 2)[:, :, 0].reshape(h, w, channels)
+    else:
+        bits = np.unpackbits(arr, axis=1)[:, : w * channels * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(h, w * channels, depth) * weights).sum(axis=2, dtype=np.uint16)
+        out = vals.astype(np.uint8).reshape(h, w, channels)
+    return out, n
+
+
 def _png_pixels(payload: bytes) -> "np.ndarray":
-    """Decode a supported PNG into an (h, w, channels) uint8 array —
-    palette entries resolved through PLTE; no Pillow, just stdlib zlib
-    (DEFLATE) + numpy unfiltering."""
+    """Decode a PNG into an (h, w, channels) uint8 array — every legal
+    bit depth (1/2/4/8/16; 16-bit keeps the high byte), palette entries
+    resolved through PLTE, Adam7 interlace undone; no Pillow, just
+    stdlib zlib (DEFLATE) + numpy unfiltering."""
     import zlib
 
     ihdr = plte = None
@@ -641,14 +682,36 @@ def _png_pixels(payload: bytes) -> "np.ndarray":
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, flt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or flt != 0 or interlace != 0:
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if (
+        color not in _PNG_CHANNELS
+        or depth not in legal_depths[color]
+        or comp != 0
+        or flt != 0
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color}, interlace={interlace})"
         )
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
         raise ValueError("PNG dimensions out of range")
-    bpp = _PNG_CHANNELS[color]
-    pixels = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, bpp).reshape(h, w, bpp)
+    ch = _PNG_CHANNELS[color]
+    data = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        pixels, used = _png_samples(data, 0, w, h, ch, depth)
+    else:
+        pixels = np.zeros((h, w, ch), dtype=np.uint8)
+        used = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, n = _png_samples(data, used, pw, ph, ch, depth)
+            used += n
+            pixels[y0::dy, x0::dx] = sub
+    if used != len(data):
+        raise ValueError("PNG pixel data length mismatch")
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("paletted PNG missing/invalid PLTE")
@@ -657,14 +720,17 @@ def _png_pixels(payload: bytes) -> "np.ndarray":
         if int(idx.max(initial=0)) >= len(lut):
             raise ValueError("PNG palette index out of range")
         pixels = lut[idx]
+    elif depth < 8:
+        # exact 8-bit rescale: 255/(2^d - 1) is an integer for d=1,2,4
+        pixels = pixels * np.uint8(255 // ((1 << depth) - 1))
     return pixels
 
 
 def is_png(payload: bytes) -> bool:
     """True iff the payload is a structurally-valid PNG the real decoder
-    supports (8-bit depth, color type 0/2/3/4/6, no interlace, CRCs ok) —
-    same full-validation stance as is_bmp: unsupported or corrupt PNGs
-    route to strict-raise / stub, never to a decode crash."""
+    supports (every legal depth/color-type combination, plain or Adam7
+    interlaced, CRCs ok) — same full-validation stance as is_bmp:
+    corrupt PNGs route to strict-raise / stub, never to a decode crash."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -677,9 +743,10 @@ def is_png(payload: bytes) -> bool:
 
 
 def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """Real decode of an 8-bit PNG: (width, height, mean luma) — BT.601
-    from the actual pixels for color images, plain mean for grayscale;
-    alpha channels are excluded from the luma."""
+    """Real decode of a PNG (any legal depth/color type, Adam7 included):
+    (width, height, mean luma) — BT.601 from the actual pixels for color
+    images, plain mean for grayscale; alpha channels are excluded from
+    the luma; 16-bit samples contribute their high byte."""
     pixels = _png_pixels(payload)
     h, w, ch = pixels.shape
     arr = pixels.astype(np.float64)
@@ -783,10 +850,9 @@ class DecodeImage:
                 w, h, luma = decode_netpbm(payload)
             elif payload[:8] == _PNG_MAGIC or payload[:6] in _GIF_MAGICS:
                 # route on the magic directly (a full is_png/is_gif
-                # pre-check would decode twice); unsupported variants
-                # (16-bit/interlaced PNG) or corrupt streams — including
-                # text that merely starts with 'GIF87a' — still fall to
-                # strict-raise / stub, never to a decode crash
+                # pre-check would decode twice); corrupt streams —
+                # including text that merely starts with 'GIF87a' —
+                # still fall to strict-raise / stub, never to a crash
                 try:
                     if payload[:8] == _PNG_MAGIC:
                         w, h, luma = decode_png(payload)

@@ -109,6 +109,26 @@ def test_is_gif_rejects_invalid():
     assert not is_gif(CANONICAL[:-10])  # truncated mid-stream
 
 
+REAL_FILES = [
+    # real-world third-party encoder outputs shipped with OS packages;
+    # dims read from each file's own descriptors
+    ("/usr/share/doc/libxslt1-dev/html/Libxslt-Logo-90x34.gif", 90, 34),
+    ("/usr/share/doc/libxslt1-dev/html/redhat.gif", 44, 41),
+    ("/usr/share/doc/libxslt1-dev/html/smallfootonly.gif", 48, 60),
+]
+
+
+@pytest.mark.parametrize("path,w,h", REAL_FILES)
+def test_real_world_files_decode(path, w, h):
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    gw, gh, luma = decode_gif(open(path, "rb").read())
+    assert (gw, gh) == (w, h)
+    assert 0.0 <= luma <= 255.0
+
+
 def test_decode_image_stage_routes_gif():
     batch = pa.table(
         {

@@ -145,13 +145,106 @@ def test_is_png_rejects_invalid():
     bad_crc = bytearray(good)
     bad_crc[45] ^= 0xFF
     assert not is_png(bytes(bad_crc))
-    # 16-bit depth unsupported -> structurally valid but routed away
+    # depth byte flipped to 16 on 8-bit-sized data -> length mismatch
     deep = bytearray(good)
     deep[24] = 16  # IHDR bit-depth byte
-    # fix IHDR CRC so only the unsupported-variant check can reject
+    # fix IHDR CRC so only the pixel-data validation can reject
     ihdr = bytes(deep[12:16]) + bytes(deep[16:29])
     struct.pack_into(">I", deep, 29, zlib.crc32(ihdr) & 0xFFFFFFFF)
     assert not is_png(bytes(deep))
+    # illegal combination: color type 2 at depth 4
+    combo = bytearray(good)
+    combo[24] = 4
+    ihdr = bytes(combo[12:16]) + bytes(combo[16:29])
+    struct.pack_into(">I", combo, 29, zlib.crc32(ihdr) & 0xFFFFFFFF)
+    assert not is_png(bytes(combo))
+
+
+def _chunk(ctype, data):
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+        ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_grayscale_depths(depth):
+    # hand-packed filter-0 scanlines at sub-byte depth
+    maxv = (1 << depth) - 1
+    vals = np.array([[i % (maxv + 1) for i in range(7)] for _ in range(3)], dtype=np.uint8)
+    rows = []
+    for r in range(3):
+        bits = np.zeros(7 * depth, dtype=np.uint8)
+        for i, v in enumerate(vals[r]):
+            for b in range(depth):
+                bits[i * depth + b] = (v >> (depth - 1 - b)) & 1
+        rows.append(b"\x00" + np.packbits(bits).tobytes())
+    payload = (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 3, depth, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    got = _png_pixels(payload)[..., 0]
+    np.testing.assert_array_equal(got, vals * (255 // maxv))
+
+
+def test_16bit_keeps_high_byte():
+    hi = _rand((4, 5, 3), seed=20)
+    lo = _rand((4, 5, 3), seed=21)
+    raw = b"".join(
+        b"\x00" + np.dstack([hi[r], lo[r]]).reshape(-1).tobytes() for r in range(4)
+    )
+    payload = (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(_png_pixels(payload), hi)
+
+
+def test_adam7_interlace_roundtrip():
+    """Hand-rolled Adam7 writer (filter 0 per pass) vs the deinterlacer."""
+    from etl_rs_ray.stages.multimodal import _PNG_ADAM7
+
+    for shape in [(9, 13, 3), (8, 8, 1), (3, 2, 4), (1, 1, 1), (16, 5, 2)]:
+        px = _rand(shape, seed=sum(shape))
+        h, w, ch = px.shape
+        stream = b""
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in range(sub.shape[0]):
+                stream += b"\x00" + sub[r].tobytes()
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        payload = (
+            _PNG_MAGIC
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1))
+            + _chunk(b"IDAT", zlib.compress(stream))
+            + _chunk(b"IEND", b"")
+        )
+        got = _png_pixels(payload)
+        np.testing.assert_array_equal(got, px)
+
+
+REAL_FILES = [
+    # (path, expected w, h) — real-world third-party encoder outputs
+    ("/usr/share/gitweb/static/git-favicon.png", 16, 16),  # 2-bit palette
+    ("/usr/share/gitweb/static/git-logo.png", 72, 27),
+    ("/usr/share/doc/python3/_static/file.png", 16, 16),
+]
+
+
+@pytest.mark.parametrize("path,w,h", REAL_FILES)
+def test_real_world_files_decode(path, w, h):
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    gw, gh, luma = decode_png(open(path, "rb").read())
+    assert (gw, gh) == (w, h)
+    assert 0.0 <= luma <= 255.0
 
 
 def test_decode_image_stage_routes_png():
@@ -172,7 +265,8 @@ def test_decode_image_stage_routes_png():
     strict(batch.slice(0, 1))
     with pytest.raises(NotImplementedError):
         strict(batch.slice(1, 1))
-    # strict: unsupported PNG variant (interlaced flag) raises too
+    # strict: corrupt PNG raises too (interlace flag flipped on
+    # non-interlaced data -> pass-geometry length mismatch)
     inter = bytearray(encode_png(px))
     inter[28] = 1  # IHDR interlace byte
     ihdr = bytes(inter[12:16]) + bytes(inter[16:29])
