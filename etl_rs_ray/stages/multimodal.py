@@ -9,12 +9,14 @@ Decode strategy, by format:
   filter types, every legal depth/color-type combination incl. sub-byte
   and 16-bit, Adam7 interlace), GIF87a/89a first frame
   (pure-Python variable-width LZW, interlace undone, palette resolved),
+  baseline JPEG (stages/jpeg.py: Huffman entropy decode, dequant,
+  vectorized IDCT, 4:4:4/4:2:2/4:2:0 chroma, restart intervals),
   PCM WAV (stdlib ``wave``), and
   YUV4MPEG2 (Y4M) raw video (plain-text header + raw planar frames).
   These produce true width/height/mean-luma, true sample
   rate/duration/RMS, and true frame counts/offsets.
 - Formats needing codec libraries this container doesn't have
-  (JPEG/MP3/MP4, 16-bit/interlaced PNG…): ``strict=True`` raises
+  (progressive JPEG, MP3/MP4…): ``strict=True`` raises
   NotImplementedError at
   the exact point Pillow/libsndfile/pyav would be called; the default
   falls back to a deterministic md5-derived fake (mirrorable in SQL, so
@@ -36,6 +38,8 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+from etl_rs_ray.stages.jpeg import decode_jpeg, encode_jpeg, is_jpeg  # noqa: F401
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -848,20 +852,26 @@ class DecodeImage:
                 w, h, luma = decode_bmp(payload)
             elif is_netpbm(payload):
                 w, h, luma = decode_netpbm(payload)
-            elif payload[:8] == _PNG_MAGIC or payload[:6] in _GIF_MAGICS:
-                # route on the magic directly (a full is_png/is_gif
-                # pre-check would decode twice); corrupt streams —
-                # including text that merely starts with 'GIF87a' —
-                # still fall to strict-raise / stub, never to a crash
+            elif (
+                payload[:8] == _PNG_MAGIC
+                or payload[:6] in _GIF_MAGICS
+                or payload[:2] == b"\xff\xd8"
+            ):
+                # route on the magic directly (a full is_* pre-check
+                # would decode twice); corrupt/unsupported streams —
+                # text that merely starts with 'GIF87a', progressive
+                # JPEG — still fall to strict-raise / stub, never crash
                 try:
                     if payload[:8] == _PNG_MAGIC:
                         w, h, luma = decode_png(payload)
+                    elif payload[:2] == b"\xff\xd8":
+                        w, h, luma = decode_jpeg(payload)
                     else:
                         w, h, luma = decode_gif(payload)
-                except (ValueError, zlib.error, struct.error, IndexError):
+                except (ValueError, zlib.error, struct.error, IndexError, KeyError):
                     if self.strict:
                         raise NotImplementedError(
-                            "unsupported PNG/GIF variant requires Pillow; not available here"
+                            "unsupported PNG/GIF/JPEG variant; full codec libs not available here"
                         )
                     w, h, luma = _fake_dims(payload)
             elif self.strict:
