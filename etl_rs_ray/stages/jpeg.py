@@ -1,10 +1,14 @@
-"""Baseline JPEG (SOF0) codec — numpy + stdlib only, no libjpeg/Pillow.
+"""JPEG codec — numpy + stdlib only, no libjpeg/Pillow.
 
-Decoder scope: sequential baseline DCT, 8-bit, grayscale or YCbCr,
-arbitrary 1-2 h/v sampling factors (4:4:4, 4:2:2, 4:2:0), restart
-intervals (DRI/RSTn), multi-table DQT/DHT markers, APPn/COM skipped.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-ValueError — they route to the strict/stub fallback in DecodeImage.
+Decoder scope: sequential baseline (SOF0/SOF1) AND progressive (SOF2)
+DCT, 8-bit, grayscale or YCbCr, arbitrary 1-2 h/v sampling factors
+(4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn), multi-table
+DQT/DHT markers, APPn/COM skipped. Progressive streams apply every
+scan in order: spectral selection + successive approximation per
+T.81 §G — DC first/refinement, AC first/refinement with EOB-run
+coding. Lossless/hierarchical/arithmetic frames and 12-bit precision
+raise ValueError — they route to the strict/stub fallback in
+DecodeImage.
 
 The decoder trusts nothing baked-in: Huffman and quantization tables are
 read from the stream's own DHT/DQT markers, so conformance is checked
@@ -121,10 +125,12 @@ def _extend(v: int, n: int) -> int:
     return v - (1 << n) + 1 if v < (1 << (n - 1)) else v
 
 
-def _entropy_segments(data: bytes, start: int) -> list[bytes]:
-    """Unstuff (FF00 -> FF) and split the scan's entropy data on RSTn
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff (FF00 -> FF) and split one scan's entropy data on RSTn
     markers; each returned segment decodes with fresh DC predictors and
-    bit alignment."""
+    bit alignment. Returns (segments, offset of the scan-terminating
+    marker) — progressive streams have many scans, each ended by the
+    next DHT/SOS/EOI marker."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
@@ -147,12 +153,10 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
             i += 2
         elif m == 0xFF:
             i += 1  # fill byte
-        elif m == 0xD9:
-            break
         else:
-            raise ValueError(f"unexpected marker 0x{m:02x} in JPEG entropy data")
+            break  # next real marker ends this scan
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def _decode_block(
@@ -182,14 +186,19 @@ def _decode_block(
 
 
 def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
-    """Decode a baseline JPEG into (h, w, 1) grayscale or (h, w, 3) RGB
-    uint8 pixels."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG into (h, w, 1)
+    grayscale or (h, w, 3) RGB uint8 pixels. Progressive streams apply
+    every scan in order — spectral selection and successive
+    approximation per T.81 §G (DC/AC first + refinement passes,
+    EOB-run coding)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
     frame = None
+    blocks: dict[int, np.ndarray] = {}
     dri = 0
+    saw_scan = False
     i = 2
     n = len(payload)
     while i < n:
@@ -230,51 +239,80 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                 symbols = list(seg[p + 17 : p + 17 + total])
                 huff[(tc, th)] = _build_huffman(counts, symbols)
                 p += 17 + total
-        elif m == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 (ext. sequential) / SOF2
+            prec = seg[0]
+            h = struct.unpack_from(">H", seg, 1)[0]
+            w = struct.unpack_from(">H", seg, 3)[0]
+            nc = seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG frame type 0x{m:02x} (not sequential baseline)")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if not all(
+                c["h"] in (1, 2, 4)
+                and c["v"] in (1, 2, 4)
+                and hmax % c["h"] == 0
+                and vmax % c["v"] == 0
+                for c in comps
+            ):
+                raise ValueError("unsupported JPEG sampling factors")
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcux": -(-w // (8 * hmax)),
+                "mcuy": -(-h // (8 * vmax)),
+                "progressive": m == 0xC2,
+            }
+            blocks = {
+                c["id"]: np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            }
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type 0x{m:02x}")
         elif m == 0xDD:  # DRI
             dri = struct.unpack_from(">H", seg, 0)[0]
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise ValueError("non-interleaved multi-scan baseline JPEG unsupported")
-            scan = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(payload, i + 2 + ln, frame, scan, qt, huff, dri)
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segs, i = _entropy_segments(payload, i + 2 + ln)
+            if frame["progressive"]:
+                _apply_progressive_scan(
+                    frame, blocks, scan_comps, ss, se, ah, al, segs, huff, dri
+                )
+            else:
+                if ns != len(frame["comps"]):
+                    raise ValueError("non-interleaved multi-scan sequential JPEG unsupported")
+                _apply_baseline_scan(frame, blocks, scan_comps, segs, huff, dri)
+            saw_scan = True
+            continue  # i already points at the scan-terminating marker
         # APPn / COM / others: skip
         i += 2 + ln
-    raise ValueError("JPEG has no scan")
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG has no scan")
+    return _finalize(frame, blocks, qt)
 
 
-def _decode_scan(payload, start, frame, scan, qt, huff, dri):
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not all(
-        c["h"] in (1, 2, 4) and c["v"] in (1, 2, 4) and hmax % c["h"] == 0 and vmax % c["v"] == 0
-        for c in comps
-    ):
-        raise ValueError("unsupported JPEG sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    segs = _entropy_segments(payload, start)
-    blocks = {
-        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32) for c in comps
-    }
-    preds = {c["id"]: 0 for c in comps}
+def _apply_baseline_scan(frame, blocks, scan_comps, segs, huff, dri):
+    comps = {c["id"]: c for c in frame["comps"]}
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    preds = {cid: 0 for cid, _, _ in scan_comps}
     seg_idx = 0
     br = _BitReader(segs[0])
     for m in range(mcux * mcuy):
@@ -283,22 +321,150 @@ def _decode_scan(payload, start, frame, scan, qt, huff, dri):
             if seg_idx >= len(segs):
                 raise ValueError("JPEG restart interval underrun")
             br = _BitReader(segs[seg_idx])
-            preds = {c["id"]: 0 for c in comps}
+            preds = {cid: 0 for cid, _, _ in scan_comps}
         my, mx = divmod(m, mcux)
-        for c in comps:
-            cid = c["id"]
-            td, ta = scan[cid]
+        for cid, td, ta in scan_comps:
+            c = comps[cid]
             for vy in range(c["v"]):
                 for hx in range(c["h"]):
                     coefs, preds[cid] = _decode_block(
                         br, huff[(0, td)], huff[(1, ta)], preds[cid]
                     )
                     blocks[cid][my * c["v"] + vy, mx * c["h"] + hx] = coefs
+
+
+def _scan_units(frame, scan_comps):
+    """Iteration geometry for one progressive scan: interleaved scans
+    walk MCUs; single-component scans walk that component's own block
+    grid (T.81 §G: AC scans are always single-component)."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    if len(scan_comps) > 1:
+        units = []
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                mcu = []
+                for cid, td, ta in scan_comps:
+                    c = comps[cid]
+                    for vy in range(c["v"]):
+                        for hx in range(c["h"]):
+                            mcu.append((cid, my * c["v"] + vy, mx * c["h"] + hx, td, ta))
+                units.append(mcu)
+        return units
+    cid, td, ta = scan_comps[0]
+    c = comps[cid]
+    cw = -(-frame["w"] * c["h"] // frame["hmax"])
+    ch = -(-frame["h"] * c["v"] // frame["vmax"])
+    bw, bh = -(-cw // 8), -(-ch // 8)
+    return [[(cid, by, bx, td, ta)] for by in range(bh) for bx in range(bw)]
+
+
+def _apply_progressive_scan(frame, blocks, scan_comps, ss, se, ah, al, segs, huff, dri):
+    units = _scan_units(frame, scan_comps)
+    preds = {cid: 0 for cid, _, _ in scan_comps}
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for m, unit in enumerate(units):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG restart interval underrun")
+            br = _BitReader(segs[seg_idx])
+            preds = {cid: 0 for cid, _, _ in scan_comps}
+            eobrun = 0
+        for cid, by, bx, td, ta in unit:
+            coef = blocks[cid][by, bx]
+            if ss == 0:  # DC scan (se must be 0)
+                if ah == 0:  # first pass
+                    t = _decode_symbol(br, huff[(0, td)])
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    preds[cid] += diff
+                    coef[0] = preds[cid] << al
+                else:  # refinement: one bit per block
+                    if br.read_bit():
+                        coef[0] |= p1
+                continue
+            # AC scan (single component per spec)
+            ac_lut = huff[(1, ta)]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(br, ac_lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run overruns band")
+                    coef[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (T.81 G.1.2.3 / jdphuff structure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_symbol(br, ac_lut)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            z = ZIGZAG[k]
+                            if coef[z] != 0:
+                                if br.read_bit() and (coef[z] & p1) == 0:
+                                    coef[z] += p1 if coef[z] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            coef[ZIGZAG[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    # refine the remaining nonzero-history coefficients
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if coef[z] != 0 and br.read_bit() and (coef[z] & p1) == 0:
+                            coef[z] += p1 if coef[z] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _finalize(frame, blocks, qt):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
-        zz = blocks[c["id"]].reshape(-1, 64) * qt[c["tq"]][None, :]
-        nat = np.zeros_like(zz)
-        nat[:, ZIGZAG] = zz
+        # progressive scans store coefficients in NATURAL positions
+        # already (via ZIGZAG[k]); baseline fills zigzag order. Both
+        # paths store zigzag-ordered vectors here: baseline writes the
+        # raw zigzag vector, progressive writes into natural slots of a
+        # 64-vector that _finalize must NOT re-map. Unify by having
+        # baseline store zigzag and progressive store natural, tagged:
+        zz = blocks[c["id"]].reshape(-1, 64)
+        if frame["progressive"]:
+            nat = zz * qt[c["tq"]][ZIGZAG.argsort()][None, :]
+        else:
+            dq = zz * qt[c["tq"]][None, :]
+            nat = np.zeros_like(dq)
+            nat[:, ZIGZAG] = dq
         spatial = idct_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
         by, bx = blocks[c["id"]].shape[:2]
         plane = spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
@@ -333,9 +499,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
 
 
 def is_jpeg(payload: bytes) -> bool:
-    """True iff the payload fully decodes as a baseline JPEG — same
-    stance as is_png/is_gif: corrupt or unsupported streams route to the
-    strict/stub fallback, never to a decode crash."""
+    """True iff the payload fully decodes as a baseline or progressive
+    JPEG — same stance as is_png/is_gif: corrupt or unsupported streams
+    route to the strict/stub fallback, never to a decode crash."""
     if payload[:2] != b"\xff\xd8":
         return False
     try:

@@ -139,14 +139,38 @@ def test_flat_gray_block_is_exact():
     np.testing.assert_array_equal(out, img)
 
 
-def test_is_jpeg_rejects_invalid_and_progressive():
+PROGRESSIVE_FILES = [
+    # real third-party progressive (SOF2) encoder outputs; the stripe
+    # images are known-near-white, giving semantic ground truth
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", 493, 58, 200.0),
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", 493, 312, 200.0),
+    (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/"
+        "html/embedded-book/assets/f3.jpg",
+        720,
+        477,
+        None,
+    ),
+]
+
+
+@pytest.mark.parametrize("path,w,h,min_luma", PROGRESSIVE_FILES)
+def test_real_progressive_files_decode(path, w, h, min_luma):
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    gw, gh, luma = decode_jpeg(open(path, "rb").read())
+    assert (gw, gh) == (w, h)
+    assert 0.0 <= luma <= 255.0
+    if min_luma is not None:
+        # the 'white-stripe' images must actually decode near-white
+        assert luma >= min_luma
+
+
+def test_is_jpeg_rejects_invalid():
     good = encode_jpeg(_smooth_rgb(16, 16))
     assert is_jpeg(good)
     assert not is_jpeg(b"\xff\xd8 then garbage")
     assert not is_jpeg(good[:-20])  # truncated entropy data
-    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    if os.path.exists(prog):
-        assert not is_jpeg(open(prog, "rb").read())  # SOF2 progressive
 
 
 def test_decode_image_stage_routes_jpeg():
