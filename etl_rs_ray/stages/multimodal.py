@@ -201,20 +201,96 @@ def encode_wav(samples: "np.ndarray", rate: int = 16_000) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(payload: bytes) -> tuple[int, float, float]:
-    """Real decode of a PCM WAV: (sample_rate, duration_s, rms)."""
-    import wave
+def _g711_mulaw_table() -> "np.ndarray":
+    """G.711 mu-law byte -> linear int16, from the spec expansion
+    formula (bias 0x84, 3-bit exponent, 4-bit mantissa)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # transmitted complemented
+    sign = u >> 7
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 1) + 33) << exp) - 33
+    lin = np.where(sign, -(mag << 2), mag << 2)
+    return lin.astype(np.int16)
 
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        rate = f.getframerate()
-        n = f.getnframes()
-        width = f.getsampwidth()
-        raw = f.readframes(n)
-    if width != 2:
-        raise ValueError(f"unsupported sample width {width}")
-    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+
+def _g711_alaw_table() -> "np.ndarray":
+    """G.711 A-law byte -> linear int16 (0x55 toggle, segment expand)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a & 0x80  # set AFTER the toggle means POSITIVE (G.711 ref impl)
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 1) + 1, ((mant << 1) + 33) << (exp - 1))
+    lin = np.where(sign, mag << 3, -(mag << 3))
+    return lin.astype(np.int16)
+
+
+_WAV_FMT_PCM, _WAV_FMT_FLOAT, _WAV_FMT_ALAW, _WAV_FMT_MULAW = 1, 3, 6, 7
+
+
+def _parse_riff_wave(payload: bytes):
+    """(fmt_tag, channels, rate, bits, data_bytes) from a RIFF/WAVE
+    container — stdlib ``wave`` only accepts PCM, so companded (G.711)
+    and float formats parse here."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+        (tag,) = struct.unpack_from("<H", fmt, 24)  # subformat GUID leads with the tag
+    return tag, ch, rate, bits, data
+
+
+def decode_wav(payload: bytes) -> tuple[int, float, float]:
+    """Real decode of a WAV: (sample_rate, duration_s, rms). Handles
+    integer PCM (8/16/24/32-bit), IEEE float32/64, and the G.711
+    mu-law/A-law companded formats via spec-formula expansion tables —
+    stdlib ``wave`` covers none of the non-PCM cases."""
+    tag, ch, rate, bits, data = _parse_riff_wave(payload)
+    if ch < 1 or rate <= 0:
+        raise ValueError("invalid WAV header")
+    if tag == _WAV_FMT_PCM:
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        else:
+            raise ValueError(f"unsupported PCM width {bits}")
+    elif tag == _WAV_FMT_FLOAT:
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float width {bits}")
+    elif tag == _WAV_FMT_MULAW:
+        x = _g711_mulaw_table()[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif tag == _WAV_FMT_ALAW:
+        x = _g711_alaw_table()[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    n = len(x) // ch
     rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
-    return rate, n / rate if rate else 0.0, rms
+    return rate, n / rate, rms
 
 
 _Y4M_MAGIC = b"YUV4MPEG2 "
