@@ -454,20 +454,26 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> "np.ndarr
     return out
 
 
-def _gif_first_frame(payload: bytes) -> "np.ndarray":
-    """Decode the first frame of a GIF87a/89a into (h, w, 3) uint8 RGB
-    (palette resolved; interlaced row order undone)."""
+def _gif_frames(payload: bytes):
+    """Yield composited (screen_h, screen_w, 3) uint8 RGB canvases, one
+    per frame of a GIF87a/89a animation — GCE transparency honored,
+    disposal methods: 0/1 leave, 2 restore-background, 3
+    restore-previous; palettes resolved, interlaced row order undone."""
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
-    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if sw <= 0 or sh <= 0:
+        raise ValueError("GIF screen dimensions out of range")
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
         pos += n * 3
+    bg_color = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_color, (sh, sw, 3)).copy()
 
     def skip_subblocks(p: int) -> int:
         while True:
@@ -478,16 +484,23 @@ def _gif_first_frame(payload: bytes) -> "np.ndarray":
             if size == 0:
                 return p
 
+    transparent = None  # palette index, or None
+    disposal = 0
+    yielded = False
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-blocks
+            if payload[pos + 1] == 0xF9 and payload[pos + 2] >= 4:  # GCE
+                gflags = payload[pos + 3]
+                disposal = (gflags >> 2) & 0x07
+                transparent = payload[pos + 6] if gflags & 0x01 else None
             pos = skip_subblocks(pos + 2)
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
         lct = gct
         if iflags & 0x80:
@@ -496,8 +509,8 @@ def _gif_first_frame(payload: bytes) -> "np.ndarray":
             pos += n * 3
         if lct is None:
             raise ValueError("GIF frame has no color table")
-        if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
-            raise ValueError("GIF dimensions out of range")
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rectangle out of range")
         min_code_size = payload[pos]
         pos += 1
         if not 2 <= min_code_size <= 11:
@@ -522,8 +535,29 @@ def _gif_first_frame(payload: bytes) -> "np.ndarray":
             idx = deinter
         if int(idx.max(initial=0)) >= len(lct):
             raise ValueError("GIF palette index out of range")
-        return lct[idx]
-    raise ValueError("GIF has no image descriptor")
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        rgb = lct[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        yield canvas.copy()
+        yielded = True
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_color
+        elif disposal == 3:
+            canvas = prev
+        transparent = None
+        disposal = 0
+    if not yielded:
+        raise ValueError("GIF has no image descriptor")
+
+
+def _gif_first_frame(payload: bytes) -> "np.ndarray":
+    """First composited frame of a GIF (screen-sized canvas)."""
+    return next(iter(_gif_frames(payload)))
 
 
 def is_gif(payload: bytes) -> bool:
@@ -616,6 +650,70 @@ def encode_gif(indices: "np.ndarray", palette: "np.ndarray") -> bytes:
         out.write(bytes([len(block)]) + bytes(block))
     out.write(b"\x00\x3B")
     return out.getvalue()
+
+
+# --- AVI / MJPEG (RIFF walk + the jpeg.py decoder; no pyav/ffmpeg) -------------
+
+
+def _avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """JPEG payloads of each video frame in an AVI whose video stream is
+    motion-JPEG: walks the RIFF tree to the 'movi' list and collects the
+    compressed-video ('##dc'/'##db') chunks. Raises ValueError for
+    non-AVI or non-JPEG-compressed streams."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int, in_movi: bool):
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                subtype = payload[body_start : body_start + 4]
+                walk(body_start + 4, body_start + size, in_movi or subtype == b"movi")
+            elif in_movi and size >= 2 and cid[2:4] in (b"dc", b"db"):
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # word-aligned
+
+    walk(12, len(payload), False)
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    if not all(f[:2] == b"\xff\xd8" for f in frames):
+        raise ValueError("AVI video stream is not motion-JPEG")
+    return frames
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
+    """Minimal AVI writer wrapping pre-encoded JPEG frames as an MJPG
+    stream — exists so the container parser + frame sampler can be
+    exercised without ffmpeg."""
+    n = len(jpeg_frames)
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # --- PNG (stdlib zlib + numpy; no Pillow) -------------------------------------
@@ -1040,8 +1138,30 @@ class SampleFrames:
                 idx = list(range(0, n_frames, self.every_n))
                 offsets.append(idx)
                 frame_lumas.append([y4m_frame_luma(payload, i) for i in idx])
+            elif payload[:6] in _GIF_MAGICS:
+                # REAL: animated GIF — composited canvases per frame
+                frames = [
+                    f for i, f in enumerate(_gif_frames(payload)) if i % self.every_n == 0
+                ]
+                offsets.append([i * self.every_n for i in range(len(frames))])
+                frame_lumas.append(
+                    [
+                        float(
+                            (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).mean()
+                        )
+                        for f in frames
+                    ]
+                )
+            elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                # REAL: motion-JPEG AVI — decode only the sampled frames
+                jpegs = _avi_mjpeg_frames(payload)
+                idx = list(range(0, len(jpegs), self.every_n))
+                offsets.append(idx)
+                frame_lumas.append([decode_jpeg(jpegs[i])[2] for i in idx])
             elif self.strict:
-                raise NotImplementedError("non-Y4M frame sampling requires pyav/ffmpeg")
+                raise NotImplementedError(
+                    "non-Y4M/GIF/MJPEG-AVI frame sampling requires pyav/ffmpeg"
+                )
             else:
                 n_frames = 1 + len(payload) % 97
                 offsets.append(list(range(0, n_frames, self.every_n)))
