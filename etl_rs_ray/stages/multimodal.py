@@ -1138,26 +1138,41 @@ class SampleFrames:
                 idx = list(range(0, n_frames, self.every_n))
                 offsets.append(idx)
                 frame_lumas.append([y4m_frame_luma(payload, i) for i in idx])
-            elif payload[:6] in _GIF_MAGICS:
-                # REAL: animated GIF — composited canvases per frame
-                frames = [
-                    f for i, f in enumerate(_gif_frames(payload)) if i % self.every_n == 0
-                ]
-                offsets.append([i * self.every_n for i in range(len(frames))])
-                frame_lumas.append(
-                    [
-                        float(
-                            (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).mean()
+            elif payload[:6] in _GIF_MAGICS or (
+                payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+            ):
+                # REAL: animated GIF (composited canvases) or motion-JPEG
+                # AVI (only the sampled frames decode). Corrupt streams
+                # fall to strict-raise / stub like DecodeImage.
+                try:
+                    if payload[:6] in _GIF_MAGICS:
+                        frames = [
+                            f
+                            for i, f in enumerate(_gif_frames(payload))
+                            if i % self.every_n == 0
+                        ]
+                        idx = [i * self.every_n for i in range(len(frames))]
+                        lumas = [
+                            float(
+                                (
+                                    0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+                                ).mean()
+                            )
+                            for f in frames
+                        ]
+                    else:
+                        jpegs = _avi_mjpeg_frames(payload)
+                        idx = list(range(0, len(jpegs), self.every_n))
+                        lumas = [decode_jpeg(jpegs[i])[2] for i in idx]
+                    offsets.append(idx)
+                    frame_lumas.append(lumas)
+                except (ValueError, struct.error, IndexError, KeyError):
+                    if self.strict:
+                        raise NotImplementedError(
+                            "corrupt/unsupported GIF/AVI stream; full codec libs not available here"
                         )
-                        for f in frames
-                    ]
-                )
-            elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                # REAL: motion-JPEG AVI — decode only the sampled frames
-                jpegs = _avi_mjpeg_frames(payload)
-                idx = list(range(0, len(jpegs), self.every_n))
-                offsets.append(idx)
-                frame_lumas.append([decode_jpeg(jpegs[i])[2] for i in idx])
+                    offsets.append(list(range(0, 1 + len(payload) % 97, self.every_n)))
+                    frame_lumas.append(None)
             elif self.strict:
                 raise NotImplementedError(
                     "non-Y4M/GIF/MJPEG-AVI frame sampling requires pyav/ffmpeg"
