@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 
 from etl_rs_ray.stages.jpeg import decode_jpeg, encode_jpeg, is_jpeg  # noqa: F401
+from etl_rs_ray.stages.tiff import decode_tiff, encode_tiff, is_tiff  # noqa: F401
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -1006,16 +1007,17 @@ class DecodeImage:
     """Actor-pool stage: binary payload -> (width, height, mean_luma).
 
     __init__ resolves codecs once per actor; __call__ decodes a batch.
-    BMP, binary netpbm, and 8-bit PNG payloads get a REAL decode (actual
-    pixels, BT.601 luma — PNG via stdlib zlib + numpy unfiltering, no
-    Pillow); other formats raise under strict=True (where
-    `PIL.Image.open` would run) or fall back to the deterministic md5
-    stub.
+    BMP, binary netpbm, PNG (all depths/interlace), GIF, baseline +
+    progressive JPEG, and TIFF (none/LZW/Deflate/PackBits, strips or
+    tiles, gray/RGB/palette, 1-16 bit) payloads get a REAL decode
+    (actual pixels, BT.601 luma — stdlib + numpy, no Pillow); other
+    formats raise under strict=True (where `PIL.Image.open` would run)
+    or fall back to the deterministic md5 stub.
     """
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        self.codec = "bmp+netpbm+png-numpy-v1"  # real impl would also: import PIL here, once
+        self.codec = "bmp+netpbm+png+gif+jpeg+tiff-numpy-v1"  # real impl: import PIL here, once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import zlib
@@ -1030,6 +1032,7 @@ class DecodeImage:
                 payload[:8] == _PNG_MAGIC
                 or payload[:6] in _GIF_MAGICS
                 or payload[:2] == b"\xff\xd8"
+                or is_tiff(payload)
             ):
                 # route on the magic directly (a full is_* pre-check
                 # would decode twice); corrupt/unsupported streams —
@@ -1040,17 +1043,19 @@ class DecodeImage:
                         w, h, luma = decode_png(payload)
                     elif payload[:2] == b"\xff\xd8":
                         w, h, luma = decode_jpeg(payload)
+                    elif is_tiff(payload):
+                        w, h, luma = decode_tiff(payload)
                     else:
                         w, h, luma = decode_gif(payload)
                 except (ValueError, zlib.error, struct.error, IndexError, KeyError):
                     if self.strict:
                         raise NotImplementedError(
-                            "unsupported PNG/GIF/JPEG variant; full codec libs not available here"
+                            "unsupported PNG/GIF/JPEG/TIFF variant; full codec libs not available here"
                         )
                     w, h, luma = _fake_dims(payload)
             elif self.strict:
                 raise NotImplementedError(
-                    "non-BMP/netpbm/PNG/GIF image decode requires Pillow; not available in this environment"
+                    "non-BMP/netpbm/PNG/GIF/JPEG/TIFF image decode requires Pillow; not available in this environment"
                 )
             else:
                 w, h, luma = _fake_dims(payload)
@@ -1065,13 +1070,19 @@ class DecodeImage:
 
 class DecodeAudio:
     """Actor-pool stage: audio payload -> (sample_rate, duration_s, rms).
-    PCM WAV decodes for REAL via the stdlib; other formats raise under
-    strict=True (where libsndfile would run) or emit typed nulls."""
+    PCM/float/G.711 WAV decodes for REAL via the stdlib. MPEG audio
+    (MP3) gets its rate/duration from an exact frame-header walk
+    (stages/mpeg_audio.py) with rms null — sample decode needs the
+    normative Layer III tables, so rms stays honest-null in BOTH modes
+    rather than faked. Other formats raise under strict=True (where
+    libsndfile would run) or emit typed nulls."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from etl_rs_ray.stages.mpeg_audio import is_mpeg_audio, mpeg_audio_metadata
+
         rates, durs, rmss = [], [], []
         for mt, payload in zip(
             batch.column("media_type").to_pylist(), batch.column("payload").to_pylist()
@@ -1082,9 +1093,14 @@ class DecodeAudio:
             if payload[:4] == b"RIFF":
                 rate, dur, rms = decode_wav(payload)
                 rates.append(rate), durs.append(dur), rmss.append(rms)
+            elif is_mpeg_audio(payload):
+                meta = mpeg_audio_metadata(payload)
+                rates.append(meta["sample_rate"])
+                durs.append(meta["duration_s"])
+                rmss.append(None)
             elif self.strict:
                 raise NotImplementedError(
-                    "non-WAV audio decode requires libsndfile; not available here"
+                    "non-WAV/MPEG audio decode requires libsndfile; not available here"
                 )
             else:
                 rates.append(None), durs.append(None), rmss.append(None)
