@@ -44,6 +44,17 @@ ORACLE_SQL = {
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
     """,
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
     "lineitem_revenue_filter": """
         SELECT l_orderkey, l_linenumber,
                l_extendedprice * (1 - l_discount) AS revenue

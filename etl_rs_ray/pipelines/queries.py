@@ -126,6 +126,7 @@ from .tpch import (  # noqa: E402
     q1_pricing_summary,
     q3_shipping_priority,
     q5_regional_supplier_volume,
+    q6_forecast_revenue,
 )
 
 # --- aggregates --------------------------------------------------------------
@@ -3088,6 +3089,7 @@ QUERIES = {
     # -- r4 families re-gated + r5-changed queries ------------------------
     "q3_shipping_priority": q3_shipping_priority,
     "q5_regional_supplier_volume": q5_regional_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "events_cdc_diff": events_cdc_diff,
     "events_scd2_incremental": events_scd2_incremental,
     "docs_search_topk": docs_search_topk,
@@ -3114,7 +3116,6 @@ QUERIES = {
     "events_late_corrections": events_late_corrections,
     "embeddings_cov_block": embeddings_cov_block,
     "events_value_regression": events_value_regression,
-    "events_winsorized_stats": events_winsorized_stats,
     "events_interval_coalesce": events_interval_coalesce,
     "events_mode_value": events_mode_value,
     # -- r4 additions getting their first driver row + r5 new -------------
@@ -3130,6 +3131,7 @@ QUERIES = {
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_token_packing": docs_token_packing,
     # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
+    "events_winsorized_stats": events_winsorized_stats,
     "events_profile": events_profile,
     "events_pattern_matches": events_pattern_matches,
     "events_heavy_hitters": events_heavy_hitters,

@@ -98,6 +98,66 @@ def q1_pricing_summary(sf_dir: str):
     return ds.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-style forecasting-revenue-change scalar aggregate.
+
+    Scale strategy: the predicate is pushed INTO the parquet read as a
+    pyarrow dataset expression, so row groups whose shipdate/discount/
+    quantity statistics exclude the window never leave storage — the
+    read is the filter. What remains folds to ONE partial row per block
+    (bounded domain: a single global group), then one trivial merge.
+
+    Determinism: revenue is summed as EXACT int64 fixed-point —
+    round(price*100) * round(discount*100) — with the identical final
+    float64 division mirrored in the DuckDB oracle, so the result is
+    batching- and fold-order-invariant by construction (the repo-wide
+    float rule; see stages/stats.py)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    lo, hi = datetime(1998, 1, 1), datetime(1999, 1, 1)
+    f = pads.field
+    expr = (
+        (f("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (f("l_shipdate") < pa.scalar(hi, pa.timestamp("us")))
+        & (f("l_discount") >= 0.05)
+        & (f("l_discount") <= 0.07)
+        & (f("l_quantity") < 24.0)
+    )
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_extendedprice", "l_discount"],
+        filter=expr,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        prod = pc.multiply(cents, bp)
+        return pa.table(
+            {
+                "rev_fp": pa.array([pc.sum(prod).as_py() or 0], pa.int64()),
+                "n_items": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        rev_fp = pc.sum(t.column("rev_fp")).as_py() or 0
+        n = pc.sum(t.column("n_items")).as_py() or 0
+        return pa.table(
+            {
+                "revenue": pa.array([rev_fp / 10000.0], pa.float64()),
+                "n_items": pa.array([n], pa.int64()),
+            }
+        )
+
+    from ..stages.stats import partial_fold
+
+    return partial_fold(ds, partial, fold)
+
+
 def lineitem_revenue_filter(sf_dir: str):
     """Filter + computed projection with column pruning at the read."""
     ds = _read(
