@@ -44,6 +44,29 @@ from ..sources.lake import LakeTable
 from ..stages.merge_apply import DEFAULT_KEY, LwwStats, lww_reduce, merge_bucket_tables
 from ..state import fs
 
+
+def _chaos_crash(chaos_dir: str | None, point: str, key: str) -> None:
+    """Fault-injection hook for the chaos drill (tests/test_chaos_replay.py).
+
+    When ``chaos_dir`` is set and contains an ``enable-<point>`` file, the
+    FIRST task to reach (point, key) hard-kills its worker process with
+    ``os._exit`` — a real worker loss, not a Python exception Ray could
+    intercept in-process — after dropping a marker so the retried attempt
+    proceeds. This exercises, under genuine mid-job worker death: Ray's
+    task retry, the content-derived idempotent spill/payload file names,
+    the deterministic staging names, and the exactly-once manifest commit.
+    No-op in production (chaos_dir is never set outside tests)."""
+    if not chaos_dir or not os.path.exists(os.path.join(chaos_dir, f"enable-{point}")):
+        return
+    marker = os.path.join(chaos_dir, f"died-{point}-{key}")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return
+    os.close(fd)
+    os._exit(1)
+
+
 def curate_batch(batch: pa.Table) -> pa.Table:
     """The normalize/curate stage of the full ingest pipeline: language-ID
     + quality signals (vectorized RE2) and a winnowing content fingerprint
@@ -255,6 +278,7 @@ def make_spiller(
     lsn_col="lsn",
     op_col="op",
     rg_rows: int | None = None,
+    chaos_dir: str | None = None,
 ):
     """Map stage of the disk exchange (sort-based shuffle): per input
     block, LWW-precompact (the combiner — superseded events die before
@@ -359,6 +383,7 @@ def make_spiller(
         # bytes on a ramdisk (encode time is pure loss there), lz4 buffer
         # compression on disk, zstd for slow/remote storage (env
         # override). Durable lake files remain parquet.
+        _chaos_crash(chaos_dir, "spill", tag)
         codec = os.environ.get(
             "ETL_RS_RAY_SPILL_CODEC", "none" if "/dev/shm" in shuffle_dir else "lz4"
         )
@@ -390,6 +415,9 @@ def make_spiller(
                     max_chunksize=64 * 1024,
                 )
             os.replace(ptmp, ppath)
+            # mid-write crash: payload published, meta file not yet — the
+            # retry must overwrite the payload with identical bytes
+            _chaos_crash(chaos_dir, "spill_mid", tag)
             batch = batch.drop_columns(payload_names)
 
         out_x, out_n, out_s = [], [], []
@@ -474,6 +502,8 @@ def _merge_xpart_task(
     op_col="op",
     delta: bool = False,
     fold_rows: int | None = None,
+    chaos_dir: str | None = None,
+    chaos_key: str = "",
 ) -> list[dict]:
     """Reduce side of the disk exchange (plain Ray task body): read one
     exchange partition's row groups out of the spilled block files (the
@@ -498,6 +528,7 @@ def _merge_xpart_task(
     ``ETL_RS_RAY_FOLD_ROWS`` overrides the threshold (tests)."""
     from ..state.schema_evolution import unify_tables
 
+    _chaos_crash(chaos_dir, "merge", chaos_key)
     if fold_rows is None:
         # NB: reading the env HERE only works when the worker inherited it
         # (shell-level export). Tests/monkeypatch must pass fold_rows via
@@ -651,6 +682,9 @@ def _merge_xpart_task(
                 "peak_fold_rows": peak_rows,
             }
         )
+    # late crash: every staged bucket file already published — the retry
+    # re-runs the whole partition and overwrites the same staging names
+    _chaos_crash(chaos_dir, "merge_late", chaos_key)
     return entries
 
 
@@ -719,6 +753,7 @@ def replay(
     mode: str = "upsert",
     atomic_txns: bool = False,
     quarantine=False,
+    chaos_dir: str | None = None,
 ) -> ReplayResult:
     """Replay all events with ``lsn > table.hwm`` (bounded by ``target_lsn``)
     into the lake upsert table. Resumable + idempotent: re-running after a
@@ -846,7 +881,8 @@ def replay(
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         os.makedirs(shuffle_dir, exist_ok=True)
         spill_ds = ds.map_batches(
-            make_spiller(shuffle_dir, shuffle_partitions, lake.num_buckets),
+            make_spiller(shuffle_dir, shuffle_partitions, lake.num_buckets,
+                         chaos_dir=chaos_dir),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
@@ -872,6 +908,8 @@ def replay(
                 shuffle_dir, plans[x], bucket_files, staging,
                 delta=(mode == "delta"),
                 fold_rows=int(os.environ.get("ETL_RS_RAY_FOLD_ROWS", 512 * 1024)),
+                chaos_dir=chaos_dir,
+                chaos_key=str(x),
             )
             for x in sorted(plans)
         ]
