@@ -73,12 +73,19 @@ def run_cdc_replay(
             os.environ["ETL_RS_RAY_SHUFFLE_BASE"] = "/dev/shm"
         repeats = 1
         if warmup:
-            # steady-state measurement: spawn + import the worker pool on a
-            # small LSN prefix before the timed runs; best-of-2 damps
-            # shared-VM noise (observed ~15% run-to-run swing)
+            # steady-state measurement: spawn + import the worker pool
+            # before the timed runs; best-of-2 damps shared-VM noise
+            # (observed ~15% run-to-run swing). At the headline tier
+            # (scale_mult 1) the warmup is a FULL-SIZE untimed replay —
+            # a small LSN-prefix warmup spawns the pool but leaves the
+            # first timed run 1.5-3x slow on a cold VM (measured ramp
+            # 3.8 -> 0.71 -> 0.47 -> 0.44 s across identical runs); at
+            # the scaling tiers (10M events, minutes per run) a prefix
+            # warmup amortizes fine and a full one would double the run.
             wt = table_dir + "_warm"
             shutil.rmtree(wt, ignore_errors=True)
-            replay(log_dir, wt, target_lsn=50_000, num_buckets=max(16, num_cpus * 2),
+            warm_lsn = None if scale_mult == 1 else 50_000
+            replay(log_dir, wt, target_lsn=warm_lsn, num_buckets=max(16, num_cpus * 2),
                    normalize=curate_batch if curate else None)
             shutil.rmtree(wt, ignore_errors=True)
             repeats = 2
