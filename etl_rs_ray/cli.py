@@ -154,6 +154,13 @@ def main(argv: list[str] | None = None) -> int:
     ln = sub.add_parser("lineage", help="per-epoch lineage chain of a table")
     ln.add_argument("--table", required=True)
 
+    lk = sub.add_parser("lookup", help="point read by key: touched buckets only, no scan")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--key", action="append", required=True,
+                    help="repo,path[,commit] — repeatable")
+    lk.add_argument("--epoch", type=int, default=None)
+    lk.add_argument("--columns", default=None, help="comma-separated output columns")
+
     fk = sub.add_parser("fsck", help="manifest/storage consistency check")
     fk.add_argument("--table", required=True)
     fk.add_argument("--epoch", type=int, default=None)
@@ -485,6 +492,18 @@ def main(argv: list[str] | None = None) -> int:
         snap = lake.snapshot_table(epoch=args.epoch)
         print(json.dumps({"rows": snap.num_rows, "epoch": lake.current_epoch(), "metrics": lake.metrics()}))
         for row in snap.slice(0, args.limit).to_pylist():
+            print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}))
+        return 0
+
+    if args.cmd == "lookup":
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        keys = [tuple(k.split(",")) for k in args.key]
+        cols = args.columns.split(",") if args.columns else None
+        t = lake.lookup(keys, epoch=args.epoch, columns=cols)
+        print(json.dumps({"keys": len(keys), "rows": t.num_rows}))
+        for row in t.to_pylist():
             print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}))
         return 0
 

@@ -175,6 +175,71 @@ class LakeTable:
             return pa.schema([]).empty_table()
         return pa.concat_tables([fs.read_table(f) for f in files], promote_options="permissive")
 
+    def lookup(self, keys, epoch: int | None = None,
+               key_cols=("repo", "path", "commit"),
+               columns: list[str] | None = None) -> pa.Table:
+        """Point reads by primary key — the latency path of the lake.
+
+        ``keys`` is an iterable of ``(repo, path)`` pairs or
+        ``(repo, path, commit)`` triples. Each key hashes to its bucket
+        (the same durable ``poly64-v1`` partitioner the writer used), so
+        only the touched buckets' file sets are opened — a 100 TB table
+        with 64k buckets serves a point read from ONE bucket's base +
+        delta chain. Within each file the ``(repo, path)`` equality set
+        is pushed into the parquet scan as a row-group filter (string
+        min/max statistics prune untouched row groups), the survivors
+        are LWW-folded, and tombstoned keys come back absent — exactly
+        the rows a full ``snapshot()`` would yield for those keys,
+        without the scan. Bulk key lists (millions of probes) belong in
+        the join machinery (``stages/joins.keyed_lookup_join``), not
+        here: this path is driver-side by design, O(keys) tiny reads.
+        """
+        from ..sources.event_log import fast_hash_bucket
+        from ..state.schema_evolution import unify_tables
+
+        keys = list(keys)
+        empty = pa.schema([]).empty_table()
+        sets = self.bucket_file_sets(epoch)
+        if not keys or not sets:
+            return empty
+        repos = pa.array([k[0] for k in keys], pa.string())
+        paths = pa.array([k[1] for k in keys], pa.string())
+        commits = {k[2] for k in keys if len(k) > 2 and k[2] is not None}
+        touched = set(
+            pc.unique(fast_hash_bucket(repos, paths, self.num_buckets)).to_pylist()
+        )
+        # superset scan filter (row-group pruning); exactness restored by
+        # the joined-key post-filter below
+        filters = [("repo", "in", set(repos.to_pylist())),
+                   ("path", "in", set(paths.to_pylist()))]
+        tables = []
+        for b in sorted(touched):
+            for f in sets.get(b, ()):
+                t = fs.read_table(f, filters=filters)
+                if t.num_rows:
+                    tables.append(t)
+        if not tables:
+            return empty
+        t = unify_tables(tables)
+        want = pc.binary_join_element_wise(repos, paths, "\x00")
+        got = pc.binary_join_element_wise(
+            t.column("repo").cast(pa.string()), t.column("path").cast(pa.string()), "\x00"
+        )
+        t = t.filter(pc.is_in(got, value_set=want))
+        # LWW across the collected rows: per-key ordering is global (keys
+        # never span buckets), so one fold over <=len(keys) buckets' rows
+        # reproduces snapshot semantics, tombstones dropped
+        t = self._merge_on_read_fold(t, key_cols)
+        if commits and "commit" in t.column_names:
+            t = t.filter(pc.is_in(t.column("commit"), value_set=pa.array(sorted(commits))))
+        return t.select(columns) if columns else t
+
+    @staticmethod
+    def _merge_on_read_fold(t: pa.Table, key_cols) -> pa.Table:
+        from ..stages.merge_apply import lww_reduce
+
+        return lww_reduce(t, tuple(key_cols), drop_tombstones=True)
+
     def changes(self, from_epoch: int | None, to_epoch: int | None = None,
                 key_cols=("repo", "path", "commit"), lsn_col: str = "lsn",
                 op_col: str = "op", include_old: bool = False):
