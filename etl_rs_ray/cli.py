@@ -141,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact", help="fold delta files into fresh bucket bases")
     cp.add_argument("--table", required=True)
 
+    rb = sub.add_parser("rebucket", help="k-multiple bucket split/merge, shuffle-free")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--buckets", type=int, required=True,
+                    help="new bucket count (multiple or divisor of current)")
+
     t = sub.add_parser("tail", help="streaming actor-pool merge of the log")
     t.add_argument("--log", required=True)
     t.add_argument("--table", required=True)
@@ -513,6 +518,20 @@ def main(argv: list[str] | None = None) -> int:
 
         did = LakeTable(args.table).compact()
         print(json.dumps({"compacted": did}))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "rebucket":
+        _init_ray(args.num_cpus)
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        before = lake.num_buckets
+        did = lake.rebucket(args.buckets)
+        print(json.dumps({"rebucketed": did, "from": before, "to": lake.num_buckets,
+                          "epoch": lake.current_epoch()}))
         import ray
 
         ray.shutdown()

@@ -202,11 +202,15 @@ class LakeTable:
         sets = self.bucket_file_sets(epoch)
         if not keys or not sets:
             return empty
+        # the requested epoch's OWN bucket count: a time-travel read across
+        # a rebucket boundary must hash with the layout that epoch was
+        # written under, not the current one
+        n_buckets = int(self.manifests.read(epoch)["num_buckets"])
         repos = pa.array([k[0] for k in keys], pa.string())
         paths = pa.array([k[1] for k in keys], pa.string())
         commits = {k[2] for k in keys if len(k) > 2 and k[2] is not None}
         touched = set(
-            pc.unique(fast_hash_bucket(repos, paths, self.num_buckets)).to_pylist()
+            pc.unique(fast_hash_bucket(repos, paths, n_buckets)).to_pylist()
         )
         # superset scan filter (row-group pruning); exactness restored by
         # the joined-key post-filter below
@@ -507,6 +511,139 @@ class LakeTable:
         return self.commit_epoch(
             epoch, written, m["hwm_lsn"], {"compaction": True}, {"source": "compact"}, mode="overwrite"
         )
+
+    def rebucket(self, new_num_buckets: int, key_cols=("repo", "path", "commit")) -> bool:
+        """Change the bucket count WITHOUT a shuffle — the online layout
+        migration a growing table needs (64 buckets at 100 TB is 1.5 TB
+        per bucket; merge tasks and point reads want splits long before
+        that).
+
+        Works for k-multiple changes only, and that restriction is the
+        whole design: with ``bucket = hash mod N``, growing to ``k*N``
+        means every row of old bucket ``b`` lands in one of exactly k
+        children ``{b, b+N, .., b+(k-1)N}`` — so a split is one
+        independent task per OLD bucket (read its base+delta set, fold,
+        partition among its k children, write), and a shrink to ``N/k``
+        is one task per NEW bucket reading its k contributors. No
+        cross-task row ever moves; an arbitrary (non-multiple) target
+        would be an all-to-all exchange and is refused. The change
+        commits as a normal overwrite epoch (atomic manifest swing,
+        time-travelable, idempotent on retry); subsequent replays pick
+        the new count up from the manifest automatically.
+        """
+        import ray
+
+        old = self.num_buckets
+        if new_num_buckets == old:
+            return False
+        if new_num_buckets < 1 or (new_num_buckets % old and old % new_num_buckets):
+            raise ValueError(
+                f"rebucket {old} -> {new_num_buckets}: target must be a "
+                "multiple or divisor of the current bucket count (anything "
+                "else is an all-to-all shuffle; replay into a fresh table "
+                "for that)"
+            )
+        m = self.manifests.read()
+        if m is None:
+            # nothing committed yet: just adopt the new count for epoch 0
+            self.num_buckets = new_num_buckets
+            return True
+        epoch = self.current_epoch() + 1
+        staging = self.staging_dir(epoch)
+        sets = self.bucket_file_sets()
+        merge = self._merge_on_read
+        table_hwm = int(m["hwm_lsn"])
+
+        def _write_children(t: pa.Table, staging: str) -> list[dict]:
+            from ..sources.event_log import fast_hash_bucket
+
+            out = []
+            child = fast_hash_bucket(
+                t.column("repo").combine_chunks(),
+                t.column("path").combine_chunks(),
+                new_num_buckets,
+            )
+            for c in pc.unique(child).to_pylist():
+                part = t.filter(pc.equal(child, c)).sort_by(
+                    [(k, "ascending") for k in key_cols]
+                )
+                filename = f"bucket-{c}.parquet"
+                fs.write_table_atomic(
+                    part, fs.join(staging, filename), row_group_size=128 * 1024
+                )
+                out.append({"bucket": int(c), "filename": filename, "rows": part.num_rows})
+            return out
+
+        if new_num_buckets > old:
+            # split: one task per OLD bucket, children are disjoint by
+            # construction (child ≡ parent mod old)
+            @ray.remote(num_cpus=1)
+            def split_bucket(files: list[str], hwm: int) -> list[dict]:
+                entries = _write_children(merge(files, key_cols), staging)
+                for e in entries:
+                    e["hwm_lsn"] = hwm
+                return entries
+
+            futs = [
+                split_bucket.remote(
+                    files, int(m["buckets"][str(b)].get("hwm_lsn", table_hwm))
+                )
+                for b, files in sets.items()
+            ]
+            entries = [e for part in ray.get(futs) for e in part]
+        else:
+            # shrink: one task per NEW bucket over its k contributors
+            k = old // new_num_buckets
+            groups: dict[int, list[int]] = {}
+            for b in sets:
+                groups.setdefault(b % new_num_buckets, []).append(b)
+
+            @ray.remote(num_cpus=1)
+            def merge_buckets(c: int, contributors: list[int]) -> dict:
+                from ..state.schema_evolution import unify_tables
+
+                t = unify_tables([merge(sets[b], key_cols) for b in contributors])
+                t = t.sort_by([(kc, "ascending") for kc in key_cols])
+                filename = f"bucket-{c}.parquet"
+                fs.write_table_atomic(
+                    t, fs.join(staging, filename), row_group_size=128 * 1024
+                )
+                return {"bucket": c, "filename": filename, "rows": t.num_rows}
+
+            hwms = {
+                c: max(
+                    int(m["buckets"][str(b)].get("hwm_lsn", table_hwm))
+                    for b in contributors
+                )
+                for c, contributors in groups.items()
+            }
+            entries = ray.get(
+                [merge_buckets.remote(c, bs) for c, bs in sorted(groups.items())]
+            )
+            for e in entries:
+                e["hwm_lsn"] = hwms[e["bucket"]]
+
+        written = {
+            e["bucket"]: {
+                "filename": e["filename"],
+                "rows": e["rows"],
+                "hwm_lsn": e["hwm_lsn"],
+                "stats": {"rebucketed_from": old},
+            }
+            for e in entries
+        }
+        self.num_buckets = new_num_buckets
+        ok = self.commit_epoch(
+            epoch,
+            written,
+            table_hwm,
+            {"rebucket": {"from": old, "to": new_num_buckets}},
+            {"source": "rebucket"},
+            mode="overwrite",
+        )
+        if not ok:
+            self.num_buckets = old
+        return ok
 
     def vacuum(self, keep_epochs: int = 1) -> list[str]:
         """Delete data files not referenced by the last ``keep_epochs``

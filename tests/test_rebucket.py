@@ -1,0 +1,136 @@
+"""Online bucket-count change (LakeTable.rebucket): shuffle-free
+k-multiple split/merge. With bucket = hash mod N, a row of old bucket b
+can only land in child b + j*N (split) and new bucket b mod M gathers
+exactly its k contributors (shrink) — so the migration is one
+independent task per bucket, never an exchange. The epoch commits like
+any other: atomic, time-travelable, and the next replay picks the new
+count up from the manifest."""
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from etl_rs_ray.datagen import generate_events, generate_repos, write_event_log
+from etl_rs_ray.pipelines.cdc import replay
+from etl_rs_ray.sources.event_log import fast_hash_bucket
+from etl_rs_ray.sources.lake import LakeTable
+
+
+def _make_log(tmp_path, n_files=500, seed=41):
+    repos = generate_repos(n_files=n_files, seed=seed)
+    ev = generate_events(repos, seed=seed)
+    log = str(tmp_path / "log")
+    write_event_log(ev, log, num_partitions=4)
+    max_lsn = pc.max(ev.column("lsn")).as_py()
+    return log, max_lsn
+
+
+def _state(table_dir):
+    t = LakeTable(table_dir).snapshot_table()
+    cols = ["repo", "path", "commit", "lang", "content", "lsn"]
+    return sorted(zip(*[t.column(c).to_pylist() for c in cols]))
+
+
+def _bucket_placement_ok(table_dir):
+    """Every row sits in the bucket its key hashes to under the CURRENT
+    manifest's count."""
+    lake = LakeTable(table_dir)
+    for b, files in lake.bucket_file_sets().items():
+        for f in files:
+            t = pq.read_table(f, columns=["repo", "path"])
+            got = fast_hash_bucket(
+                t.column("repo").combine_chunks(),
+                t.column("path").combine_chunks(),
+                lake.num_buckets,
+            )
+            assert pc.all(pc.equal(got, b)).as_py(), (b, f)
+
+
+def test_split_preserves_state_and_placement(tmp_path, ray_session):
+    log, _ = _make_log(tmp_path)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8)
+    before = _state(table)
+    lake = LakeTable(table)
+    assert lake.rebucket(32) is True
+    lake = LakeTable(table)
+    assert lake.num_buckets == 32
+    assert _state(table) == before
+    _bucket_placement_ok(table)
+    # occupied buckets actually spread out
+    assert len(lake.bucket_file_sets()) > 8
+
+
+def test_shrink_preserves_state_and_placement(tmp_path, ray_session):
+    log, _ = _make_log(tmp_path, seed=43)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=16)
+    before = _state(table)
+    assert LakeTable(table).rebucket(4) is True
+    lake = LakeTable(table)
+    assert lake.num_buckets == 4
+    assert _state(table) == before
+    _bucket_placement_ok(table)
+    assert set(lake.bucket_file_sets()) <= {0, 1, 2, 3}
+
+
+def test_replay_continues_after_rebucket(tmp_path, ray_session):
+    """Half replay -> split -> rest of the log must land exactly where a
+    one-shot replay into a fresh table puts it."""
+    log, max_lsn = _make_log(tmp_path, seed=47)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8, target_lsn=max_lsn // 2)
+    LakeTable(table).rebucket(16)
+    replay(log, table)  # num_buckets resolved from the manifest
+    oneshot = str(tmp_path / "ref")
+    replay(log, oneshot, num_buckets=16)
+    assert _state(table) == _state(oneshot)
+    _bucket_placement_ok(table)
+    assert LakeTable(table).num_buckets == 16
+
+
+def test_rebucket_folds_delta_chains(tmp_path, ray_session):
+    log, max_lsn = _make_log(tmp_path, seed=53)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8, target_lsn=max_lsn // 2)
+    replay(log, table, mode="delta")
+    lake = LakeTable(table)
+    assert lake.has_deltas()
+    before = _state(table)
+    assert lake.rebucket(16) is True
+    lake = LakeTable(table)
+    assert not lake.has_deltas()  # the fold compacted as a side effect
+    assert _state(table) == before
+
+
+def test_rebucket_rejects_non_multiple_and_noop(tmp_path, ray_session):
+    log, _ = _make_log(tmp_path, n_files=200, seed=59)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8)
+    lake = LakeTable(table)
+    with pytest.raises(ValueError, match="multiple or divisor"):
+        lake.rebucket(12)
+    assert lake.rebucket(8) is False
+
+
+def test_time_travel_and_lookup_after_rebucket(tmp_path, ray_session):
+    log, _ = _make_log(tmp_path, n_files=300, seed=61)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8)
+    e0 = LakeTable(table).current_epoch()
+    before = _state(table)
+    LakeTable(table).rebucket(32)
+    lake = LakeTable(table)
+    # the pre-rebucket epoch is still readable with the OLD layout
+    t_old = lake.snapshot_table(epoch=e0)
+    cols = ["repo", "path", "commit", "lang", "content", "lsn"]
+    assert sorted(zip(*[t_old.column(c).to_pylist() for c in cols])) == before
+    # point reads hash with the new count
+    r = lake.snapshot_table().to_pylist()[0]
+    got = lake.lookup([(r["repo"], r["path"])])
+    assert got.num_rows >= 1
+    assert r["repo"] in got.column("repo").to_pylist()
+    # ...and a time-travel lookup at the pre-rebucket epoch must hash
+    # with THAT epoch's count (8), not the current 32
+    old_hit = lake.lookup([(r["repo"], r["path"])], epoch=e0)
+    assert old_hit.num_rows >= 1
