@@ -633,14 +633,18 @@ class LakeTable:
             for e in entries
         }
         self.num_buckets = new_num_buckets
-        ok = self.commit_epoch(
-            epoch,
-            written,
-            table_hwm,
-            {"rebucket": {"from": old, "to": new_num_buckets}},
-            {"source": "rebucket"},
-            mode="overwrite",
-        )
+        try:
+            ok = self.commit_epoch(
+                epoch,
+                written,
+                table_hwm,
+                {"rebucket": {"from": old, "to": new_num_buckets}},
+                {"source": "rebucket"},
+                mode="overwrite",
+            )
+        except BaseException:
+            self.num_buckets = old
+            raise
         if not ok:
             self.num_buckets = old
         return ok

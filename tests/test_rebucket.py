@@ -103,6 +103,41 @@ def test_rebucket_folds_delta_chains(tmp_path, ray_session):
     assert _state(table) == before
 
 
+def test_rebucket_retry_after_crash_before_commit(tmp_path, ray_session, monkeypatch):
+    """A driver crash after staging but before the manifest commit leaves
+    only unreferenced staging files; re-running the rebucket must succeed
+    and produce the same state (idempotent staged writes, atomic swing)."""
+    log, _ = _make_log(tmp_path, n_files=300, seed=67)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8)
+    before = _state(table)
+
+    lake = LakeTable(table)
+    real_commit = LakeTable.commit_epoch
+    boom = {"armed": True}
+
+    def crashing_commit(self, *a, **kw):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("simulated driver crash before manifest commit")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_epoch", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated"):
+        lake.rebucket(16)
+    # nothing published: still the old layout and state, and even the
+    # crashed handle reverted its in-memory count
+    assert lake.num_buckets == 8
+    fresh = LakeTable(table)
+    assert fresh.num_buckets == 8
+    assert _state(table) == before
+    # retry on a fresh handle (the crashed one mutated nothing durable)
+    assert fresh.rebucket(16) is True
+    assert LakeTable(table).num_buckets == 16
+    assert _state(table) == before
+    _bucket_placement_ok(table)
+
+
 def test_rebucket_rejects_non_multiple_and_noop(tmp_path, ray_session):
     log, _ = _make_log(tmp_path, n_files=200, seed=59)
     table = str(tmp_path / "t")
