@@ -154,6 +154,12 @@ def test_file_uri_full_cdc_chain(tmp_path):
     assert not lake.has_deltas()
     assert _state(lake.snapshot_table()) == want
 
+    # online bucket split over the URI (staging + rename through fs.*)
+    assert lake.rebucket(8)
+    lake = LakeTable(uri)
+    assert lake.num_buckets == 8
+    assert _state(lake.snapshot_table()) == want
+
     # zero-copy clone to a second URI table; replay a divergent tail
     # into the CLONE only — the source snapshot must not move
     clone_uri = "file://" + str(tmp_path / "t_clone")
