@@ -169,6 +169,8 @@ def main(argv: list[str] | None = None) -> int:
     fk = sub.add_parser("fsck", help="manifest/storage consistency check")
     fk.add_argument("--table", required=True)
     fk.add_argument("--epoch", type=int, default=None)
+    fk.add_argument("--deep", action="store_true",
+                    help="also verify every row hashes to its bucket (key-column scan)")
 
     cl = sub.add_parser("clone", help="zero-copy shallow clone (branch) of a table")
     cl.add_argument("--table", required=True)
@@ -468,7 +470,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "fsck":
         from .sources.lake import LakeTable
 
-        print(json.dumps(LakeTable(args.table).fsck(epoch=args.epoch)))
+        print(json.dumps(LakeTable(args.table).fsck(epoch=args.epoch, deep=args.deep)))
         return 0
 
     if args.cmd == "clone":

@@ -691,11 +691,17 @@ class LakeTable:
                     fs.unlink(fs.join(self.manifests.manifest_dir, fn))
         return removed
 
-    def fsck(self, epoch: int | None = None) -> dict:
+    def fsck(self, epoch: int | None = None, deep: bool = False) -> dict:
         """Manifest↔storage consistency check (footer metadata only, no
         data pages): every referenced file exists and is a readable
         parquet; base-file footer row counts match the manifest; per-
         bucket HWMs never exceed the table HWM; no stale staging dirs.
+        ``deep=True`` additionally reads each file's (repo, path) columns
+        and verifies every row hashes to the bucket holding it — the
+        placement invariant all pruned reads (lookup, merge) rely on;
+        catches hand-moved files and foreign-layout data the footer
+        checks can't. Deep is a key-column scan: opt-in, run it per
+        suspect bucket at scale, not per table.
         Returns {"ok": bool, "files_checked": n, "issues": [...]}."""
         import pyarrow.parquet as pq
 
@@ -703,6 +709,7 @@ class LakeTable:
         m = self.manifests.read(epoch)
         if m is None:
             return {"ok": True, "files_checked": 0, "issues": []}
+        n_buckets = int(m["num_buckets"])
         table_hwm = int(m["hwm_lsn"])
         checked = 0
         for b, e in m["buckets"].items():
@@ -729,6 +736,21 @@ class LakeTable:
                     issues.append(
                         f"bucket {b}: row count mismatch {path}: manifest={want_rows} footer={got}"
                     )
+                if deep and got:
+                    from ..sources.event_log import fast_hash_bucket
+
+                    t = fs.read_table(path, columns=["repo", "path"])
+                    h = fast_hash_bucket(
+                        t.column("repo").combine_chunks(),
+                        t.column("path").combine_chunks(),
+                        n_buckets,
+                    )
+                    bad = pc.sum(pc.cast(pc.not_equal(h, int(b)), pa.int64())).as_py() or 0
+                    if bad:
+                        issues.append(
+                            f"bucket {b}: {bad} misplaced rows in {path} "
+                            f"(keys hash elsewhere under {n_buckets} buckets)"
+                        )
             if int(e.get("hwm_lsn", -1)) > table_hwm:
                 issues.append(
                     f"bucket {b}: bucket hwm {e.get('hwm_lsn')} exceeds table hwm {table_hwm}"

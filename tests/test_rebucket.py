@@ -148,6 +148,39 @@ def test_rebucket_rejects_non_multiple_and_noop(tmp_path, ray_session):
     assert lake.rebucket(8) is False
 
 
+def test_deep_fsck_placement_invariant(tmp_path, ray_session):
+    """fsck --deep verifies every row hashes to the bucket holding it:
+    green on a healthy table (before and after a split), red when two
+    bucket files are swapped behind the manifest's back."""
+    import os
+
+    log, _ = _make_log(tmp_path, n_files=300, seed=71)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8)
+    lake = LakeTable(table)
+    assert lake.fsck(deep=True)["ok"]
+    lake.rebucket(16)
+    lake = LakeTable(table)
+    assert lake.fsck(deep=True)["ok"]
+
+    # corrupt: swap two bucket files on disk (footers still valid, row
+    # counts unchanged per manifest? no — counts differ, so also assert
+    # the deep issue specifically)
+    files = lake.bucket_files()
+    (b1, f1), (b2, f2) = sorted(files.items())[:2]
+    tmp = f1 + ".swap"
+    os.rename(f1, tmp)
+    os.rename(f2, f1)
+    os.rename(tmp, f2)
+    report = lake.fsck(deep=True)
+    assert not report["ok"]
+    assert any("misplaced rows" in i for i in report["issues"])
+    # shallow fsck alone would miss it only if row counts matched; the
+    # deep check catches it regardless
+    swapped_back = lake.fsck(deep=False)
+    assert isinstance(swapped_back["ok"], bool)
+
+
 def test_time_travel_and_lookup_after_rebucket(tmp_path, ray_session):
     log, _ = _make_log(tmp_path, n_files=300, seed=61)
     table = str(tmp_path / "t")
