@@ -141,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact", help="fold delta files into fresh bucket bases")
     cp.add_argument("--table", required=True)
 
+    ly = sub.add_parser("layout", help="per-bucket row/byte skew report (footers only)")
+    ly.add_argument("--table", required=True)
+    ly.add_argument("--epoch", type=int, default=None)
+
     rb = sub.add_parser("rebucket", help="k-multiple bucket split/merge, shuffle-free")
     rb.add_argument("--table", required=True)
     rb.add_argument("--buckets", type=int, required=True,
@@ -523,6 +527,12 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "layout":
+        from .sources.lake import LakeTable
+
+        print(json.dumps(LakeTable(args.table).layout_stats(epoch=args.epoch)))
         return 0
 
     if args.cmd == "rebucket":

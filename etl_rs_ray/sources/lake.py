@@ -805,6 +805,48 @@ class LakeTable:
         dest.manifests.commit(int(m["epoch"]), manifest)
         return dest
 
+    def layout_stats(self, epoch: int | None = None) -> dict:
+        """Per-bucket layout report from manifest + parquet footers only
+        (no data pages): row/byte distribution, delta-chain depth, and a
+        skew factor (max/mean rows) — what an operator reads to decide
+        when to ``rebucket`` (split when buckets outgrow the merge-task
+        budget) or ``compact`` (when chains deepen)."""
+        m = self.manifests.read(epoch)
+        if m is None:
+            return {"buckets": 0, "rows_total": 0}
+        rows: list[int] = []
+        byts: list[int] = []
+        depths: list[int] = []
+        for b, files in self.bucket_file_sets(epoch).items():
+            r = t = 0
+            for f in files:
+                md = fs.parquet_file(f).metadata
+                r += md.num_rows
+                t += sum(
+                    md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                )
+            rows.append(r)
+            byts.append(t)
+            depths.append(len(files) - 1)
+        if not rows:
+            return {"buckets": 0, "rows_total": 0}
+        srt = sorted(rows)
+        n = len(srt)
+        mean = sum(rows) / n
+        return {
+            "num_buckets": int(m["num_buckets"]),
+            "occupied_buckets": n,
+            "rows_total": sum(rows),
+            "bytes_total": sum(byts),
+            "rows_min": srt[0],
+            "rows_median": srt[n // 2],
+            "rows_max": srt[-1],
+            "rows_p99": srt[min(n - 1, int(n * 0.99))],
+            "skew_max_over_mean": round(srt[-1] / mean, 3) if mean else 0.0,
+            "max_delta_depth": max(depths),
+            "largest_bucket_bytes": max(byts),
+        }
+
     def metrics(self) -> dict:
         m = self.manifests.read()
         return m.get("metrics", {}) if m else {}

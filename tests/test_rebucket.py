@@ -148,6 +148,30 @@ def test_rebucket_rejects_non_multiple_and_noop(tmp_path, ray_session):
     assert lake.rebucket(8) is False
 
 
+def test_layout_stats_track_rebucket(tmp_path, ray_session):
+    """layout_stats reads footers only and reflects a split: same total
+    rows, more occupied buckets, smaller max bucket."""
+    log, _ = _make_log(tmp_path, n_files=400, seed=73)
+    table = str(tmp_path / "t")
+    replay(log, table, num_buckets=8)
+    lake = LakeTable(table)
+    s0 = lake.layout_stats()
+    assert s0["num_buckets"] == 8 and s0["occupied_buckets"] == 8
+    assert s0["rows_total"] == lake.snapshot_table().num_rows
+    assert s0["skew_max_over_mean"] >= 1.0
+    lake.rebucket(32)
+    s1 = LakeTable(table).layout_stats()
+    assert s1["num_buckets"] == 32
+    assert s1["rows_total"] == s0["rows_total"]
+    assert s1["occupied_buckets"] > 8
+    assert s1["rows_max"] < s0["rows_max"]
+    assert s1["max_delta_depth"] == 0
+    # empty table
+    assert LakeTable(str(tmp_path / "none")).layout_stats() == {
+        "buckets": 0, "rows_total": 0,
+    }
+
+
 def test_deep_fsck_placement_invariant(tmp_path, ray_session):
     """fsck --deep verifies every row hashes to the bucket holding it:
     green on a healthy table (before and after a split), red when two
