@@ -257,11 +257,21 @@ class LakeTable:
         maintainer needs to retract superseded contributions
         (stages/ivm.py).
 
-        Shuffle-free: both epochs share the table's durable bucket
-        layout (enforced by the partitioner guard at open), so the diff
-        decomposes into one task per bucket reading only that bucket's
-        files at each epoch — O(bucket) memory, no key exchange.
+        Shuffle-free: with ``bucket = hash mod N`` on both sides, the
+        diff decomposes into one task per bucket-aligned key range
+        reading only that range's files at each epoch — O(range) memory,
+        no key exchange. When the two epochs straddle a ``rebucket``
+        boundary their counts differ, so buckets are paired at the
+        COARSEST shared granularity ``g = gcd(N_a, N_b)``: coarse range
+        ``c`` holds exactly the keys with ``hash mod g == c``, i.e. the
+        union of fine buckets ``b ≡ c (mod g)`` on each side (same-ID
+        pairing across a rebucket would misalign key sets and emit a
+        phantom D+I pair for every key whose bucket id changed). For the
+        k-multiple changes ``rebucket`` permits, g is the smaller count
+        — still one independent task per coarse bucket.
         """
+        import math
+
         import ray.data
 
         from ..stages.merge_apply import lww_reduce
@@ -269,11 +279,22 @@ class LakeTable:
 
         sets_a = self.bucket_file_sets(from_epoch) if from_epoch is not None else {}
         sets_b = self.bucket_file_sets(to_epoch)
-        buckets = sorted(set(sets_a) | set(sets_b))
-        if not buckets:
+        if not (set(sets_a) | set(sets_b)):
             return ray.data.from_arrow(pa.schema([]).empty_table())
+        n_b = int(self.manifests.read(to_epoch)["num_buckets"])
+        g = n_b
+        if from_epoch is not None:
+            n_a = int(self.manifests.read(from_epoch)["num_buckets"])
+            g = math.gcd(n_a, n_b)
+        coarse_a: dict[int, list[str]] = {}
+        for b, files in sets_a.items():
+            coarse_a.setdefault(int(b) % g, []).extend(files)
+        coarse_b: dict[int, list[str]] = {}
+        for b, files in sets_b.items():
+            coarse_b.setdefault(int(b) % g, []).extend(files)
+        buckets = sorted(set(coarse_a) | set(coarse_b))
         items = [
-            {"a": sets_a.get(b, []), "b": sets_b.get(b, [])} for b in buckets
+            {"a": coarse_a.get(b, []), "b": coarse_b.get(b, [])} for b in buckets
         ]
         keys = tuple(key_cols)
 

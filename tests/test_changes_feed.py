@@ -275,3 +275,53 @@ def test_expire_catches_up_before_selecting(tmp_path, ray_session):
     snap = LakeTable(table_dir).snapshot_table()
     live = {(r["repo"], r["path"], r["commit"]): r["content"] for r in snap.to_pylist()}
     assert live == {key: "v1"}
+
+
+def test_changes_across_rebucket_boundary(tmp_path, ray_session):
+    """A diff whose epochs straddle a rebucket must pair buckets at the
+    gcd granularity, not by bucket ID: with a same-ID pairing, every key
+    whose bucket id changed under the new count shows up as a phantom
+    D(-1) in its old bucket plus a phantom I in its new one. Regression
+    for the coarse-pairing fix (split AND shrink boundaries)."""
+    events, log_dir = _setup(tmp_path, n=300, seed=23)
+    max_lsn = pc.max(events.column("lsn")).as_py()
+    cut = max_lsn // 2
+    table_dir = str(tmp_path / "table")
+    assert replay(log_dir, table_dir, target_lsn=cut, num_buckets=8).committed
+    lake = LakeTable(table_dir)
+    e_from = lake.current_epoch()
+    assert lake.rebucket(32) is True  # split 8 -> 32
+    assert replay(log_dir, table_dir).committed  # adopts 32 from manifest
+    lake = LakeTable(table_dir)
+    e_to = lake.current_epoch()
+    assert int(lake.manifests.read(e_from)["num_buckets"]) != int(
+        lake.manifests.read(e_to)["num_buckets"]
+    )
+
+    feed = lake.changes(e_from, e_to).to_pandas()
+    got = {
+        (r.repo, r.path, r.commit): (
+            r.op,
+            None if r.op == "D" else int(r.change_lsn),
+            None if r.op == "D" else r.content,
+        )
+        for r in feed.itertuples(index=False)
+    }
+    assert len(got) == len(feed), "duplicate keys in feed (phantom D+I pairs)"
+    assert got == _expected_feed(events, cut)
+
+    # shrink boundary: diff the same pair of states the other way around
+    # a 32 -> 8 merge epoch (state unchanged by the rebucket itself)
+    assert lake.rebucket(8) is True
+    lake = LakeTable(table_dir)
+    e_shrunk = lake.current_epoch()
+    feed2 = lake.changes(e_from, e_shrunk).to_pandas()
+    got2 = {
+        (r.repo, r.path, r.commit): (
+            r.op,
+            None if r.op == "D" else int(r.change_lsn),
+            None if r.op == "D" else r.content,
+        )
+        for r in feed2.itertuples(index=False)
+    }
+    assert got2 == _expected_feed(events, cut)
