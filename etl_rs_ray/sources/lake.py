@@ -448,7 +448,10 @@ class LakeTable:
         replicas compare {bucket: (digest, rows)} maps — one local read
         pass each, zero row exchange — and re-sync only the buckets
         whose digests diverge. Buckets are the unit because the durable
-        partitioner makes them comparable across replicas."""
+        partitioner makes them comparable across replicas; replicas
+        whose bucket COUNTS differ (one side rebucketed) compare via
+        ``compare_digests``, which XOR-folds both maps to the shared
+        gcd granularity — no re-read needed, XOR is associative."""
         import ray
 
         from ..stages.merge_apply import lww_reduce
@@ -950,3 +953,42 @@ class LakeTable:
             "parent_epoch": prev["epoch"] if prev else -1,
         }
         return self.manifests.commit(epoch, manifest)
+
+
+def coarsen_digests(digests: dict, num_buckets: int, g: int) -> dict:
+    """Fold a ``bucket_digests`` map from ``num_buckets`` granularity down
+    to divisor granularity ``g`` WITHOUT re-reading any data: with
+    ``bucket = hash mod N``, coarse bucket ``c`` under ``g | N`` holds
+    exactly the keys of fine buckets ``b ≡ c (mod g)``, and XOR digests
+    fold with XOR (associative, order-free) while row counts add."""
+    if g < 1 or num_buckets % g:
+        raise ValueError(
+            f"coarsen_digests: {g} does not divide the bucket count {num_buckets}"
+        )
+    acc: dict[int, tuple[int, int]] = {}
+    for b, (digest, rows) in digests.items():
+        c = int(b) % g
+        d0, r0 = acc.get(c, (0, 0))
+        acc[c] = (d0 ^ int(digest), r0 + int(rows))
+    return {c: (str(d), r) for c, (d, r) in acc.items()}
+
+
+def compare_digests(
+    digests_a: dict, num_buckets_a: int, digests_b: dict, num_buckets_b: int
+) -> list[int]:
+    """Anti-entropy comparison of two replicas' ``bucket_digests`` maps
+    that stays correct when the replicas' bucket counts differ (one side
+    ran ``rebucket``): both maps are folded to the shared
+    ``g = gcd(N_a, N_b)`` granularity and compared there. Returns the
+    sorted coarse bucket ids whose live state diverges — the key ranges
+    a re-sync must ship. Same-count replicas degenerate to the plain
+    per-bucket comparison (g = N)."""
+    import math
+
+    g = math.gcd(int(num_buckets_a), int(num_buckets_b))
+    ca = coarsen_digests(digests_a, num_buckets_a, g)
+    cb = coarsen_digests(digests_b, num_buckets_b, g)
+    empty = ("0", 0)
+    return sorted(
+        c for c in set(ca) | set(cb) if ca.get(c, empty) != cb.get(c, empty)
+    )

@@ -96,3 +96,62 @@ def test_lake_bucket_digests_replica_comparison(ray_session, tmp_path):
 
     # digests are deterministic across calls
     assert LakeTable(a).bucket_digests() == da
+
+
+def test_compare_digests_across_rebucket(ray_session, tmp_path):
+    """A replica that rebucketed still anti-entropy-compares against one
+    that didn't: compare_digests XOR-folds both maps to the gcd
+    granularity (no data re-read — XOR is associative), agreeing when
+    live state agrees and flagging exactly the coarse bucket a
+    divergent key lands in."""
+    import pyarrow.compute as pc
+
+    from etl_rs_ray.datagen import generate_events, generate_repos, write_event_log
+    from etl_rs_ray.pipelines.cdc import replay
+    from etl_rs_ray.sources.lake import LakeTable, compare_digests, coarsen_digests
+
+    repos = generate_repos(n_files=200, seed=29)
+    events = generate_events(repos, update_frac=0.4, delete_frac=0.1, dup_frac=0.05, seed=29)
+    log_dir = str(tmp_path / "log")
+    write_event_log(events, log_dir, num_partitions=2)
+    cut = pc.max(events.column("lsn")).as_py() // 2
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert replay(log_dir, a, num_buckets=4).committed
+    assert replay(log_dir, b, num_buckets=4).committed
+    assert LakeTable(b).rebucket(16) is True
+
+    la, lb = LakeTable(a), LakeTable(b)
+    da, db = la.bucket_digests(), lb.bucket_digests()
+    assert set(db) != set(da)  # raw maps are at different granularities
+    assert compare_digests(da, la.num_buckets, db, lb.num_buckets) == []
+
+    # coarsening the finer map reproduces the coarser one exactly
+    assert coarsen_digests(db, 16, 4) == da
+
+    # replica a falls behind at a fresh table: only the coarse buckets
+    # holding the missing keys diverge
+    c = str(tmp_path / "c")
+    assert replay(log_dir, c, target_lsn=cut, num_buckets=4).committed
+    lc = LakeTable(c)
+    dc = lc.bucket_digests()
+    diverged = compare_digests(dc, lc.num_buckets, db, lb.num_buckets)
+    assert diverged  # behind => something diverges
+    # ground truth: coarse buckets whose live state differs between c and b
+    sb = {(r["repo"], r["path"], r["commit"]): r["lsn"] for r in lb.snapshot_table().to_pylist()}
+    sc = {(r["repo"], r["path"], r["commit"]): r["lsn"] for r in lc.snapshot_table().to_pylist()}
+    from etl_rs_ray.sources.event_log import fast_hash_bucket
+    import pyarrow as pa
+
+    changed = {k for k in set(sb) | set(sc) if sb.get(k) != sc.get(k)}
+    want = sorted({
+        fast_hash_bucket(pa.array([k[0]]), pa.array([k[1]]), 4)[0].as_py()
+        for k in changed
+    })
+    assert diverged == want
+
+    # non-divisor coarsening is refused
+    import pytest
+
+    with pytest.raises(ValueError):
+        coarsen_digests(db, 16, 3)
