@@ -190,8 +190,25 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
     shutil.rmtree(clone_dir)  # clone references source files; drop it
     # before vacuum so retention can't break it
 
+    # retention tombstones through the log, composed with whatever bucket
+    # layout / delta chains the walk left behind: expire first catches the
+    # table up to the log head, then tombstones live keys whose version
+    # predates the cut (fresh-LSN op=D events, ordinary delta epoch)
+    from etl_rs_ray.pipelines.cdc import expire_before
+
+    head_state = model_at(rows, max_lsn)
+    live_lsns = sorted(lsn for lsn, _ in head_state.values())
+    before_lsn = live_lsns[len(live_lsns) // 2]
+    res = expire_before(log_dir, table_dir, before_lsn)
+    expected = {k: v for k, v in head_state.items() if v[0] >= before_lsn}
+    assert res["expired"] == len(head_state) - len(expected), seed
+    lake = LakeTable(table_dir)
+    assert lake_state(lake) == expected, seed
+    # idempotent: re-running expires nothing
+    assert expire_before(log_dir, table_dir, before_lsn)["expired"] == 0
+
     lake.vacuum(keep_epochs=1)
     lake = LakeTable(table_dir)
-    assert lake_state(lake) == epoch_model[final_epoch][0]
+    assert lake_state(lake) == expected
     rep = lake.fsck(deep=True)
     assert rep["ok"], rep["issues"]
