@@ -226,3 +226,51 @@ def test_time_travel_and_lookup_after_rebucket(tmp_path, ray_session):
     # with THAT epoch's count (8), not the current 32
     old_hit = lake.lookup([(r["repo"], r["path"])], epoch=e0)
     assert old_hit.num_rows >= 1
+
+
+def test_rebucket_schema_evolved_table(tmp_path, ray_session):
+    """Rebucket over a schema-evolved table: only some buckets' files
+    carry the added column, so the split/merge tasks must unify schemas
+    while repartitioning. State parity incl. the evolved column's nulls,
+    placement invariant, and a shrink back."""
+    import pyarrow as pa
+
+    from etl_rs_ray.datagen import generate_events, generate_repos, write_event_log
+
+    repos = generate_repos(n_files=60, seed=19)
+    events = generate_events(repos, update_frac=0, delete_frac=0, dup_frac=0, seed=19)
+    log1 = str(tmp_path / "log1")
+    write_event_log(events, log1, num_partitions=2)
+    table = str(tmp_path / "t")
+    assert replay(log1, table, num_buckets=4).committed
+
+    n = repos.num_rows
+    base = events.slice(0, 12)
+    evolved = base.set_column(
+        base.schema.get_field_index("lsn"), "lsn",
+        pa.array([n + i for i in range(12)], pa.int64()),
+    ).set_column(
+        base.schema.get_field_index("op"), "op", pa.array(["U"] * 12, pa.string())
+    ).append_column("stars", pa.array([i * 10 for i in range(12)], pa.int64()))
+    log2 = str(tmp_path / "log2")
+    write_event_log(evolved, log2, num_partitions=2)
+    assert replay(log2, table).committed
+
+    def full_state(tdir):
+        t = LakeTable(tdir).snapshot_table()
+        cols = sorted(t.column_names)
+        return sorted(zip(*[t.column(c).to_pylist() for c in cols])), cols
+
+    before, cols = full_state(table)
+    assert "stars" in cols
+
+    lake = LakeTable(table)
+    assert lake.rebucket(16) is True
+    after, cols2 = full_state(table)
+    assert (after, cols2) == (before, cols)
+    _bucket_placement_ok(table)
+    assert LakeTable(table).fsck(deep=True)["ok"]
+
+    assert LakeTable(table).rebucket(4) is True
+    assert full_state(table) == (before, cols)
+    assert LakeTable(table).fsck(deep=True)["ok"]
