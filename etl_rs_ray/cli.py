@@ -176,6 +176,14 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("--deep", action="store_true",
                     help="also verify every row hashes to its bucket (key-column scan)")
 
+    dg = sub.add_parser(
+        "digest", help="anti-entropy bucket digests; --other compares two replicas")
+    dg.add_argument("--table", required=True)
+    dg.add_argument("--other", default=None,
+                    help="second replica to compare against (bucket counts may "
+                         "differ — maps are folded to the gcd granularity)")
+    dg.add_argument("--epoch", type=int, default=None)
+
     cl = sub.add_parser("clone", help="zero-copy shallow clone (branch) of a table")
     cl.add_argument("--table", required=True)
     cl.add_argument("--dest", required=True)
@@ -475,6 +483,36 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.lake import LakeTable
 
         print(json.dumps(LakeTable(args.table).fsck(epoch=args.epoch, deep=args.deep)))
+        return 0
+
+    if args.cmd == "digest":
+        from functools import reduce
+
+        from .sources.lake import LakeTable, compare_digests
+
+        _init_ray(args.num_cpus)
+        la = LakeTable(args.table)
+        da = la.bucket_digests(epoch=args.epoch)
+        out = {
+            "table": args.table,
+            "num_buckets": la.num_buckets,
+            "occupied": len(da),
+            "rows": sum(r for _, r in da.values()),
+            # table-level digest = XOR of bucket digests (layout-free)
+            "table_digest": str(reduce(lambda a, b: a ^ b, (int(d) for d, _ in da.values()), 0)),
+        }
+        if args.other:
+            lb = LakeTable(args.other)
+            db = lb.bucket_digests()
+            diverged = compare_digests(da, la.num_buckets, db, lb.num_buckets)
+            import math
+
+            out["other"] = {"table": args.other, "num_buckets": lb.num_buckets,
+                            "rows": sum(r for _, r in db.values())}
+            out["compare_granularity"] = math.gcd(la.num_buckets, lb.num_buckets)
+            out["diverged_buckets"] = diverged
+            out["in_sync"] = not diverged
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "clone":

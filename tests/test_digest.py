@@ -155,3 +155,37 @@ def test_compare_digests_across_rebucket(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         coarsen_digests(db, 16, 3)
+
+
+def test_cli_digest_compare(ray_session, tmp_path, capsys):
+    """CLI `digest --table A --other B`: lagging rebucketed replica
+    diverges at the gcd granularity; after catch-up, in_sync."""
+    import json
+
+    import pyarrow.compute as pc
+
+    from etl_rs_ray import cli
+    from etl_rs_ray.datagen import generate_events, generate_repos, write_event_log
+    from etl_rs_ray.pipelines.cdc import replay
+    from etl_rs_ray.sources.lake import LakeTable
+
+    repos = generate_repos(n_files=120, seed=31)
+    events = generate_events(repos, seed=31)
+    log_dir = str(tmp_path / "log")
+    write_event_log(events, log_dir, num_partitions=2)
+    cut = pc.max(events.column("lsn")).as_py() // 2
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert replay(log_dir, a, num_buckets=4).committed
+    assert replay(log_dir, b, target_lsn=cut, num_buckets=4).committed
+    assert LakeTable(b).rebucket(8) is True
+
+    assert cli.main(["digest", "--table", a, "--other", b]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compare_granularity"] == 4
+    assert out["in_sync"] is False and out["diverged_buckets"]
+
+    assert replay(log_dir, b).committed
+    assert cli.main(["digest", "--table", a, "--other", b]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["in_sync"] is True and out["diverged_buckets"] == []
+    assert out["rows"] == out["other"]["rows"]
