@@ -1452,6 +1452,23 @@ ORACLE_SQL["events_column_lww"] = """
     GROUP BY user_id
 """
 
+ORACLE_SQL["events_ivm_group_sum"] = """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ), lww AS (
+      -- per-user LWW row = latest event; latest value < 5.0 is a tombstone
+      SELECT * FROM ranked WHERE rn = 1 AND value >= 5.0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+    FROM lww
+    GROUP BY event_type
+"""
+
 ORACLE_SQL["events_schema_evolution"] = """
     WITH n AS (SELECT COUNT(*) AS n FROM events),
     src AS (
