@@ -184,6 +184,15 @@ def main(argv: list[str] | None = None) -> int:
                          "differ — maps are folded to the gcd granularity)")
     dg.add_argument("--epoch", type=int, default=None)
 
+    vw = sub.add_parser(
+        "view", help="materialized grouped-agg view: create if absent, refresh from the change feed")
+    vw.add_argument("--dir", required=True, help="view directory")
+    vw.add_argument("--table", default=None, help="source table (create)")
+    vw.add_argument("--group", default=None, help="group column (create)")
+    vw.add_argument("--sum", default=None,
+                    help="comma-separated int payload columns to sum (create)")
+    vw.add_argument("--limit", type=int, default=5)
+
     cl = sub.add_parser("clone", help="zero-copy shallow clone (branch) of a table")
     cl.add_argument("--table", required=True)
     cl.add_argument("--dest", required=True)
@@ -483,6 +492,23 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.lake import LakeTable
 
         print(json.dumps(LakeTable(args.table).fsck(epoch=args.epoch, deep=args.deep)))
+        return 0
+
+    if args.cmd == "view":
+        from .state.matview import MaterializedView
+
+        _init_ray(args.num_cpus)
+        mv = MaterializedView(
+            args.dir, table_dir=args.table, group_col=args.group,
+            sum_cols=args.sum.split(",") if args.sum else None,
+        )
+        res = mv.refresh()
+        t = mv.read()
+        out = {**res, "view_epoch": mv.current_epoch(),
+               "groups": t.num_rows if t is not None else 0}
+        if t is not None and t.num_rows:
+            out["sample"] = t.slice(0, args.limit).to_pylist()
+        print(json.dumps(out, default=str))
         return 0
 
     if args.cmd == "digest":
