@@ -99,8 +99,24 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
     def record(state, hwm):
         epoch_model[LakeTable(table_dir).current_epoch()] = (state, hwm)
 
-    ops = ["replay", "compact", "rebucket", "lookup", "time_travel", "changes", "fsck"]
-    weights = [4, 2, 2, 3, 3, 3, 1]
+    # a materialized view rides along for the whole walk: refreshed at
+    # random points (arbitrarily many epochs behind, across rebuckets and
+    # compactions), it must always equal the model's recompute
+    from etl_rs_ray.state.matview import MaterializedView
+
+    view = MaterializedView(str(tmp_path / "view"), table_dir, "lang")
+
+    def check_view():
+        view.refresh()
+        got = {r["lang"]: r["n"] for r in view.read().to_pylist()}
+        cur_state, _ = epoch_model[LakeTable(table_dir).current_epoch()]
+        # live rows in this generator all carry lang="py"
+        want = {"py": len(cur_state)} if cur_state else {}
+        assert got == want, (seed, got, want)
+
+    ops = ["replay", "compact", "rebucket", "lookup", "time_travel", "changes",
+           "fsck", "view_refresh"]
+    weights = [4, 2, 2, 3, 3, 3, 1, 2]
     steps = [rng.choices(ops, weights=weights)[0] for _ in range(14)]
 
     for step in steps:
@@ -179,6 +195,9 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
             rep = lake.fsck(deep=rng.random() < 0.5)
             assert rep["ok"], (seed, rep["issues"])
 
+        elif step == "view_refresh":
+            check_view()
+
     # end-of-walk invariants: final state, a zero-copy clone, then vacuum
     lake = LakeTable(table_dir)
     final_epoch = lake.current_epoch()
@@ -207,8 +226,14 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
     # idempotent: re-running expires nothing
     assert expire_before(log_dir, table_dir, before_lsn)["expired"] == 0
 
+    # the view catches up over the expiry epochs too (the vacuum-rebuild
+    # fallback path has its own dedicated test in test_matview.py)
+    epoch_model[LakeTable(table_dir).current_epoch()] = (expected, None)
+    check_view()
+
     lake.vacuum(keep_epochs=1)
     lake = LakeTable(table_dir)
     assert lake_state(lake) == expected
     rep = lake.fsck(deep=True)
     assert rep["ok"], rep["issues"]
+    check_view()  # already at head: must be a clean no-op
