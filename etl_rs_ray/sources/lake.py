@@ -208,7 +208,6 @@ class LakeTable:
         n_buckets = int(self.manifests.read(epoch)["num_buckets"])
         repos = pa.array([k[0] for k in keys], pa.string())
         paths = pa.array([k[1] for k in keys], pa.string())
-        commits = {k[2] for k in keys if len(k) > 2 and k[2] is not None}
         touched = set(
             pc.unique(fast_hash_bucket(repos, paths, n_buckets)).to_pylist()
         )
@@ -234,8 +233,33 @@ class LakeTable:
         # never span buckets), so one fold over <=len(keys) buckets' rows
         # reproduces snapshot semantics, tombstones dropped
         t = self._merge_on_read_fold(t, key_cols)
-        if commits and "commit" in t.column_names:
-            t = t.filter(pc.is_in(t.column("commit"), value_set=pa.array(sorted(commits))))
+        # commit filtering is PER KEY, not global: with mixed pair/triple
+        # probes a global commit set would drop every pair-probed row (its
+        # commit isn't in the set) and leak cross-products (probing
+        # (r1,p1,c1)+(r2,p2,c2) must not return (r1,p1,c2))
+        triples = [k for k in keys if len(k) > 2 and k[2] is not None]
+        if triples and "commit" in t.column_names:
+            pairs = [k for k in keys if len(k) < 3 or k[2] is None]
+            got2 = pc.binary_join_element_wise(
+                t.column("repo").cast(pa.string()),
+                t.column("path").cast(pa.string()), "\x00",
+            )
+            got3 = pc.binary_join_element_wise(
+                got2, pc.cast(t.column("commit"), pa.string()), "\x00"
+            )
+            keep = pc.is_in(
+                got3,
+                value_set=pa.array([f"{k[0]}\x00{k[1]}\x00{k[2]}" for k in triples]),
+            )
+            if pairs:
+                keep = pc.or_kleene(
+                    keep,
+                    pc.is_in(
+                        got2,
+                        value_set=pa.array([f"{k[0]}\x00{k[1]}" for k in pairs]),
+                    ),
+                )
+            t = t.filter(pc.fill_null(keep, False))
         return t.select(columns) if columns else t
 
     @staticmethod

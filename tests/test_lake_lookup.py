@@ -154,3 +154,40 @@ def test_lookup_empty_inputs(tmp_path, ray_session):
     assert lake.lookup([]).num_rows == 0
     empty = LakeTable(str(tmp_path / "never-written"))
     assert empty.lookup([("a", "b")]).num_rows == 0
+
+
+def test_lookup_mixed_pair_and_triple_probes(tmp_path, ray_session):
+    """Commit filtering is per key: mixed pair/triple probes must neither
+    drop pair-probed rows (global commit set) nor leak cross-products
+    (probing (r1,p1,c1)+(r2,p2,c2) returning (r1,p1,c2))."""
+    _, table = _seeded_table(tmp_path, n_files=300, seed=37)
+    lake = LakeTable(table)
+    snap = lake.snapshot_table()
+    rows = snap.to_pylist()
+    # two distinct (repo, path) keys with distinct commits
+    a, b = rows[0], next(
+        r for r in rows
+        if (r["repo"], r["path"]) != (rows[0]["repo"], rows[0]["path"])
+        and r["commit"] != rows[0]["commit"]
+    )
+
+    # pair probe for a + triple probe for b: a's row must survive even
+    # though a.commit is not in the probed commit set
+    got = lake.lookup([(a["repo"], a["path"]),
+                       (b["repo"], b["path"], b["commit"])]).to_pylist()
+    keys = {(r["repo"], r["path"], r["commit"]) for r in got}
+    assert (a["repo"], a["path"], a["commit"]) in keys
+    assert (b["repo"], b["path"], b["commit"]) in keys
+
+    # cross-product: triple probes with SWAPPED commits must return nothing
+    got = lake.lookup([(a["repo"], a["path"], b["commit"]),
+                       (b["repo"], b["path"], a["commit"])]).to_pylist()
+    assert got == []
+
+    # exact triple probes return exactly those keys
+    got = lake.lookup([(a["repo"], a["path"], a["commit"]),
+                       (b["repo"], b["path"], b["commit"])]).to_pylist()
+    assert {(r["repo"], r["path"], r["commit"]) for r in got} == {
+        (a["repo"], a["path"], a["commit"]),
+        (b["repo"], b["path"], b["commit"]),
+    }
