@@ -24,6 +24,18 @@ converges — refresh is idempotent.
 If the source table vacuumed away the view's last-refreshed manifest,
 the incremental path is gone; refresh falls back to a full rebuild from
 the bootstrap feed (``changes(None, head)``) and says so in its result.
+
+Domain assumption (by design): the GROUP domain is bounded — dashboard
+aggregates (per type / lang / day / region), not per-key rollups. The
+stored view and the per-refresh delta fold are O(groups) driver-side
+Arrow; feed increments are partial-aggregated inside the shuffle-free
+bucket-diff tasks first, so the driver only ever folds
+O(groups × feed blocks) tiny rows. For a group domain that scales with
+the data (group = user/key), a flat view is the wrong structure at any
+implementation — the bucketed lake table itself IS the per-key view
+(LWW state, point-readable via ``lookup``), and per-key aggregates
+belong in a second lake table maintained by a keyed-shuffle replay
+(stages/stats.keyed_partial_fold is the building block).
 """
 
 from __future__ import annotations
