@@ -278,6 +278,12 @@ def write_table_atomic(table, final_path: str, **kwargs) -> None:
     if is_uri(final_path):
         pq.write_table(table, _strip(final_path), filesystem=_fs(final_path), **kwargs)
         return
-    tmp = final_path + f".tmp-{os.getpid()}"
+    # pid AND thread id: same-process racing writers (e.g. concurrent
+    # matview refreshes) would otherwise share the tmp name, and one
+    # racer's os.replace yanks the file from under the other — the same
+    # bug class the r4 review found in write_text_atomic
+    import threading
+
+    tmp = final_path + f".tmp-{os.getpid()}-{threading.get_ident()}"
     pq.write_table(table, tmp, **kwargs)
     os.replace(tmp, final_path)

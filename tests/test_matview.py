@@ -149,3 +149,40 @@ def test_cli_view_create_and_refresh(tmp_path, ray_session, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["refreshed"] and out["view_epoch"] == LakeTable(table).current_epoch()
     assert _view_state(MaterializedView(vdir)) == _recomputed(table)
+
+
+def test_concurrent_refresh_racers_converge(tmp_path, ray_session):
+    """Racing refreshers (same view dir, e.g. a cron overlap with a manual
+    refresh) must neither crash nor tear: the view file is deterministic
+    bytes written atomically, and CURRENT advances through the flock'd
+    monotonic pointer — every racer lands on the same epoch and content."""
+    import threading
+
+    _, log_dir, max_lsn = _setup(tmp_path, seed=67)
+    table = str(tmp_path / "t")
+    vdir = str(tmp_path / "v")
+    assert replay(log_dir, table, target_lsn=max_lsn // 2, num_buckets=4).committed
+    MaterializedView(vdir, table, "lang").refresh()
+    assert replay(log_dir, table).committed
+
+    errors = []
+    prev = threading.excepthook
+    threading.excepthook = lambda args: errors.append(args.exc_value)
+    try:
+        # racers build feeds through Ray Datasets concurrently; each opens
+        # its own MaterializedView handle like separate processes would
+        threads = [
+            threading.Thread(target=lambda: MaterializedView(vdir).refresh())
+            for _ in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        threading.excepthook = prev
+    assert errors == [], f"refresh racer raised: {errors!r}"
+
+    mv = MaterializedView(vdir)
+    assert mv.current_epoch() == LakeTable(table).current_epoch()
+    assert _view_state(mv) == _recomputed(table)
