@@ -236,7 +236,11 @@ def publish_text_exclusive(path: str, data: str) -> bool:
             with fsys.open(path, "w") as f:
                 f.write(data)
         return not existed
-    tmp = f"{path}.tmp.{os.getpid()}.{id(data)}"
+    # pid + thread id (not id(data): two threads publishing the SAME
+    # object would share the tmp and A's unlink races B's link)
+    import threading
+
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as f:
         f.write(data)
         f.flush()
