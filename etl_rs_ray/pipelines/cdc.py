@@ -755,6 +755,68 @@ def replay(
     quarantine=False,
     chaos_dir: str | None = None,
 ) -> ReplayResult:
+    """Replay with loser-tolerant concurrency: a racing replayer of the
+    same window (two cron tails overlapping) shares the epoch's staging
+    and spill paths, so the winner's post-merge cleanup can fail the
+    loser's in-flight tasks mid-merge. Data is never at risk — the
+    manifest CAS admits exactly one committer and staged bytes are
+    deterministic — but the loser used to CRASH on work that in fact
+    completed. On failure this wrapper polls the manifest briefly: if
+    another committer advanced the table until OUR window has no
+    segments left, the loser adopts that result (``committed=False``,
+    ``metrics.adopted_from_concurrent_replay``) instead of raising.
+    A genuinely failed replay (nobody covered the window) still raises.
+    Single-writer-per-table remains the recommended operating mode;
+    this makes the overlap benign rather than fatal."""
+    try:
+        return _replay_attempt(
+            log_dir, table_dir, target_lsn=target_lsn, num_buckets=num_buckets,
+            normalize=normalize, override_num_blocks=override_num_blocks,
+            batch_size=batch_size, shuffle_partitions=shuffle_partitions,
+            shuffle=shuffle, mode=mode, atomic_txns=atomic_txns,
+            quarantine=quarantine, chaos_dir=chaos_dir,
+        )
+    except Exception:
+        for _ in range(10):
+            lake = LakeTable(table_dir, num_buckets)
+            cur_epoch = lake.current_epoch()
+            cur_hwm = lake.hwm_lsn()
+            covered = not select_segments(log_dir, cur_hwm, target_lsn)
+            if not covered and atomic_txns and log_has_txns(log_dir):
+                # an atomic winner only advances to the safe cut; the
+                # window is covered when nothing below the cut remains
+                cut = safe_txn_cut(log_dir, cur_hwm, target_lsn)
+                covered = cut is None or cut <= cur_hwm
+            if cur_epoch >= 0 and covered:
+                m = lake.manifests.read()
+                rows = sum(
+                    int(e.get("rows", 0)) + int(e.get("delta_rows", 0))
+                    for e in m["buckets"].values()
+                )
+                return ReplayResult(
+                    False, cur_epoch, cur_hwm, rows_total=rows,
+                    metrics={"adopted_from_concurrent_replay": True},
+                )
+            time.sleep(0.5)
+        raise
+
+
+def _replay_attempt(
+    log_dir: str,
+    table_dir: str,
+    *,
+    target_lsn: int | None = None,
+    num_buckets: int = 64,
+    normalize: TransformChain | dict | None = None,
+    override_num_blocks: int | None = None,
+    batch_size: int | None = None,
+    shuffle_partitions: int | None = None,
+    shuffle: str = "disk",
+    mode: str = "upsert",
+    atomic_txns: bool = False,
+    quarantine=False,
+    chaos_dir: str | None = None,
+) -> ReplayResult:
     """Replay all events with ``lsn > table.hwm`` (bounded by ``target_lsn``)
     into the lake upsert table. Resumable + idempotent: re-running after a
     crash (or calling twice) applies each event exactly once.
