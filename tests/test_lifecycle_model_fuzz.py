@@ -171,25 +171,31 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
                 continue
             e1, e2 = sorted(rng.sample(sorted(epoch_model), 2))
             s1, s2 = epoch_model[e1][0], epoch_model[e2][0]
-            feed = lake.changes(e1, e2).take_all()
+            feed = lake.changes(e1, e2, include_old=True).take_all()
             got = {}
             for r in feed:
                 k = (r["repo"], r["path"], r["commit"])
                 assert k not in got, (seed, "duplicate feed key", k)
-                got[k] = (r["op"], r["change_lsn"], r["content"])
+                got[k] = (r["op"], r["change_lsn"], r["content"],
+                          r["old_lsn"], r["old_content"])
             want_keys = {
                 k
                 for k in set(s1) | set(s2)
                 if s1.get(k) != s2.get(k)
             }
             assert set(got) == want_keys, (seed, e1, e2)
-            for k, (op, lsn, content) in got.items():
+            # the old_* retraction columns are the IVM contract: exactly
+            # the from-epoch state for U/D, nulls for I
+            for k, (op, lsn, content, old_lsn, old_content) in got.items():
                 if k not in s2:
                     assert op == "D" and content is None, (seed, k)
+                    assert (old_lsn, old_content) == s1[k], (seed, k)
                 elif k not in s1:
                     assert op == "I" and (lsn, content) == s2[k], (seed, k)
+                    assert old_lsn is None and old_content is None, (seed, k)
                 else:
                     assert op == "U" and (lsn, content) == s2[k], (seed, k)
+                    assert (old_lsn, old_content) == s1[k], (seed, k)
 
         elif step == "fsck":
             rep = lake.fsck(deep=rng.random() < 0.5)
