@@ -130,7 +130,10 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
                 assert not res.committed
                 continue
             applied = nxt
-            mode = rng.choice(["upsert", "delta"])
+            # overwrite rebuilds from the full [0, cut] window and discards
+            # prior buckets — the change feed's bucket-emptied branch only
+            # triggers through this path
+            mode = rng.choice(["upsert", "delta", "overwrite"])
             res = replay(log_dir, table_dir, target_lsn=applied, mode=mode)
             assert res.committed
             record(model_at(rows, applied), applied)
