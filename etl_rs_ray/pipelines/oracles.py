@@ -1555,3 +1555,45 @@ ORACLE_SQL["docs_token_packing"] = """
     )
     SELECT doc_id, pgroup, pack_seq, n_tokens FROM walk
 """
+
+ORACLE_SQL["orders_count_histogram"] = """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+"""
+
+ORACLE_SQL["parts_low_quantity_revenue"] = """
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS low_qty_revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pa.cnt
+          < pa.sum_qty_cents
+"""
+
+ORACLE_SQL["parts_brand_promo_revenue"] = """
+    SELECT CAST(COALESCE(SUM(
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           ), 0) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1  AND 15
+           AND l.l_quantity BETWEEN 1.0  AND 11.0)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 5  AND 30
+           AND l.l_quantity BETWEEN 10.0 AND 20.0)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 50
+           AND l.l_quantity BETWEEN 20.0 AND 35.0)
+"""

@@ -123,6 +123,9 @@ def _docs_small(sf_dir: str, threshold: int = 200_000) -> bool:
 from .tpch import (  # noqa: E402
     customer_order_revenue,
     lineitem_revenue_filter,
+    orders_count_histogram,
+    parts_brand_promo_revenue,
+    parts_low_quantity_revenue,
     q1_pricing_summary,
     q3_shipping_priority,
     q5_regional_supplier_volume,
@@ -3184,12 +3187,9 @@ QUERIES = {
     "orders_integrity_audit": orders_integrity_audit,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_quantiles_by_type": events_quantiles_by_type,
-    "events_retention_cohorts": events_retention_cohorts,
     "events_mad_outliers": events_mad_outliers,
-    "events_user_paths": events_user_paths,
     "events_rank_stats": events_rank_stats,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
-    "events_cooccurrence": events_cooccurrence,
     "docs_priority_sample": docs_priority_sample,
     "events_value_corr": events_value_corr,
     "events_window_distinct_users": events_window_distinct_users,
@@ -3212,8 +3212,18 @@ QUERIES = {
     "events_schema_evolution": events_schema_evolution,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_token_packing": docs_token_packing,
+    # late-r5 additions: Q13/Q17/Q19-shape joins (left-join histogram
+    # decomposed shuffle-free, aggregate-join-back via tagged union,
+    # disjunctive cross-table predicate) — gated for their first driver
+    # row; three more r04-green anchors rotated below the line
+    "orders_count_histogram": orders_count_histogram,
+    "parts_low_quantity_revenue": parts_low_quantity_revenue,
+    "parts_brand_promo_revenue": parts_brand_promo_revenue,
     "customer_order_revenue": customer_order_revenue,
     # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_user_paths": events_user_paths,
+    "events_cooccurrence": events_cooccurrence,
     "events_winsorized_stats": events_winsorized_stats,
     "events_profile": events_profile,
     "events_pattern_matches": events_pattern_matches,

@@ -590,3 +590,308 @@ def q5_regional_supplier_volume(sf_dir: str):
             finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
     )
+
+
+def orders_count_histogram(sf_dir: str):
+    """TPC-H Q13-style customer-distribution histogram: how many customers
+    placed exactly k orders, INCLUDING the zero-order bucket the SQL
+    expresses as a LEFT JOIN.
+
+    Scale strategy — the left join is decomposed away entirely:
+    1. orders fold per block to (custkey, partial count); the merge is
+       size-gated like every keyed aggregate here (gather below 2M
+       customers, hash-shuffle keyed merge above), and the per-partition
+       merge task ALSO folds its customers straight into (c_count,
+       custdist) histogram partials, so what leaves the shuffle is the
+       bounded c_count domain, never |customers| rows.
+    2. the zero bucket needs no join at all: referential integrity
+       (every o_custkey is a customer — true of TPC-H and asserted of the
+       testdata) makes it |customer| - |custkeys seen in orders|, and
+       |customer| is one parquet-footer read.
+    A 100-TB orders table therefore moves one keyed shuffle of
+    pre-aggregated custkey counts and a bounded histogram gather."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    n_customers = _queries_mod()._semantic_table_rows(sf_dir, "customer")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table(
+            {
+                "c_custkey": g.column("o_custkey"),
+                "c_count": g.column("o_custkey_count").cast(pa.int64()),
+            }
+        )
+
+    def merge_hist(t: pa.Table) -> pa.Table:
+        # fold this partition's customers, then collapse immediately to
+        # histogram partials — the partition's output is O(max orders per
+        # customer) rows, not O(customers)
+        g = pa.TableGroupBy(t, "c_custkey").aggregate([("c_count", "sum")])
+        h = pa.TableGroupBy(
+            g.rename_columns(["c_custkey", "c_count"]), "c_count"
+        ).aggregate([("c_count", "count")])
+        return pa.table(
+            {
+                "c_count": h.column("c_count"),
+                "custdist": h.column("c_count_count").cast(pa.int64()),
+            }
+        )
+
+    u = orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        parts = u.repartition(1)
+    else:
+        u = _hash_shuffle(u)
+        nparts = _partitions(rows=_table_rows(sf_dir, "customer"))
+        parts = u.repartition(num_blocks=nparts, keys=["c_custkey"])
+    hist = parts.map_batches(
+        merge_hist, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "c_count").aggregate([("custdist", "sum")])
+        counts = g.column("c_count")
+        dist = g.column("custdist_sum")
+        zero = n_customers - (pc.sum(dist).as_py() or 0)
+        if zero > 0:
+            counts = pa.concat_arrays(
+                [counts.combine_chunks(), pa.array([0], pa.int64())]
+            )
+            dist = pa.concat_arrays(
+                [dist.combine_chunks(), pa.array([zero], pa.int64())]
+            )
+        return pa.table({"c_count": counts, "custdist": dist})
+
+    return hist.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def parts_low_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-style correlated scalar subquery: total revenue of
+    lineitems whose quantity is below 20% of their part's average
+    quantity. The per-part average is an aggregate of the SAME fact
+    table joined back onto it.
+
+    Scale strategy: per-part (sum, count) partials fold per block first.
+    Below 2M parts the folded dimension broadcasts (ray.put once, read
+    per task) onto a second streaming pass of lineitem. Above the gate
+    there is no small side, so partials and raw rows share ONE tagged
+    union and ONE hash shuffle on partkey; each partition folds its
+    partials and filters its rows locally, emitting a single global
+    revenue partial — the join-back never materializes.
+
+    Determinism: the threshold compare is EXACT integer cross-
+    multiplication — qty_cents * 5 * cnt < sum_qty_cents is
+    qty < 0.2 * avg in rationals — mirrored verbatim in the oracle, so
+    no float boundary row can flip between engines (repo float rule,
+    stages/stats.py)."""
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = _read(sf_dir, "lineitem", columns=cols)
+
+    def cents(col) -> pa.ChunkedArray:
+        return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_partkey": b.column("l_partkey"), "qc": cents(b.column("l_quantity"))}
+        )
+        g = pa.TableGroupBy(t, "l_partkey").aggregate([("qc", "sum"), ("qc", "count")])
+        return pa.table(
+            {
+                "l_partkey": g.column("l_partkey"),
+                "sqc": g.column("qc_sum"),
+                "cnt": g.column("qc_count").cast(pa.int64()),
+            }
+        )
+
+    def global_fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "low_qty_revenue_cents": pa.array(
+                    [pc.sum(t.column("rev")).as_py() or 0], pa.int64()
+                ),
+                "n_lines": pa.array([pc.sum(t.column("n")).as_py() or 0], pa.int64()),
+            }
+        )
+
+    from ..stages.stats import partial_fold
+
+    if _table_rows(sf_dir, "part") < 2_000_000:
+        from ..stages.joins import broadcast_lookup_join
+
+        dim = (
+            li.map_batches(part_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(
+                lambda t: pa.TableGroupBy(t, "l_partkey")
+                .aggregate([("sqc", "sum"), ("cnt", "sum")])
+                .rename_columns(["l_partkey", "sqc", "cnt"]),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+        )
+        joined = broadcast_lookup_join(
+            li, dim, on="l_partkey", dim_key="l_partkey",
+            take_cols={"sqc": "sqc", "cnt": "cnt"}, how="inner",
+        )
+
+        def row_partial(b: pa.Table) -> pa.Table:
+            qc = cents(b.column("l_quantity"))
+            cond = pc.less(
+                pc.multiply(pc.multiply(qc, 5), b.column("cnt")), b.column("sqc")
+            )
+            price = cents(b.column("l_extendedprice")).filter(cond)
+            return pa.table(
+                {
+                    "rev": pa.array([pc.sum(price).as_py() or 0], pa.int64()),
+                    "n": pa.array([len(price)], pa.int64()),
+                }
+            )
+
+        return partial_fold(joined, row_partial, global_fold)
+
+    # big path: tagged union, one keyed shuffle, local join-back
+    def row_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "sqc": pa.nulls(b.num_rows, pa.int64()),
+                "cnt": pa.nulls(b.num_rows, pa.int64()),
+                "qc": cents(b.column("l_quantity")),
+                "price_c": cents(b.column("l_extendedprice")),
+            }
+        )
+
+    def part_tag(b: pa.Table) -> pa.Table:
+        p = part_partial(b)
+        return pa.table(
+            {
+                "l_partkey": p.column("l_partkey"),
+                "sqc": p.column("sqc"),
+                "cnt": p.column("cnt"),
+                "qc": pa.nulls(p.num_rows, pa.int64()),
+                "price_c": pa.nulls(p.num_rows, pa.int64()),
+            }
+        )
+
+    u = li.map_batches(row_tag, batch_format="pyarrow", zero_copy_batch=True).union(
+        li.map_batches(part_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    u = _hash_shuffle(u)
+    nparts = _partitions(rows=_table_rows(sf_dir, "lineitem"))
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        is_row = pc.is_valid(t.column("qc"))
+        rows = t.filter(is_row)
+        parts = t.filter(pc.invert(is_row))
+        g = pa.TableGroupBy(
+            parts.select(["l_partkey", "sqc", "cnt"]), "l_partkey"
+        ).aggregate([("sqc", "sum"), ("cnt", "sum")])
+        pos = pc.index_in(rows.column("l_partkey"), value_set=g.column("l_partkey"))
+        sqc = g.column("sqc_sum").combine_chunks().take(pos)
+        cnt = g.column("cnt_sum").combine_chunks().take(pos)
+        cond = pc.less(pc.multiply(pc.multiply(rows.column("qc"), 5), cnt), sqc)
+        price = rows.column("price_c").filter(cond)
+        return pa.table(
+            {
+                "rev": pa.array([pc.sum(price).as_py() or 0], pa.int64()),
+                "n": pa.array([len(price)], pa.int64()),
+            }
+        )
+
+    partials = u.repartition(num_blocks=nparts, keys=["l_partkey"]).map_batches(
+        merge_partition, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return partials.repartition(1).map_batches(
+        global_fold, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def parts_brand_promo_revenue(sf_dir: str):
+    """TPC-H Q19-style disjunctive cross-table predicate: revenue over an
+    OR of (brand, size, quantity) clause conjunctions, where brand/size
+    live on the part dimension and quantity on the fact.
+
+    Scale strategy: only the two part columns the predicate needs are
+    read; below 2M parts they broadcast onto the lineitem stream
+    (ray.put once), above they attach via the shuffle-tier
+    keyed_lookup_join. The clause mask is pure vectorized pyarrow
+    boolean algebra; what survives folds to one exact fixed-point
+    revenue partial per block (price_cents x (100 - disc_pct), unit
+    1e-4 dollars) and a trivial final merge, with the identical float64
+    division mirrored in the oracle."""
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    if _table_rows(sf_dir, "part") < 2_000_000:
+        from ..stages.joins import broadcast_lookup_join
+
+        joined = broadcast_lookup_join(
+            li, part, on="l_partkey", dim_key="p_partkey",
+            take_cols={"p_brand": "p_brand", "p_size": "p_size"}, how="inner",
+        )
+    else:
+        from ..stages.joins import keyed_lookup_join
+
+        joined = keyed_lookup_join(
+            li, part, on="l_partkey", dim_key="p_partkey",
+            take_cols={"p_brand": "p_brand", "p_size": "p_size"}, how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "lineitem")),
+        )
+
+    CLAUSES = [
+        ("Brand#3", 1, 15, 1.0, 11.0),
+        ("Brand#13", 5, 30, 10.0, 20.0),
+        ("Brand#23", 10, 50, 20.0, 35.0),
+    ]
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = None
+        for brand, slo, shi, qlo, qhi in CLAUSES:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(b.column("p_brand"), brand),
+                    pc.and_(
+                        pc.greater_equal(b.column("p_size"), slo),
+                        pc.less_equal(b.column("p_size"), shi),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(b.column("l_quantity"), qlo),
+                    pc.less_equal(b.column("l_quantity"), qhi),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        hit = b.filter(mask)
+        price_c = pc.cast(
+            pc.round(pc.multiply(hit.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc_pct = pc.cast(
+            pc.round(pc.multiply(hit.column("l_discount"), 100.0)), pa.int64()
+        )
+        fp = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {
+                "fp": pa.array([pc.sum(fp).as_py() or 0], pa.int64()),
+                "n": pa.array([hit.num_rows], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        fp = pc.sum(t.column("fp")).as_py() or 0
+        n = pc.sum(t.column("n")).as_py() or 0
+        return pa.table(
+            {
+                "revenue": pa.array([fp / 10000.0], pa.float64()),
+                "n_lines": pa.array([n], pa.int64()),
+            }
+        )
+
+    from ..stages.stats import partial_fold
+
+    return partial_fold(joined, partial, fold)

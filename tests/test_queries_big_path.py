@@ -40,6 +40,11 @@ GATED = [
     "events_entropy",
     "events_user_set_ops",
     "events_profile",
+    # late r5: Q13/Q17/Q19 shapes — keyed-shuffle histogram merge,
+    # tagged-union join-back, keyed_lookup_join dimension attach
+    "orders_count_histogram",
+    "parts_low_quantity_revenue",
+    "parts_brand_promo_revenue",
 ]
 
 
