@@ -1,0 +1,243 @@
+"""Driver-side fault-injection fuzz: every committer (replay upsert/delta/
+overwrite, compact, rebucket, matview refresh, retention expiry) is run
+with a randomly-armed fs-primitive fault — the Nth driver-side call to a
+randomly chosen atomic-write/publish/cleanup primitive raises — then
+retried, and the table must converge to the dict LWW model exactly.
+
+This generalizes the per-feature crash tests (chaos replay kills workers;
+rebucket/exactly-once tests crash at hand-picked boundaries) into ONE
+harness that crashes every commit path at arbitrary points:
+
+  - manifest published but CURRENT not swung      (adopt-and-finish)
+  - CURRENT swung but post-commit cleanup failed  (retry must no-op)
+  - staging published but manifest never written  (retry re-stages
+    deterministically and commits once)
+  - view parquet written but view pointer stale   (refresh recomputes
+    the same delta and converges)
+
+The injector patches attributes on ``etl_rs_ray.state.fs`` — every
+committer resolves ``fs.<prim>`` at call time, so the patch reaches all
+driver-side commit machinery while Ray *workers* (which import the module
+in their own process) are untouched; worker-death chaos is
+``test_chaos_replay.py``'s job. Fault that fires inside fs.py's own
+nested calls (write_json_atomic -> write_text_atomic,
+advance_int_pointer -> write_text_atomic) counts too, since patching a
+module attribute rebinds the module global.
+
+Determinism: fixed seeds; a failure replays exactly.
+"""
+
+import random
+from contextlib import contextmanager
+
+import pytest
+
+import etl_rs_ray.pipelines.cdc as cdc_mod
+from etl_rs_ray.pipelines.cdc import expire_before, replay
+from etl_rs_ray.sources.lake import LakeTable
+from etl_rs_ray.state import fs
+from etl_rs_ray.state.matview import MaterializedView
+
+from test_lifecycle_model_fuzz import make_log, model_at, lake_state
+
+
+class InjectedFault(OSError):
+    """Distinguishable from any genuine failure mode."""
+
+
+# The commit-path surface: atomic writes, exclusive publishes, pointer
+# advances, renames, and post-commit cleanup. Read-path primitives are
+# deliberately excluded — a failed read is not a torn commit. Weights
+# favor the primitives every driver-side commit MUST traverse (manifest
+# publish, pointer advance, the write_text the pointer nests) so most
+# armed faults actually fire; cleanup prims stay in the pool to exercise
+# the commit-already-durable retries.
+PRIMITIVES = [
+    ("publish_json_exclusive", 5),
+    ("publish_text_exclusive", 2),
+    ("advance_int_pointer", 5),
+    ("write_text_atomic", 5),
+    ("write_json_atomic", 1),
+    ("write_table_atomic", 1),
+    ("replace_into", 4),
+    ("rmtree", 2),
+]
+PRIM_NAMES = [p for p, _ in PRIMITIVES]
+PRIM_WEIGHTS = [w for _, w in PRIMITIVES]
+# measured driver-side calls per commit: replace_into 4-8 (staging
+# publishes), write_text_atomic 1-2, everything else exactly once — an
+# nth beyond these can never fire
+NTH_MAX = {"replace_into": 4, "write_text_atomic": 2}
+
+
+@contextmanager
+def arm_fault(prim: str, nth: int):
+    """Make the nth driver-side call to fs.<prim> raise InjectedFault
+    (exactly once; later calls pass through so retry loops inside the
+    same dynamic extent — e.g. replay's adoption poll — see a healthy
+    filesystem again)."""
+    orig = getattr(fs, prim)
+    state = {"calls": 0, "fired": False}
+
+    def wrapper(*a, **k):
+        state["calls"] += 1
+        if state["calls"] == nth and not state["fired"]:
+            state["fired"] = True
+            raise InjectedFault(f"injected: fs.{prim} call #{nth}")
+        return orig(*a, **k)
+
+    setattr(fs, prim, wrapper)
+    try:
+        yield state
+    finally:
+        setattr(fs, prim, orig)
+
+
+@pytest.fixture()
+def fast_adoption_poll(monkeypatch):
+    """replay()'s loser-adoption path polls 10 x 0.5s before re-raising;
+    with a single injected writer nothing will ever cover the window, so
+    shrink the sleep to keep the fuzz fast without touching the code."""
+    import time as _time
+
+    real_sleep = _time.sleep
+    monkeypatch.setattr(
+        cdc_mod.time, "sleep", lambda s: real_sleep(min(s, 0.02))
+    )
+
+
+def run_faulted(rng, op, retry, already_done=None):
+    """Run op with a random armed fault; on injection, retry (unless
+    already_done() says the first attempt committed before dying).
+    Returns (prim, nth, outcome) for failure diagnostics."""
+    prim = rng.choices(PRIM_NAMES, weights=PRIM_WEIGHTS)[0]
+    nth = rng.randint(1, NTH_MAX.get(prim, 1))
+    try:
+        with arm_fault(prim, nth) as st:
+            op()
+        return (prim, nth, "fired-tolerated" if st["fired"] else "not-reached")
+    except InjectedFault:
+        pass
+    if already_done is not None and already_done():
+        return (prim, nth, "fired-committed")
+    retry()
+    return (prim, nth, "fired-retried")
+
+
+@pytest.mark.parametrize("seed", [555, 666, 777, 888])
+def test_every_committer_survives_injected_faults(
+    tmp_path, ray_session, fast_adoption_poll, seed
+):
+    rng = random.Random(seed)
+    _, rows, log_dir = make_log(tmp_path, rng)
+    max_lsn = rows[-1]["lsn"]
+    table_dir = str(tmp_path / "table")
+
+    # clean bootstrap — the walk injects from step 1 onward
+    cuts = sorted(rng.sample(range(40, max_lsn), 4)) + [max_lsn]
+    cut_iter = iter(cuts)
+    applied = next(cut_iter)
+    assert replay(log_dir, table_dir, target_lsn=applied, num_buckets=4).committed
+
+    view = MaterializedView(str(tmp_path / "view"), table_dir, "lang")
+    epoch_model = {}
+    trace = []
+
+    def record():
+        lake = LakeTable(table_dir)
+        epoch_model[lake.current_epoch()] = model_at(rows, applied)
+
+    record()
+
+    def check_state(tag):
+        assert lake_state(LakeTable(table_dir)) == model_at(rows, applied), (
+            seed, tag, trace
+        )
+
+    ops = ["replay", "compact", "rebucket", "view_refresh"]
+    weights = [4, 2, 2, 2]
+    steps = [rng.choices(ops, weights=weights)[0] for _ in range(10)]
+
+    for i, step in enumerate(steps):
+        lake = LakeTable(table_dir)
+
+        if step == "replay":
+            nxt = next(cut_iter, None)
+            if nxt is None:
+                continue
+            applied = nxt
+            mode = rng.choice(["upsert", "delta", "overwrite"])
+            hwm_before = lake.hwm_lsn()
+
+            outcome = run_faulted(
+                rng,
+                lambda: replay(log_dir, table_dir, target_lsn=applied, mode=mode),
+                # the retry may adopt a first attempt that committed
+                # before its cleanup fault (committed=False, adopted) or
+                # commit itself — either way the state must land
+                lambda: replay(log_dir, table_dir, target_lsn=applied, mode=mode),
+                already_done=lambda: LakeTable(table_dir).hwm_lsn() == applied,
+            )
+            assert LakeTable(table_dir).hwm_lsn() == applied, (seed, outcome)
+
+        elif step == "compact":
+            outcome = run_faulted(
+                rng,
+                lambda: LakeTable(table_dir).compact(),
+                lambda: LakeTable(table_dir).compact(),
+            )
+
+        elif step == "rebucket":
+            n = lake.num_buckets
+            target = n * 2 if n <= 8 else n // 2
+            outcome = run_faulted(
+                rng,
+                lambda: LakeTable(table_dir).rebucket(target),
+                lambda: LakeTable(table_dir).rebucket(target),
+                already_done=lambda: LakeTable(table_dir).num_buckets == target,
+            )
+            assert LakeTable(table_dir).num_buckets == target, (seed, outcome)
+
+        elif step == "view_refresh":
+            outcome = run_faulted(
+                rng, lambda: view.refresh(), lambda: view.refresh()
+            )
+            # a tolerated / unfired fault may leave the view un-refreshed
+            # (refresh itself raised nothing) — refresh again so the
+            # value check below always sees head state
+            view.refresh()
+            got = {r["lang"]: r["n"] for r in view.read().to_pylist()}
+            cur = model_at(rows, applied)
+            assert got == ({"py": len(cur)} if cur else {}), (seed, outcome)
+
+        trace.append((i, step, outcome))
+        record()
+        check_state((i, step))
+
+    # retention expiry under injection: converges and stays idempotent
+    head_state = model_at(rows, max_lsn)
+    # the walk may not have replayed to max_lsn; catch up first (clean)
+    if LakeTable(table_dir).hwm_lsn() < max_lsn:
+        replay(log_dir, table_dir)
+        applied = max_lsn
+        record()
+    live_lsns = sorted(lsn for lsn, _ in head_state.values())
+    before_lsn = live_lsns[len(live_lsns) // 2]
+    expected = {k: v for k, v in head_state.items() if v[0] >= before_lsn}
+
+    outcome = run_faulted(
+        rng,
+        lambda: expire_before(log_dir, table_dir, before_lsn),
+        lambda: expire_before(log_dir, table_dir, before_lsn),
+    )
+    assert lake_state(LakeTable(table_dir)) == expected, (seed, outcome, trace)
+    assert expire_before(log_dir, table_dir, before_lsn)["expired"] == 0, seed
+
+    # structural integrity after the whole gauntlet: placement, footers,
+    # manifests all consistent
+    rep = LakeTable(table_dir).fsck(deep=True)
+    assert rep["ok"], (seed, rep["issues"], trace)
+
+    # every recorded epoch (pre-expiry) still time-travels to its model
+    for e, st in epoch_model.items():
+        assert lake_state(LakeTable(table_dir), epoch=e) == st, (seed, e, trace)
