@@ -144,6 +144,15 @@ class LakeTable:
             if not files:
                 return ray.data.from_arrow(pa.schema([]).empty_table())
             kwargs = {"columns": columns} if columns else {}
+            if fs.is_uri(files[0]):
+                # a LIST of URI paths trips pyarrow's local-path resolver
+                # ("Expected a local filesystem path, got a URI") — resolve
+                # the filesystem once and pass scheme-less paths. Caught by
+                # the file:// fault-injection walk.
+                from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+                kwargs["filesystem"] = PyFileSystem(FSSpecHandler(fs._fs(files[0])))
+                files = [fs._strip(f) for f in files]
             return ray.data.read_parquet(files, **kwargs)
 
         sets = self.bucket_file_sets(epoch)

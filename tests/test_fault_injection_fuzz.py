@@ -128,10 +128,25 @@ def run_faulted(rng, op, retry, already_done=None):
 def test_every_committer_survives_injected_faults(
     tmp_path, ray_session, fast_adoption_poll, seed
 ):
+    _fault_walk(tmp_path, seed, uri=False)
+
+
+@pytest.mark.parametrize("seed", [1555, 1666])
+def test_every_committer_survives_injected_faults_file_uri(
+    tmp_path, ray_session, fast_adoption_poll, seed
+):
+    """Same gauntlet with the TABLE behind a file:// URI — the fs
+    adapter's URI branches (direct PUT writes, best-effort pointer
+    advance, last-wins publishes) must be just as retry-convergent as
+    the local flock/hard-link paths."""
+    _fault_walk(tmp_path, seed, uri=True)
+
+
+def _fault_walk(tmp_path, seed, *, uri: bool):
     rng = random.Random(seed)
     _, rows, log_dir = make_log(tmp_path, rng)
     max_lsn = rows[-1]["lsn"]
-    table_dir = str(tmp_path / "table")
+    table_dir = (f"file://{tmp_path}/table" if uri else str(tmp_path / "table"))
 
     # clean bootstrap — the walk injects from step 1 onward
     cuts = sorted(rng.sample(range(40, max_lsn), 4)) + [max_lsn]
@@ -139,7 +154,8 @@ def test_every_committer_survives_injected_faults(
     applied = next(cut_iter)
     assert replay(log_dir, table_dir, target_lsn=applied, num_buckets=4).committed
 
-    view = MaterializedView(str(tmp_path / "view"), table_dir, "lang")
+    view_dir = (f"file://{tmp_path}/view" if uri else str(tmp_path / "view"))
+    view = MaterializedView(view_dir, table_dir, "lang")
     epoch_model = {}
     trace = []
 
