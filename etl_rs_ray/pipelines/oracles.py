@@ -1597,3 +1597,29 @@ ORACLE_SQL["parts_brand_promo_revenue"] = """
        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 50
            AND l.l_quantity BETWEEN 20.0 AND 35.0)
 """
+
+ORACLE_SQL["orders_priority_exists"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["orders_large_volume"] = """
+    WITH t AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           t.sum_qty_cents
+    FROM orders o
+    JOIN t ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+"""

@@ -124,6 +124,8 @@ from .tpch import (  # noqa: E402
     customer_order_revenue,
     lineitem_revenue_filter,
     orders_count_histogram,
+    orders_large_volume,
+    orders_priority_exists,
     parts_brand_promo_revenue,
     parts_low_quantity_revenue,
     q1_pricing_summary,
@@ -3187,8 +3189,6 @@ QUERIES = {
     "orders_integrity_audit": orders_integrity_audit,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_quantiles_by_type": events_quantiles_by_type,
-    "events_mad_outliers": events_mad_outliers,
-    "events_rank_stats": events_rank_stats,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_priority_sample": docs_priority_sample,
     "events_value_corr": events_value_corr,
@@ -3219,11 +3219,15 @@ QUERIES = {
     "orders_count_histogram": orders_count_histogram,
     "parts_low_quantity_revenue": parts_low_quantity_revenue,
     "parts_brand_promo_revenue": parts_brand_promo_revenue,
-    "customer_order_revenue": customer_order_revenue,
+    "orders_priority_exists": orders_priority_exists,
+    "orders_large_volume": orders_large_volume,
     # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
+    "customer_order_revenue": customer_order_revenue,
     "events_retention_cohorts": events_retention_cohorts,
     "events_user_paths": events_user_paths,
     "events_cooccurrence": events_cooccurrence,
+    "events_mad_outliers": events_mad_outliers,
+    "events_rank_stats": events_rank_stats,
     "events_winsorized_stats": events_winsorized_stats,
     "events_profile": events_profile,
     "events_pattern_matches": events_pattern_matches,

@@ -895,3 +895,265 @@ def parts_brand_promo_revenue(sf_dir: str):
     from ..stages.stats import partial_fold
 
     return partial_fold(joined, partial, fold)
+
+
+def orders_priority_exists(sf_dir: str):
+    """TPC-H Q4-style EXISTS with a cross-table inequality: count orders
+    per priority having at least one lineitem shipped AFTER the order
+    date. The correlated EXISTS collapses to an aggregate — EXISTS
+    (l_shipdate > o_orderdate) is max(l_shipdate) per order >
+    o_orderdate — so the semi join never runs per-lineitem.
+
+    Scale strategy: lineitem folds per block to (orderkey, partial max
+    shipdate). Below 2M orders the folded map broadcasts onto the orders
+    stream; above, order rows and shipdate partials share one tagged
+    union and one hash shuffle on orderkey, and each partition folds its
+    maxes, applies the inequality to its own orders, and emits bounded
+    (priority, count) partials. Timestamps compare as exact int64
+    microseconds — no float boundary."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "l_orderkey").aggregate([("l_shipdate", "max")])
+        return g.rename_columns(["o_orderkey", "max_ship"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t.column("max_ship"), t.column("o_orderdate")))
+        g = pa.TableGroupBy(keep, "o_orderpriority").aggregate(
+            [("o_orderpriority", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "order_count": g.column("o_orderpriority_count").cast(pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "o_orderpriority").aggregate([("order_count", "sum")])
+        return g.rename_columns(["o_orderpriority", "order_count"])
+
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        from ..stages.joins import broadcast_lookup_join
+
+        dim = (
+            li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(
+                lambda t: pa.TableGroupBy(t, "o_orderkey")
+                .aggregate([("max_ship", "max")])
+                .rename_columns(["o_orderkey", "max_ship"]),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+        )
+        joined = broadcast_lookup_join(
+            orders, dim, on="o_orderkey", dim_key="o_orderkey",
+            take_cols={"max_ship": "max_ship"}, how="inner",
+        )
+        hist = joined.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return hist.repartition(1).map_batches(
+            final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+
+    def o_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "max_ship": pa.nulls(b.num_rows, pa.timestamp("us")),
+            }
+        )
+
+    def l_tag(b: pa.Table) -> pa.Table:
+        p = li_partial(b)
+        return pa.table(
+            {
+                "o_orderkey": p.column("o_orderkey"),
+                "o_orderdate": pa.nulls(p.num_rows, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(p.num_rows, pa.string()),
+                "max_ship": p.column("max_ship").cast(pa.timestamp("us")),
+            }
+        )
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        is_order = pc.is_valid(t.column("o_orderdate"))
+        orows = t.filter(is_order)
+        lrows = t.filter(pc.invert(is_order))
+        g = pa.TableGroupBy(
+            lrows.select(["o_orderkey", "max_ship"]), "o_orderkey"
+        ).aggregate([("max_ship", "max")])
+        pos = pc.index_in(orows.column("o_orderkey"), value_set=g.column("o_orderkey"))
+        ship = g.column("max_ship_max").combine_chunks().take(pos)
+        keep = pc.and_(
+            pc.is_valid(ship), pc.greater(ship, orows.column("o_orderdate"))
+        )
+        kept = orows.filter(keep)
+        g2 = pa.TableGroupBy(kept, "o_orderpriority").aggregate(
+            [("o_orderpriority", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g2.column("o_orderpriority"),
+                "order_count": g2.column("o_orderpriority_count").cast(pa.int64()),
+            }
+        )
+
+    u = orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True).union(
+        li.map_batches(l_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    u = _hash_shuffle(u)
+    nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
+    partials = u.repartition(num_blocks=nparts, keys=["o_orderkey"]).map_batches(
+        merge_partition, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def orders_large_volume(sf_dir: str):
+    """TPC-H Q18-style HAVING-IN: orders whose total lineitem quantity
+    exceeds a threshold, listed with their customer's name.
+
+    Scale strategy: per-order quantity partials fold per block; the
+    HAVING filter runs where the sums finish (one gather block below 2M
+    orders, per-partition after a tagged-union orderkey shuffle above),
+    so only the few qualifying orders — a fixed selectivity of the
+    threshold, not O(orders) — flow into the customer-name attach, which
+    broadcasts below 2M customers and keyed-joins above. Quantity sums
+    are exact int64 cents; threshold compare mirrored in the oracle."""
+    THRESH_C = 15_000  # 150.00 qty units, in cents
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "qc": pc.cast(
+                    pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        )
+        g = pa.TableGroupBy(t, "o_orderkey").aggregate([("qc", "sum")])
+        return g.rename_columns(["o_orderkey", "sum_qty_cents"])
+
+    def attach_customer(qualified):
+        cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        if _table_rows(sf_dir, "customer") < 2_000_000:
+            from ..stages.joins import broadcast_lookup_join
+
+            return broadcast_lookup_join(
+                qualified, cust, on="o_custkey", dim_key="c_custkey",
+                take_cols={"c_name": "c_name"}, how="inner",
+            ).drop_columns(["o_custkey"])
+        from ..stages.joins import keyed_lookup_join
+
+        return keyed_lookup_join(
+            qualified, cust, on="o_custkey", dim_key="c_custkey",
+            take_cols={"c_name": "c_name"}, how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "customer")),
+        ).drop_columns(["o_custkey"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "totalprice_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+                ),
+                "sum_qty_cents": t.column("sum_qty_cents"),
+            }
+        )
+
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        from ..stages.joins import broadcast_lookup_join
+
+        dim = (
+            li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(
+                lambda t: pa.TableGroupBy(t, "o_orderkey")
+                .aggregate([("sum_qty_cents", "sum")])
+                .rename_columns(["o_orderkey", "sum_qty_cents"])
+                .filter(pc.greater(pc.field("sum_qty_cents"), THRESH_C)),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+        )
+        qualified = broadcast_lookup_join(
+            orders, dim, on="o_orderkey", dim_key="o_orderkey",
+            take_cols={"sum_qty_cents": "sum_qty_cents"}, how="inner",
+        ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        return attach_customer(qualified)
+
+    # big path: orders rows + qty partials share one orderkey shuffle
+    def o_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_totalprice": b.column("o_totalprice"),
+                "sum_qty_cents": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def l_tag(b: pa.Table) -> pa.Table:
+        p = li_partial(b)
+        return pa.table(
+            {
+                "o_orderkey": p.column("o_orderkey"),
+                "o_custkey": pa.nulls(p.num_rows, pa.int64()),
+                "o_totalprice": pa.nulls(p.num_rows, pa.float64()),
+                "sum_qty_cents": p.column("sum_qty_cents"),
+            }
+        )
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        is_order = pc.is_valid(t.column("o_custkey"))
+        orows = t.filter(is_order)
+        lrows = t.filter(pc.invert(is_order))
+        g = pa.TableGroupBy(
+            lrows.select(["o_orderkey", "sum_qty_cents"]), "o_orderkey"
+        ).aggregate([("sum_qty_cents", "sum")])
+        g = g.rename_columns(["o_orderkey", "sum_qty_cents"]).filter(
+            pc.greater(pc.field("sum_qty_cents"), THRESH_C)
+        )
+        pos = pc.index_in(orows.column("o_orderkey"), value_set=g.column("o_orderkey"))
+        keep = pc.is_valid(pos)
+        orows = orows.filter(keep)
+        sums = g.column("sum_qty_cents").combine_chunks().take(pos.filter(keep))
+        return project(
+            pa.table(
+                {
+                    "o_orderkey": orows.column("o_orderkey"),
+                    "o_custkey": orows.column("o_custkey"),
+                    "o_totalprice": orows.column("o_totalprice"),
+                    "sum_qty_cents": sums,
+                }
+            )
+        )
+
+    u = orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True).union(
+        li.map_batches(l_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    u = _hash_shuffle(u)
+    nparts = _partitions(rows=_table_rows(sf_dir, "orders"))
+    qualified = u.repartition(num_blocks=nparts, keys=["o_orderkey"]).map_batches(
+        merge_partition, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    from ..util import drop_empty_blocks
+
+    return attach_customer(drop_empty_blocks(qualified))

@@ -45,6 +45,8 @@ GATED = [
     "orders_count_histogram",
     "parts_low_quantity_revenue",
     "parts_brand_promo_revenue",
+    "orders_priority_exists",
+    "orders_large_volume",
 ]
 
 
