@@ -207,6 +207,18 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--before-lsn", type=int, required=True)
     ex.add_argument("--buckets", type=int, default=64)
 
+    pg = sub.add_parser(
+        "purge-log",
+        help="binlog retention: delete log segments wholly below an LSN "
+        "(clamped to the table's applied HWM; replay refuses windows "
+        "reaching below the recorded cut)")
+    pg.add_argument("--log", required=True)
+    pg.add_argument("--below-lsn", type=int, required=True)
+    pg.add_argument("--table", help="clamp the cut to this table's hwm+1")
+    pg.add_argument(
+        "--force", action="store_true",
+        help="purge without a table HWM bound (may delete unapplied events)")
+
     ch = sub.add_parser(
         "changes", help="row-level I/U/D change feed between two epochs (table_changes)")
     ch.add_argument("--table", required=True)
@@ -438,6 +450,18 @@ def main(argv: list[str] | None = None) -> int:
 
         out = expire_before(args.log, args.table, args.before_lsn,
                             num_buckets=args.buckets)
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "purge-log":
+        from .sources.event_log import purge_log
+        from .sources.lake import LakeTable
+
+        if not args.table and not args.force:
+            print(json.dumps({"error": "pass --table (HWM bound) or --force"}))
+            return 2
+        hwm = LakeTable(args.table).hwm_lsn() if args.table else None
+        out = purge_log(args.log, args.below_lsn, applied_hwm=hwm)
         print(json.dumps(out))
         return 0
 

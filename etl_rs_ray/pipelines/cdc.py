@@ -35,6 +35,8 @@ from ..functions.registry import TransformChain
 from ..sources.event_log import (
     fast_hash_bucket,
     log_has_txns,
+    PurgedLogError,
+    purge_cut,
     read_event_log,
     safe_txn_cut,
     select_segments,
@@ -837,6 +839,15 @@ def _replay_attempt(
     # buckets — idempotent-by-truncation, but with an atomic manifest swap
     # instead of a drop+insert gap.
     hwm = -1 if mode == "overwrite" else lake.hwm_lsn()
+    cut = purge_cut(log_dir)
+    if cut > 0 and hwm + 1 < cut:
+        # events in (hwm, cut) were retention-purged — replaying would
+        # silently rebuild partial state (worst in overwrite/bootstrap,
+        # which start from LSN 0)
+        raise PurgedLogError(
+            f"replay window starts at lsn {hwm + 1} but the log is purged "
+            f"below {cut}; bootstrap new tables by cloning a caught-up one"
+        )
     epoch = lake.current_epoch() + 1
 
     def _noop() -> ReplayResult:

@@ -201,6 +201,60 @@ def list_segments(log_dir: str) -> list[SegmentInfo]:
     return segs
 
 
+PURGE_MARKER = "PURGED_BELOW"
+
+
+class PurgedLogError(RuntimeError):
+    """A replay window reaches below the log's purge cut — the events it
+    needs were retention-deleted. Recover by cloning an existing table
+    (the table IS the checkpoint once its HWM passes the cut)."""
+
+
+def purge_cut(log_dir: str) -> int:
+    """Highest purge cut recorded for this log (0 = never purged):
+    every event with lsn < cut MAY have been deleted."""
+    try:
+        with open(os.path.join(log_dir, PURGE_MARKER)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def purge_log(log_dir: str, below_lsn: int, *, applied_hwm: int | None = None) -> dict:
+    """Binlog retention (the Kafka log-retention / MySQL PURGE BINARY
+    LOGS analogue): delete segments that lie WHOLLY below ``below_lsn``.
+    Straddler segments stay intact, so every event with
+    ``lsn >= effective cut`` remains replayable.
+
+    ``applied_hwm`` (pass the consuming table's ``hwm_lsn()``) clamps
+    the cut to ``hwm + 1`` so unapplied events can never be purged —
+    in atomic-txn mode the HWM stops at the safe cut, so held-back
+    open-transaction events are below-HWM-safe automatically.
+
+    The cut is recorded in a ``PURGED_BELOW`` marker (monotonic max);
+    ``replay`` refuses any window that reaches below it — a fresh
+    bootstrap or overwrite replay of a purged log would otherwise
+    silently rebuild PARTIAL state. Idempotent: re-running with the
+    same cut deletes nothing and reports 0."""
+    cut = below_lsn if applied_hwm is None else min(below_lsn, applied_hwm + 1)
+    purged = freed = 0
+    for s in list_segments(log_dir):
+        if s.lsn_max < cut:
+            freed += os.path.getsize(s.path)
+            os.unlink(s.path)
+            purged += 1
+    if cut > purge_cut(log_dir):
+        from ..state import fs as _sfs
+
+        _sfs.write_text_atomic(os.path.join(log_dir, PURGE_MARKER), str(cut))
+    return {
+        "purged_segments": purged,
+        "freed_bytes": freed,
+        "cut": cut,
+        "requested": below_lsn,
+    }
+
+
 def select_segments(log_dir: str, lsn_from: int | None, lsn_to: int | None) -> list[SegmentInfo]:
     """Segments intersecting the half-open replay window (lsn_from, lsn_to]."""
     segs = list_segments(log_dir)
