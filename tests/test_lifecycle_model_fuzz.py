@@ -115,9 +115,10 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
         assert got == want, (seed, got, want)
 
     ops = ["replay", "compact", "rebucket", "lookup", "time_travel", "changes",
-           "fsck", "view_refresh"]
-    weights = [4, 2, 2, 3, 3, 3, 1, 2]
+           "fsck", "view_refresh", "purge"]
+    weights = [4, 2, 2, 3, 3, 3, 1, 2, 1]
     steps = [rng.choices(ops, weights=weights)[0] for _ in range(14)]
+    purged = False
 
     for step in steps:
         lake = LakeTable(table_dir)
@@ -132,11 +133,22 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
             applied = nxt
             # overwrite rebuilds from the full [0, cut] window and discards
             # prior buckets — the change feed's bucket-emptied branch only
-            # triggers through this path
-            mode = rng.choice(["upsert", "delta", "overwrite"])
+            # triggers through this path. A purged log precludes overwrite
+            # (replay refuses windows below the cut, by design).
+            modes = ["upsert", "delta"] + ([] if purged else ["overwrite"])
+            mode = rng.choice(modes)
             res = replay(log_dir, table_dir, target_lsn=applied, mode=mode)
             assert res.committed
             record(model_at(rows, applied), applied)
+
+        elif step == "purge":
+            # binlog retention rides the walk: drop fully-applied segments;
+            # every later replay/expiry step must keep working above the cut
+            from etl_rs_ray.sources.event_log import purge_log
+
+            out = purge_log(log_dir, cur_hwm + 1, applied_hwm=cur_hwm)
+            assert out["cut"] <= cur_hwm + 1
+            purged = True
 
         elif step == "compact":
             did = lake.compact()
