@@ -193,6 +193,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated int payload columns to sum (create)")
     vw.add_argument("--limit", type=int, default=5)
 
+    rs = sub.add_parser(
+        "restore",
+        help="roll the table back to a retained epoch (new manifest commit, "
+        "no data movement; Delta RESTORE semantics)")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--to-epoch", type=int, required=True)
+
     cl = sub.add_parser("clone", help="zero-copy shallow clone (branch) of a table")
     cl.add_argument("--table", required=True)
     cl.add_argument("--dest", required=True)
@@ -451,6 +458,19 @@ def main(argv: list[str] | None = None) -> int:
         out = expire_before(args.log, args.table, args.before_lsn,
                             num_buckets=args.buckets)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "restore":
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        new_epoch = lake.restore(args.to_epoch)
+        print(json.dumps({
+            "restored_from": args.to_epoch,
+            "epoch": new_epoch,
+            "hwm_lsn": lake.hwm_lsn(),
+            "num_buckets": lake.num_buckets,
+        }))
         return 0
 
     if args.cmd == "purge-log":

@@ -778,6 +778,12 @@ def replay(
             shuffle=shuffle, mode=mode, atomic_txns=atomic_txns,
             quarantine=quarantine, chaos_dir=chaos_dir,
         )
+    except PurgedLogError:
+        # a retention-purged window is unrecoverable, not a racing
+        # committer: the purged segments also make select_segments come
+        # back empty, which the adoption poll below would mistake for
+        # "someone else covered the window" — surface the real error
+        raise
     except Exception:
         for _ in range(10):
             lake = LakeTable(table_dir, num_buckets)

@@ -862,6 +862,56 @@ class LakeTable:
         dest.manifests.commit(int(m["epoch"]), manifest)
         return dest
 
+    def restore(self, to_epoch: int) -> int:
+        """Roll the table back to ``to_epoch`` by committing a NEW epoch
+        whose manifest re-references that epoch's files — no data moves,
+        history is preserved (the rolled-back epochs stay time-travelable
+        until vacuumed), and the rollback itself is an ordinary atomic
+        manifest commit. The Delta Lake RESTORE semantics.
+
+        The restored manifest carries the old epoch's bucket layout and
+        HWM, so a later replay re-applies the rolled-back LSN window from
+        the log; LWW merge makes that re-application idempotent — the
+        table converges back to head state if replayed, or evolves down
+        the new timeline otherwise. If the log was purged ABOVE the
+        restored HWM, replay refuses (PurgedLogError) rather than
+        silently losing the gap.
+
+        Returns the new epoch. Raises if ``to_epoch`` is not retained
+        (vacuumed away) or is the current epoch."""
+        cur = self.current_epoch()
+        if to_epoch == cur:
+            raise ValueError(f"restore: epoch {to_epoch} is already current")
+        try:
+            m = self.manifests.read(to_epoch)
+        except FileNotFoundError:
+            m = None
+        if m is None:
+            raise ValueError(
+                f"restore: epoch {to_epoch} is not retained (vacuumed?)"
+            )
+        # files referenced by a retained manifest may already be gone if a
+        # vacuum kept the manifest but not its files — fail fast, not at
+        # first read
+        for entry in m["buckets"].values():
+            for ref in [entry.get("file")] + list(entry.get("delta_files", [])):
+                if ref and not fs.exists(self._resolve(ref)):
+                    raise ValueError(
+                        f"restore: epoch {to_epoch} data file missing "
+                        f"(vacuumed): {ref}"
+                    )
+        new_epoch = cur + 1
+        manifest = dict(
+            m,
+            metrics={"restored_from": int(to_epoch)},
+            lineage={"op": "restore", "from_epoch": int(to_epoch)},
+            parent_epoch=cur,
+        )
+        if not self.manifests.commit(new_epoch, manifest):
+            raise RuntimeError(f"restore: epoch {new_epoch} already committed")
+        self.num_buckets = int(m["num_buckets"])
+        return new_epoch
+
     def layout_stats(self, epoch: int | None = None) -> dict:
         """Per-bucket layout report from manifest + parquet footers only
         (no data pages): row/byte distribution, delta-chain depth, and a
