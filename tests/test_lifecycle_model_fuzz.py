@@ -115,8 +115,8 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
         assert got == want, (seed, got, want)
 
     ops = ["replay", "compact", "rebucket", "lookup", "time_travel", "changes",
-           "fsck", "view_refresh", "purge"]
-    weights = [4, 2, 2, 3, 3, 3, 1, 2, 1]
+           "fsck", "view_refresh", "purge", "restore"]
+    weights = [4, 2, 2, 3, 3, 3, 1, 2, 1, 1]
     steps = [rng.choices(ops, weights=weights)[0] for _ in range(14)]
     purged = False
 
@@ -149,6 +149,28 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
             out = purge_log(log_dir, cur_hwm + 1, applied_hwm=cur_hwm)
             assert out["cut"] <= cur_hwm + 1
             purged = True
+
+        elif step == "restore":
+            # rollback composes with everything else on the walk. The
+            # operational constraint: a restore below the log's purge cut
+            # would strand the table (replay refuses the gap), so only
+            # epochs whose HWM still reaches the cut are candidates.
+            from etl_rs_ray.sources.event_log import purge_cut
+
+            cut = purge_cut(log_dir)
+            cur_e = lake.current_epoch()
+            candidates = [
+                e for e, (_, h) in epoch_model.items()
+                if e < cur_e and h is not None and h + 1 >= cut
+            ]
+            if not candidates:
+                continue
+            target = rng.choice(candidates)
+            new_e = lake.restore(target)
+            t_state, t_hwm = epoch_model[target]
+            epoch_model[new_e] = (t_state, t_hwm)
+            # the walk's replay cursor stays monotonic; the next replay
+            # simply re-applies the rolled-back window through LWW
 
         elif step == "compact":
             did = lake.compact()
