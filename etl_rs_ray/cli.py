@@ -198,7 +198,17 @@ def main(argv: list[str] | None = None) -> int:
         help="roll the table back to a retained epoch (new manifest commit, "
         "no data movement; Delta RESTORE semantics)")
     rs.add_argument("--table", required=True)
-    rs.add_argument("--to-epoch", type=int, required=True)
+    rs.add_argument("--to-epoch", type=int)
+    rs.add_argument("--tag", help="restore to a tagged epoch")
+
+    tg = sub.add_parser(
+        "tag", help="named epoch refs: retention anchors vacuum respects "
+        "(no args beyond --table: list tags)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name")
+    tg.add_argument("--epoch", type=int, default=None, help="default: current")
+    tg.add_argument("--force", action="store_true", help="move an existing tag")
+    tg.add_argument("--delete", action="store_true")
 
     cl = sub.add_parser("clone", help="zero-copy shallow clone (branch) of a table")
     cl.add_argument("--table", required=True)
@@ -206,6 +216,7 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--epoch", type=int, default=None)
     s.add_argument("--limit", type=int, default=5)
     s.add_argument("--epoch", type=int, default=None)
+    s.add_argument("--tag", help="read at a tagged epoch")
 
     ex = sub.add_parser(
         "expire", help="retention: tombstone live keys older than an LSN through the log")
@@ -464,13 +475,34 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.lake import LakeTable
 
         lake = LakeTable(args.table)
-        new_epoch = lake.restore(args.to_epoch)
+        if (args.to_epoch is None) == (args.tag is None):
+            print(json.dumps({"error": "pass exactly one of --to-epoch / --tag"}))
+            return 2
+        target = lake.resolve_tag(args.tag) if args.tag else args.to_epoch
+        new_epoch = lake.restore(target)
         print(json.dumps({
-            "restored_from": args.to_epoch,
+            "restored_from": target,
             "epoch": new_epoch,
             "hwm_lsn": lake.hwm_lsn(),
             "num_buckets": lake.num_buckets,
         }))
+        return 0
+
+    if args.cmd == "tag":
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        if args.delete:
+            if not args.name:
+                print(json.dumps({"error": "--delete needs --name"}))
+                return 2
+            lake.delete_tag(args.name)
+            print(json.dumps({"deleted": args.name, "tags": lake.list_tags()}))
+        elif args.name:
+            e = lake.tag_epoch(args.name, epoch=args.epoch, force=args.force)
+            print(json.dumps({"tag": args.name, "epoch": e}))
+        else:
+            print(json.dumps({"tags": lake.list_tags()}))
         return 0
 
     if args.cmd == "purge-log":
@@ -608,7 +640,8 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.lake import LakeTable
 
         lake = LakeTable(args.table)
-        snap = lake.snapshot_table(epoch=args.epoch)
+        epoch = lake.resolve_tag(args.tag) if args.tag else args.epoch
+        snap = lake.snapshot_table(epoch=epoch)
         print(json.dumps({"rows": snap.num_rows, "epoch": lake.current_epoch(), "metrics": lake.metrics()}))
         for row in snap.slice(0, args.limit).to_pylist():
             print(json.dumps({k: (v[:60] if isinstance(v, str) else v) for k, v in row.items()}))

@@ -706,17 +706,61 @@ class LakeTable:
             self.num_buckets = old
         return ok
 
+    # --- named epoch tags (retention anchors / refs) --------------------
+    @property
+    def _tags_dir(self) -> str:
+        return fs.join(self.table_dir, "_manifests", "tags")
+
+    def tag_epoch(self, name: str, epoch: int | None = None, force: bool = False) -> int:
+        """Pin a name to an epoch (current by default). Tags are retention
+        anchors: ``vacuum`` keeps every file a tagged manifest references,
+        so ``snapshot(epoch=resolve_tag(name))`` stays readable no matter
+        how far the table moves on. Immutable unless ``force`` (the git
+        tag -f semantics)."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad tag name: {name!r}")
+        epoch = self.current_epoch() if epoch is None else int(epoch)
+        try:
+            m = self.manifests.read(epoch) if epoch >= 0 else None
+        except FileNotFoundError:
+            m = None
+        if m is None:
+            raise ValueError(f"tag {name}: epoch {epoch} is not committed")
+        path = fs.join(self._tags_dir, name)
+        fs.makedirs(self._tags_dir)
+        if fs.exists(path) and not force:
+            raise ValueError(f"tag {name} exists (epoch {self.resolve_tag(name)}); use force to move it")
+        fs.write_text_atomic(path, str(epoch))
+        return epoch
+
+    def resolve_tag(self, name: str) -> int:
+        try:
+            return int(fs.read_text(fs.join(self._tags_dir, name)).strip())
+        except FileNotFoundError:
+            raise ValueError(f"unknown tag: {name}")
+
+    def delete_tag(self, name: str) -> None:
+        fs.unlink(fs.join(self._tags_dir, name))
+
+    def list_tags(self) -> dict[str, int]:
+        if not fs.exists(self._tags_dir):
+            return {}
+        return {n: self.resolve_tag(n) for n in sorted(fs.listdir(self._tags_dir))}
+
     def vacuum(self, keep_epochs: int = 1) -> list[str]:
         """Delete data files not referenced by the last ``keep_epochs``
-        committed manifests (plus orphaned staging). Returns removed paths."""
+        committed manifests, by any TAGGED manifest, or by orphaned
+        staging. Returns removed paths."""
         cur = self.current_epoch()
         if cur < 0:
             return []
         referenced: set[str] = set()
         kept = 0
+        keep_set = set(self.list_tags().values())
         for e in range(cur, -1, -1):
-            if kept >= keep_epochs:
-                break
+            pinned = e in keep_set
+            if kept >= keep_epochs and not pinned:
+                continue
             try:
                 m = self.manifests.read(e)
             except FileNotFoundError:
@@ -729,7 +773,8 @@ class LakeTable:
                 referenced.update(
                     self._resolve(f) for f in entry.get("delta_files", [])
                 )
-            kept += 1
+            if not pinned:
+                kept += 1
         removed = []
         data_root = fs.join(self.table_dir, "data")
         for p in fs.find_files(data_root):
@@ -740,11 +785,12 @@ class LakeTable:
         if fs.exists(staging_root):
             fs.rmtree(staging_root)
             removed.append(staging_root)
-        # drop manifests older than the kept window (CURRENT stays valid)
+        # drop manifests older than the kept window (CURRENT stays valid;
+        # tagged epochs' manifests are anchors and stay readable)
         for fn in fs.listdir(self.manifests.manifest_dir):
             if fn.startswith("manifest-"):
                 e = int(fn.split("-")[1].split(".")[0])
-                if e <= cur - keep_epochs:
+                if e <= cur - keep_epochs and e not in keep_set:
                     fs.unlink(fs.join(self.manifests.manifest_dir, fn))
         return removed
 
