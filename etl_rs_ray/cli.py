@@ -201,6 +201,18 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--to-epoch", type=int)
     rs.add_argument("--tag", help="restore to a tagged epoch")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="observe layout_stats and run whatever maintenance thresholds "
+        "demand: compact deep delta chains, split oversized buckets, "
+        "shrink a sparse layout, optional vacuum; idempotent")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--max-delta-depth", type=int, default=3)
+    mt.add_argument("--target-bucket-mb", type=int, default=256)
+    mt.add_argument("--min-buckets", type=int, default=8)
+    mt.add_argument("--vacuum-keep", type=int, default=None)
+    mt.add_argument("--dry-run", action="store_true")
+
     tg = sub.add_parser(
         "tag", help="named epoch refs: retention anchors vacuum respects "
         "(no args beyond --table: list tags)")
@@ -486,6 +498,21 @@ def main(argv: list[str] | None = None) -> int:
             "hwm_lsn": lake.hwm_lsn(),
             "num_buckets": lake.num_buckets,
         }))
+        return 0
+
+    if args.cmd == "maintain":
+        _init_ray(args.num_cpus)
+        from .sources.lake import LakeTable
+
+        lake = LakeTable(args.table)
+        out = lake.maintain(
+            max_delta_depth=args.max_delta_depth,
+            target_bucket_bytes=args.target_bucket_mb << 20,
+            min_buckets=args.min_buckets,
+            vacuum_keep_epochs=args.vacuum_keep,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "tag":

@@ -1000,6 +1000,73 @@ class LakeTable:
             "largest_bucket_bytes": max(byts),
         }
 
+    def maintain(
+        self,
+        *,
+        max_delta_depth: int = 3,
+        target_bucket_bytes: int = 256 << 20,
+        min_buckets: int = 8,
+        vacuum_keep_epochs: int | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Observe → act in one idempotent call: read ``layout_stats``
+        (manifest + footers only) and run whichever maintenance the
+        thresholds demand —
+
+        - ``compact``   when the deepest delta chain exceeds
+          ``max_delta_depth`` (merge-on-read cost grows with the chain),
+        - ``rebucket`` SPLIT when the largest bucket outgrows
+          ``target_bucket_bytes`` (the unit of merge-task memory): one
+          call computes the full power-of-two factor k so largest/k fits,
+        - ``rebucket`` SHRINK (halve) when buckets average under 1/16 of
+          the target and the count is above ``min_buckets`` (per-task
+          scheduling overhead dominates tiny buckets),
+        - ``vacuum``    when ``vacuum_keep_epochs`` is given (tag anchors
+          are respected as always).
+
+        A healthy table yields no actions, so a cron loop of
+        ``maintain`` is safe. ``dry_run`` returns the plan untouched."""
+        before = self.layout_stats()
+        actions: list[dict] = []
+        if before.get("rows_total", 0):
+            if before["max_delta_depth"] > max_delta_depth:
+                actions.append({"op": "compact", "reason": f"delta depth {before['max_delta_depth']} > {max_delta_depth}"})
+            largest = before["largest_bucket_bytes"]
+            if largest > target_bucket_bytes:
+                k = 1
+                while largest / (2 * k) > target_bucket_bytes and 2 * k * before["num_buckets"] <= 4096:
+                    k *= 2
+                actions.append({
+                    "op": "rebucket",
+                    "target": before["num_buckets"] * 2 * k,
+                    "reason": f"largest bucket {largest >> 20} MiB > {target_bucket_bytes >> 20} MiB",
+                })
+            elif (
+                before["num_buckets"] > min_buckets
+                and before["bytes_total"] / before["num_buckets"] < target_bucket_bytes / 16
+            ):
+                actions.append({
+                    "op": "rebucket",
+                    "target": max(min_buckets, before["num_buckets"] // 2),
+                    "reason": "buckets average under 1/16 of target size",
+                })
+        if vacuum_keep_epochs is not None:
+            actions.append({"op": "vacuum", "keep_epochs": vacuum_keep_epochs})
+        out = {"actions": actions, "stats_before": before, "dry_run": dry_run}
+        if dry_run:
+            return out
+        for a in actions:
+            if a["op"] == "compact":
+                a["done"] = self.compact()
+            elif a["op"] == "rebucket":
+                a["done"] = self.rebucket(a["target"])
+            elif a["op"] == "vacuum":
+                a["removed"] = len(self.vacuum(keep_epochs=a["keep_epochs"]))
+                a["done"] = True
+        if actions:
+            out["stats_after"] = LakeTable(self.table_dir).layout_stats()
+        return out
+
     def metrics(self) -> dict:
         m = self.manifests.read()
         return m.get("metrics", {}) if m else {}
