@@ -139,3 +139,87 @@ def test_full_cdc_composition(tmp_path, ray_session):
     assert len(diverged) == 1, "one new key -> exactly one diverging bucket"
     assert LakeTable(branch).fsck()["ok"]
     assert LakeTable(table).fsck()["ok"]
+
+
+def test_lifecycle_ops_composition(tmp_path, ray_session):
+    """The late-r5 operational surface in ONE flow: tag an epoch, diverge,
+    maintain (compact + shrink), restore back through the tag, purge the
+    applied log, converge forward again, vacuum against the tag anchor —
+    deep fsck green throughout."""
+    from etl_rs_ray.sources.event_log import PurgedLogError, purge_log
+
+    repos = generate_repos(n_files=500, seed=61)
+    ev = generate_events(repos, update_frac=0.5, delete_frac=0.1, seed=61)
+    log = str(tmp_path / "log")
+    write_event_log(ev, log, num_partitions=3, events_per_segment=100)
+    # NOT the last row's lsn: the tail rows are duplicate re-deliveries
+    # carrying their original (smaller) LSNs
+    max_lsn = int(pc.max(ev.column("lsn")).as_py())
+    table = str(tmp_path / "t")
+
+    # epoch 0 at the midpoint; tag it
+    assert replay(log, table, target_lsn=max_lsn // 2, num_buckets=64).committed
+    lake = LakeTable(table)
+    lake.tag_epoch("mid")
+    state_mid = lake.snapshot_table().sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")]
+    )
+
+    # two delta epochs to the head -> chains + sparse 64-bucket layout
+    assert replay(log, table, target_lsn=3 * max_lsn // 4, mode="delta").committed
+    assert replay(log, table, mode="delta").committed
+    lake = LakeTable(table)
+    head_hwm = lake.hwm_lsn()
+    assert head_hwm == max_lsn
+    state_head = lake.snapshot_table().sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")]
+    )
+
+    # maintain: folds the chains and halves the sparse layout
+    out = lake.maintain(max_delta_depth=0)
+    ops = [a["op"] for a in out["actions"]]
+    assert "compact" in ops and "rebucket" in ops
+    lake = LakeTable(table)
+    assert lake.num_buckets == 32
+    assert lake.fsck(deep=True)["ok"]
+
+    # restore through the tag (crosses the rebucket boundary backwards)
+    lake.restore(lake.resolve_tag("mid"))
+    lake = LakeTable(table)
+    assert lake.num_buckets == 64
+    got = lake.snapshot_table().sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")]
+    )
+    assert got.equals(state_mid)
+
+    # purge everything the pre-restore head had applied: the rolled-back
+    # window is now gone from the log, so catching up must REFUSE...
+    purge_log(log, head_hwm + 1, applied_hwm=head_hwm)
+    try:
+        replay(log, table)
+        raise AssertionError("replay over the purged gap must refuse")
+    except PurgedLogError:
+        pass
+    # ...and the documented recovery is restoring forward to a caught-up
+    # epoch (the pre-restore head is still retained)
+    head_epoch = next(
+        e for e in range(lake.current_epoch() - 1, -1, -1)
+        if lake.manifests.read(e)["hwm_lsn"] == head_hwm
+    )
+    lake.restore(head_epoch)
+    lake = LakeTable(table)
+    got = lake.snapshot_table().sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")]
+    )
+    assert got.equals(state_head)
+    assert replay(log, table).committed is False  # nothing new: no-op
+
+    # vacuum with the tag as anchor: mid stays readable, table intact
+    lake.vacuum(keep_epochs=1)
+    lake = LakeTable(table)
+    assert lake.snapshot_table(
+        epoch=lake.resolve_tag("mid")
+    ).sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")]
+    ).equals(state_mid)
+    assert lake.fsck(deep=True)["ok"]
