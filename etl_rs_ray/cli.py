@@ -201,6 +201,16 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--to-epoch", type=int)
     rs.add_argument("--tag", help="restore to a tagged epoch")
 
+    cc = sub.add_parser(
+        "cascade",
+        help="CDC fan-out: export a table's change feed as a NEW event log "
+        "(incremental via a CASCADE_STATE checkpoint) so downstream tables "
+        "replay a derived table like a source")
+    cc.add_argument("--table", required=True)
+    cc.add_argument("--out-log", required=True)
+    cc.add_argument("--partitions", type=int, default=4)
+    cc.add_argument("--to-epoch", type=int, default=None)
+
     mt = sub.add_parser(
         "maintain",
         help="observe layout_stats and run whatever maintenance thresholds "
@@ -498,6 +508,17 @@ def main(argv: list[str] | None = None) -> int:
             "hwm_lsn": lake.hwm_lsn(),
             "num_buckets": lake.num_buckets,
         }))
+        return 0
+
+    if args.cmd == "cascade":
+        _init_ray(args.num_cpus)
+        from .pipelines.cdc import cascade_changes
+
+        out = cascade_changes(
+            args.table, args.out_log,
+            num_partitions=args.partitions, to_epoch=args.to_epoch,
+        )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "maintain":

@@ -1187,3 +1187,82 @@ def expire_before(
         "committed": result.committed,
         "rows_total": result.rows_total,
     }
+
+
+def cascade_changes(
+    table_dir: str,
+    out_log: str,
+    *,
+    num_partitions: int = 4,
+    to_epoch: int | None = None,
+) -> dict:
+    """CDC fan-out: materialize a table's change feed as a NEW event log
+    so downstream tables can tail a DERIVED table exactly like a source —
+    the building block for table DAGs (bronze -> silver -> gold), each
+    hop an ordinary exactly-once ``replay``.
+
+    Incremental: a ``CASCADE_STATE`` checkpoint in the out log records the
+    last exported source epoch; each call exports only
+    ``changes(last, head)`` — cost tracks |changes|, never table size —
+    and assigns fresh monotonic LSNs (the downstream log has its own LSN
+    space; ``next_lsn`` keeps successive exports ordered). The feed
+    carries at most one row per key with ABSOLUTE new state, so a crash
+    between segment write and checkpoint write only re-exports a window
+    whose re-application is LWW-idempotent downstream (at-least-once
+    export, exactly-once effect).
+
+    The feed is ordered deterministically (change_lsn, then key) before
+    LSN assignment. The feed rides through the driver here (one row per
+    changed key, selected columns); a 100-TB hop would assign per-bucket
+    LSN ranges from per-bucket change counts and write segments from the
+    diff tasks themselves — same pattern as ``expire_before``'s note."""
+    from ..sources.event_log import EventLogWriter, next_lsn
+    from ..sources.lake import LakeTable
+
+    lake = LakeTable(table_dir)
+    head = lake.current_epoch() if to_epoch is None else int(to_epoch)
+    state_path = fs.join(out_log, "CASCADE_STATE")
+    try:
+        st = fs.read_json(state_path)
+        last: int | None = int(st["last_epoch"])
+    except FileNotFoundError:
+        st, last = {}, None
+    if last is not None and head <= last:
+        return {"exported": 0, "from_epoch": last, "to_epoch": head, "noop": True}
+
+    feed_ds = lake.changes(last, head)
+    feed_schema = feed_ds.schema()
+    feed_types = dict(zip(feed_schema.names, feed_schema.types)) if feed_schema else {}
+    feed = feed_ds.take_all()
+    keys = ("repo", "path", "commit")
+    feed.sort(key=lambda r: (r["change_lsn"], tuple(r[k] for k in keys)))
+
+    base = next_lsn(out_log)
+    payload = [
+        c for c in (feed[0].keys() if feed else [])
+        if c not in keys and c not in ("op", "change_lsn")
+    ]
+    rows = pa.table(
+        {
+            "lsn": pa.array(range(base, base + len(feed)), pa.int64()),
+            "op": pa.array([r["op"] for r in feed], pa.string()),
+            **{k: pa.array([r[k] for r in feed], pa.string()) for k in keys},
+            # explicit types from the feed schema: an all-delete window
+            # carries entirely-null payload columns, which bare inference
+            # would type as null and break downstream unification
+            **{
+                c: pa.array([r[c] for r in feed], type=feed_types.get(c))
+                for c in payload
+            },
+        }
+    ) if feed else None
+    written = 0
+    if rows is not None and rows.num_rows:
+        EventLogWriter(out_log, num_partitions=num_partitions).write(rows)
+        written = rows.num_rows
+    fs.makedirs(out_log)
+    fs.write_json_atomic(
+        state_path,
+        dict(st, source=table_dir, last_epoch=head),
+    )
+    return {"exported": written, "from_epoch": last, "to_epoch": head}
