@@ -114,9 +114,29 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
         want = {"py": len(cur_state)} if cur_state else {}
         assert got == want, (seed, got, want)
 
+    # a cascaded DOWNSTREAM table also rides the walk: at random steps the
+    # change feed since the last export is shipped to a derived log and
+    # replayed into a second table, which must then equal the model too —
+    # whatever interleaving of compactions, rebuckets, restores and purges
+    # produced the feed
+    from etl_rs_ray.pipelines.cdc import cascade_changes
+
+    derived_log = str(tmp_path / "dlog")
+    derived_table = str(tmp_path / "dtable")
+
+    def check_cascade():
+        cascade_changes(table_dir, derived_log)
+        replay(derived_log, derived_table, num_buckets=4)
+        cur_state, _ = epoch_model[LakeTable(table_dir).current_epoch()]
+        got = lake_state(LakeTable(derived_table))
+        # downstream rows carry their own LSN space; compare content only
+        assert {k: v[1] for k, v in got.items()} == {
+            k: v[1] for k, v in cur_state.items()
+        }, seed
+
     ops = ["replay", "compact", "rebucket", "lookup", "time_travel", "changes",
-           "fsck", "view_refresh", "purge", "restore"]
-    weights = [4, 2, 2, 3, 3, 3, 1, 2, 1, 1]
+           "fsck", "view_refresh", "purge", "restore", "cascade"]
+    weights = [4, 2, 2, 3, 3, 3, 1, 2, 1, 1, 2]
     steps = [rng.choices(ops, weights=weights)[0] for _ in range(14)]
     purged = False
 
@@ -240,6 +260,12 @@ def test_lifecycle_random_walk_matches_model(tmp_path, ray_session, seed):
 
         elif step == "view_refresh":
             check_view()
+
+        elif step == "cascade":
+            check_cascade()
+
+    # the downstream table catches up over whatever the walk left behind
+    check_cascade()
 
     # end-of-walk invariants: final state, a zero-copy clone, then vacuum
     lake = LakeTable(table_dir)
