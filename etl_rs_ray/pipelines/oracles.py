@@ -1623,3 +1623,49 @@ ORACLE_SQL["orders_large_volume"] = """
     JOIN t ON o.o_orderkey = t.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
 """
+
+ORACLE_SQL["q10_returned_revenue"] = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_fp
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue_fp DESC, c.c_custkey
+    LIMIT 20
+"""
+
+ORACLE_SQL["q14_promo_revenue_share"] = """
+    WITH t AS (
+        SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS fp,
+               p.p_type = 'PROMO' AS is_promo
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+    )
+    SELECT 100.0 * CAST(COALESCE(SUM(CASE WHEN is_promo THEN fp END), 0) AS DOUBLE)
+               / CAST(SUM(fp) AS DOUBLE) AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM t
+"""
+
+ORACLE_SQL["q22_idle_balance"] = """
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_bal_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM customer c, pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      AND c.c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+"""

@@ -128,6 +128,9 @@ from .tpch import (  # noqa: E402
     orders_priority_exists,
     parts_brand_promo_revenue,
     parts_low_quantity_revenue,
+    q10_returned_revenue,
+    q14_promo_revenue_share,
+    q22_idle_balance,
     q1_pricing_summary,
     q3_shipping_priority,
     q5_regional_supplier_volume,
@@ -3187,9 +3190,6 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_gapfill_locf": events_gapfill_locf,
     "orders_integrity_audit": orders_integrity_audit,
-    "events_distinct_users_by_type": events_distinct_users_by_type,
-    "events_quantiles_by_type": events_quantiles_by_type,
-    "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_priority_sample": docs_priority_sample,
     "events_value_corr": events_value_corr,
     "events_window_distinct_users": events_window_distinct_users,
@@ -3221,8 +3221,14 @@ QUERIES = {
     "parts_brand_promo_revenue": parts_brand_promo_revenue,
     "orders_priority_exists": orders_priority_exists,
     "orders_large_volume": orders_large_volume,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q22_idle_balance": q22_idle_balance,
     # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
     "customer_order_revenue": customer_order_revenue,
+    "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_quantiles_by_type": events_quantiles_by_type,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "events_retention_cohorts": events_retention_cohorts,
     "events_user_paths": events_user_paths,
     "events_cooccurrence": events_cooccurrence,

@@ -1157,3 +1157,256 @@ def orders_large_volume(sf_dir: str):
     from ..util import drop_empty_blocks
 
     return attach_customer(drop_empty_blocks(qualified))
+
+
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10-style returned-item report: top-20 customers by revenue
+    on lineitems flagged 'R', resolved through orders to customer names.
+
+    Scale strategy: the returnflag predicate is pushed INTO the parquet
+    read (row groups without 'R' never leave storage); what remains folds
+    per block to (orderkey, revenue-fp) partials before any join; the
+    custkey attach and the per-customer merge are size-gated
+    (broadcast / keyed shuffle); per-partition top-20 candidates gather
+    into one final top-20 block (20 x partitions rows, never
+    |customers|). Revenue is exact int64 fixed-point
+    price_cents x (100 - disc_pct); ties break on custkey in BOTH
+    engines."""
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import broadcast_lookup_join, keyed_lookup_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "fp": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)),
+            }
+        )
+        g = pa.TableGroupBy(t, "o_orderkey").aggregate([("fp", "sum")])
+        return g.rename_columns(["o_orderkey", "fp"])
+
+    partials = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        keyed = broadcast_lookup_join(
+            partials, orders, on="o_orderkey", dim_key="o_orderkey",
+            take_cols={"o_custkey": "o_custkey"}, how="inner",
+        )
+    else:
+        keyed = keyed_lookup_join(
+            partials, orders, on="o_orderkey", dim_key="o_orderkey",
+            take_cols={"o_custkey": "o_custkey"}, how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "orders")),
+        )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["o_custkey", "fp"]), "o_custkey").aggregate(
+            [("fp", "sum")]
+        )
+        return g.rename_columns(["c_custkey", "revenue_fp"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "c_custkey").aggregate([("revenue_fp", "sum")])
+        g = g.rename_columns(["c_custkey", "revenue_fp"])
+        order = pc.sort_indices(
+            g, sort_keys=[("revenue_fp", "descending"), ("c_custkey", "ascending")]
+        )
+        return g.take(order.slice(0, 20))
+
+    u = keyed.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True)
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        top = u.repartition(1).map_batches(
+            topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        u = _hash_shuffle(u)
+        nparts = _partitions(rows=_table_rows(sf_dir, "customer"))
+        per_part = u.repartition(num_blocks=nparts, keys=["c_custkey"]).map_batches(
+            topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        top = per_part.repartition(1).map_batches(
+            topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    if _table_rows(sf_dir, "customer") < 2_000_000:
+        return broadcast_lookup_join(
+            top, cust, on="c_custkey", dim_key="c_custkey",
+            take_cols={"c_name": "c_name"}, how="inner",
+        )
+    return keyed_lookup_join(
+        top, cust, on="c_custkey", dim_key="c_custkey",
+        take_cols={"c_name": "c_name"}, how="inner",
+        num_partitions=_partitions(rows=_table_rows(sf_dir, "customer")),
+    )
+
+
+def q14_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-style conditional-aggregate ratio: the share of revenue
+    from PROMO-type parts within a shipdate window.
+
+    Scale strategy: the shipdate window is a read-level pyarrow dataset
+    expression (row-group pruning); the part-type dimension attaches via
+    the gated broadcast / keyed join; promo and total revenues fold as
+    exact int64 fixed-point partials per block with the final float64
+    percentage expression mirrored verbatim in the oracle."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import broadcast_lookup_join, keyed_lookup_join
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 7, 1)
+    f = pads.field
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(f("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (f("l_shipdate") < pa.scalar(hi, pa.timestamp("us"))),
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    if _table_rows(sf_dir, "part") < 2_000_000:
+        joined = broadcast_lookup_join(
+            li, part, on="l_partkey", dim_key="p_partkey",
+            take_cols={"p_type": "p_type"}, how="inner",
+        )
+    else:
+        joined = keyed_lookup_join(
+            li, part, on="l_partkey", dim_key="p_partkey",
+            take_cols={"p_type": "p_type"}, how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "lineitem")),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        fp = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        promo = pc.equal(b.column("p_type"), "PROMO")
+        promo_fp = pc.sum(fp.filter(promo)).as_py() or 0
+        return pa.table(
+            {
+                "promo_fp": pa.array([promo_fp], pa.int64()),
+                "total_fp": pa.array([pc.sum(fp).as_py() or 0], pa.int64()),
+                "n": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        promo = pc.sum(t.column("promo_fp")).as_py() or 0
+        total = pc.sum(t.column("total_fp")).as_py() or 0
+        n = pc.sum(t.column("n")).as_py() or 0
+        share = 100.0 * promo / total if total else None
+        return pa.table(
+            {
+                "promo_share_pct": pa.array([share], pa.float64()),
+                "n_lines": pa.array([n], pa.int64()),
+            }
+        )
+
+    from ..stages.stats import partial_fold
+
+    return partial_fold(joined, partial, fold)
+
+
+def q22_idle_balance(sf_dir: str):
+    """TPC-H Q22-style: customers with above-average positive balances
+    who never placed a HIGH-VALUE order (totalprice above 300k — every
+    custkey appears in orders at all testdata tiers, so the unfiltered
+    anti set is empty), aggregated per market segment. Combines a GLOBAL
+    scalar subquery (the average) with an anti join and a bounded
+    group-by; the totalprice predicate is pushed into the orders read.
+
+    Scale strategy: pass 1 folds (sum of positive balances, their count)
+    to one tiny row; the threshold compare is exact integer
+    cross-multiplication (bal_cents x n_pos > sum_pos_cents, identical in
+    the oracle). Pass 2 streams customers through the vectorized
+    threshold filter and the size-gated anti membership vs order
+    custkeys (broadcast below 2M orders, keyed anti shuffle above —
+    duplicate buyer keys need no distinct pass, index_in is a presence
+    test), then folds bounded per-segment partials."""
+    from ..stages.joins import broadcast_semi_join, keyed_lookup_join
+    from ..stages.stats import partial_fold
+
+    cust_bal = _read(sf_dir, "customer", columns=["c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100.0)), pa.int64())
+        pos = cents.filter(pc.greater(cents, 0))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    def bal_fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(t.column("s")).as_py() or 0], pa.int64()),
+                "n": pa.array([pc.sum(t.column("n")).as_py() or 0], pa.int64()),
+            }
+        )
+
+    g = partial_fold(cust_bal, bal_partial, bal_fold).take_all()[0]
+    sum_pos, n_pos = int(g["s"]), int(g["n"])
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100.0)), pa.int64())
+        keep = pc.greater(pc.multiply(cents, n_pos), sum_pos)
+        out = b.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": out.column("c_custkey"),
+                "c_mktsegment": out.column("c_mktsegment"),
+                "bal_cents": pc.cast(
+                    pc.round(pc.multiply(out.column("c_acctbal"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    import pyarrow.dataset as pads
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+    buyers = _read(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter=(pads.field("o_totalprice") > 300_000.0),
+    )
+    if _table_rows(sf_dir, "orders") < 2_000_000:
+        idle = broadcast_semi_join(rich_ds, buyers, on="c_custkey", anti=True)
+    else:
+        idle = keyed_lookup_join(
+            rich_ds, buyers, on="c_custkey", dim_key="o_custkey",
+            take_cols={}, how="anti",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, "customer")),
+        )
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        g2 = pa.TableGroupBy(
+            b.select(["c_mktsegment", "bal_cents"]), "c_mktsegment"
+        ).aggregate([("bal_cents", "sum"), ("bal_cents", "count")])
+        return pa.table(
+            {
+                "segment": g2.column("c_mktsegment"),
+                "total_bal_cents": g2.column("bal_cents_sum"),
+                "n_custs": g2.column("bal_cents_count").cast(pa.int64()),
+            }
+        )
+
+    def seg_fold(t: pa.Table) -> pa.Table:
+        g2 = pa.TableGroupBy(t, "segment").aggregate(
+            [("total_bal_cents", "sum"), ("n_custs", "sum")]
+        )
+        return g2.rename_columns(["segment", "total_bal_cents", "n_custs"])
+
+    return partial_fold(idle, seg_partial, seg_fold)

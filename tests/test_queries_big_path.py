@@ -47,6 +47,9 @@ GATED = [
     "parts_brand_promo_revenue",
     "orders_priority_exists",
     "orders_large_volume",
+    "q10_returned_revenue",
+    "q14_promo_revenue_share",
+    "q22_idle_balance",
 ]
 
 
