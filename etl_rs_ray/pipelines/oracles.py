@@ -1669,3 +1669,36 @@ ORACLE_SQL["q22_idle_balance"] = """
           (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
     GROUP BY c.c_mktsegment
 """
+
+ORACLE_SQL["q7_nation_volume"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+"""
+
+ORACLE_SQL["parts_cheapest_per_type"] = """
+    WITH ranked AS (
+        SELECT p_type,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               p_partkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_type
+                   ORDER BY CAST(round(p_retailprice * 100) AS BIGINT), p_partkey
+               ) AS rn
+        FROM part
+    )
+    SELECT p_type, price_cents, CAST(p_partkey AS BIGINT) AS p_partkey
+    FROM ranked WHERE rn = 1
+"""

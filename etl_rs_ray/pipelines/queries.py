@@ -128,6 +128,8 @@ from .tpch import (  # noqa: E402
     orders_priority_exists,
     parts_brand_promo_revenue,
     parts_low_quantity_revenue,
+    parts_cheapest_per_type,
+    q7_nation_volume,
     q10_returned_revenue,
     q14_promo_revenue_share,
     q22_idle_balance,
@@ -3186,7 +3188,6 @@ QUERIES = {
     "parts_skyline": parts_skyline,
     "parts_fuzzy_pairs": parts_fuzzy_pairs,
     "orders_zorder_layout": orders_zorder_layout,
-    "events_rolling_revenue": events_rolling_revenue,
     "events_sessionize": events_sessionize,
     "events_gapfill_locf": events_gapfill_locf,
     "orders_integrity_audit": orders_integrity_audit,
@@ -3198,7 +3199,6 @@ QUERIES = {
     "events_late_corrections": events_late_corrections,
     "embeddings_cov_block": embeddings_cov_block,
     "events_value_regression": events_value_regression,
-    "events_interval_coalesce": events_interval_coalesce,
     "events_mode_value": events_mode_value,
     # -- r4 additions getting their first driver row + r5 new -------------
     "orders_cube": orders_cube,
@@ -3224,8 +3224,12 @@ QUERIES = {
     "q10_returned_revenue": q10_returned_revenue,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q22_idle_balance": q22_idle_balance,
+    "q7_nation_volume": q7_nation_volume,
+    "parts_cheapest_per_type": parts_cheapest_per_type,
     # -- position >50: green in CORRECTNESS_r03/r04, swept every session --
     "customer_order_revenue": customer_order_revenue,
+    "events_rolling_revenue": events_rolling_revenue,
+    "events_interval_coalesce": events_interval_coalesce,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_quantiles_by_type": events_quantiles_by_type,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,

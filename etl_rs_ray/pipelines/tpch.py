@@ -1410,3 +1410,141 @@ def q22_idle_balance(sf_dir: str):
         return g2.rename_columns(["segment", "total_bal_cents", "n_custs"])
 
     return partial_fold(idle, seg_partial, seg_fold)
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7-style volume shipping between nation pairs: revenue per
+    (supplier nation, customer nation) pair, cross-border only, within a
+    shipdate window — the longest dimension chain in the roster
+    (lineitem -> supplier -> nation, lineitem -> orders -> customer ->
+    nation).
+
+    Scale strategy: the shipdate window is a read-level expression; the
+    supplier and customer nation attaches are size-gated broadcast /
+    keyed joins; the orders custkey attach reuses the same gate. The
+    nation-name map (25 rows) is a driver-side constant like q5's.
+    Everything after the attaches folds per block to the BOUNDED
+    (supp_nation, cust_nation) domain (<= 25 x 24 rows) and one final
+    merge — no keyed shuffle on the pair key at any size."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import broadcast_lookup_join, keyed_lookup_join
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    f = pads.field
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(f("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (f("l_shipdate") < pa.scalar(hi, pa.timestamp("us"))),
+    )
+
+    def attach(ds, dim_table, on, dim_key, out_col, src_col, gate_table, fact_rows_table):
+        dim = _read(sf_dir, dim_table, columns=[dim_key, src_col])
+        if _table_rows(sf_dir, gate_table) < 2_000_000:
+            return broadcast_lookup_join(
+                ds, dim, on=on, dim_key=dim_key,
+                take_cols={src_col: out_col}, how="inner",
+            )
+        return keyed_lookup_join(
+            ds, dim, on=on, dim_key=dim_key,
+            take_cols={src_col: out_col}, how="inner",
+            num_partitions=_partitions(rows=_table_rows(sf_dir, fact_rows_table)),
+        )
+
+    ds = attach(li, "supplier", "l_suppkey", "s_suppkey", "supp_nk", "s_nationkey",
+                "supplier", "lineitem")
+    ds = attach(ds, "orders", "l_orderkey", "o_orderkey", "o_custkey", "o_custkey",
+                "orders", "lineitem")
+    ds = attach(ds, "customer", "o_custkey", "c_custkey", "cust_nk", "c_nationkey",
+                "customer", "lineitem")
+
+    nat = fs_read_nation(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b.column("supp_nk"), b.column("cust_nk")))
+        t = b.filter(keep)
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64())
+        t2 = pa.table(
+            {
+                "supp_nk": t.column("supp_nk"),
+                "cust_nk": t.column("cust_nk"),
+                "fp": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)),
+            }
+        )
+        g = pa.TableGroupBy(t2, ["supp_nk", "cust_nk"]).aggregate(
+            [("fp", "sum"), ("fp", "count")]
+        )
+        return g.rename_columns(["supp_nk", "cust_nk", "revenue_fp", "n_lines"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["supp_nk", "cust_nk"]).aggregate(
+            [("revenue_fp", "sum"), ("n_lines", "sum")]
+        )
+        sn = [nat[k] for k in g.column("supp_nk").to_pylist()]
+        cn = [nat[k] for k in g.column("cust_nk").to_pylist()]
+        return pa.table(
+            {
+                "supp_nation": pa.array(sn, pa.string()),
+                "cust_nation": pa.array(cn, pa.string()),
+                "revenue_fp": g.column("revenue_fp_sum"),
+                "n_lines": g.column("n_lines_sum").cast(pa.int64()),
+            }
+        )
+
+    from ..stages.stats import partial_fold
+
+    return partial_fold(ds, partial, fold)
+
+
+def fs_read_nation(sf_dir: str) -> dict:
+    """Driver-side nationkey -> name map (25 rows, the q5 pattern)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    return dict(zip(t.column("n_nationkey").to_pylist(), t.column("n_name").to_pylist()))
+
+
+def parts_cheapest_per_type(sf_dir: str):
+    """TPC-H Q2-style argmin-row-per-group: for every part type, THE
+    cheapest part (row retrieval, not just the min) with ties broken on
+    the smallest partkey — the correlated min-subquery join-back shape.
+
+    Scale strategy: the lexicographic (price, partkey) argmin packs into
+    ONE int64 (price_cents << 34 | partkey — exact while price_cents <
+    2^29 and partkey < 2^34, far past the 100-TB tier), so each block
+    folds to one packed-min candidate per type present (bounded domain)
+    and one final block takes the group min and unpacks — an ordinary
+    mergeable MIN, shuffle-free at any size, no order-dependent
+    aggregate anywhere."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type", "p_retailprice"])
+    SHIFT = 34
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)), pa.int64())
+        packed = pc.add(
+            pc.shift_left(cents, SHIFT), b.column("p_partkey").cast(pa.int64())
+        )
+        t = pa.table({"p_type": b.column("p_type"), "packed": packed})
+        g = pa.TableGroupBy(t, "p_type").aggregate([("packed", "min")])
+        return g.rename_columns(["p_type", "packed"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "p_type").aggregate([("packed", "min")])
+        packed = g.column("packed_min")
+        return pa.table(
+            {
+                "p_type": g.column("p_type"),
+                "price_cents": pc.shift_right(packed, SHIFT),
+                "p_partkey": pc.bit_wise_and(
+                    packed, pa.scalar((1 << SHIFT) - 1, pa.int64())
+                ),
+            }
+        )
+
+    from ..stages.stats import partial_fold
+
+    return partial_fold(part, partial, fold)

@@ -50,6 +50,7 @@ GATED = [
     "q10_returned_revenue",
     "q14_promo_revenue_share",
     "q22_idle_balance",
+    "q7_nation_volume",
 ]
 
 
